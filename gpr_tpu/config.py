@@ -1,0 +1,40 @@
+"""Global configuration.
+
+Mirrors the reference's two mutable library globals ``cholesky_jitter`` and
+``debug`` (``lib/utils.ml:34-35``) plus TPU-specific knobs the reference has no
+analogue for (dtype policy, matmul precision).
+
+All engine functions take explicit keyword overrides; these globals are only
+defaults read at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+
+@dataclasses.dataclass
+class Config:
+    # Jitter added to every Cholesky factorization of Km / posterior
+    # covariances (reference: lib/utils.ml:35, lib/fitc_gp.ml:55,669).
+    cholesky_jitter: float = 1e-6
+    # Debug-gated invariant checks (reference: lib/utils.ml:34,118-192).
+    debug: bool = False
+    # Matmul precision for f32 inputs on TPU.  HIGHEST = f32 accumulation via
+    # multiple bf16 passes; matters for the 1e-6 parity bar at large n.
+    matmul_precision: str = "highest"
+    # 'qr' | 'chol' | 'auto': how to factor B = Km + Knm' D^-1 Knm.
+    # 'qr' reproduces the reference's Foster-2009 stacked QR
+    # (lib/fitc_gp.ml:168-183); 'chol' is the cheap, shardable normal-equations
+    # path.  'auto' picks QR below the size where QR cost is negligible.
+    factorization: str = "auto"
+
+
+config = Config()
+
+
+def default_dtype():
+    """Highest-precision float dtype currently enabled in JAX."""
+    return jax.numpy.float64 if jax.config.jax_enable_x64 else jax.numpy.float32

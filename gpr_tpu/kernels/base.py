@@ -1,0 +1,76 @@
+"""Covariance-function protocol.
+
+The reference defines what a kernel must provide as OCaml module signatures
+(``Specs.Eval`` / ``Specs.Deriv``, lib/interfaces.ml:80-312).  Here a kernel
+*family* is a plain class of pure static methods (never instantiated, hashable,
+therefore usable as a static jit argument), and its parameters are a frozen
+PyTree dataclass.  Derivatives need no spec at all: everything is differentiable
+by ``jax.grad``, which subsumes the reference's sparse derivative
+representations (``common_mat_deriv`` etc., lib/interfaces.ml:28-77) — reverse
+mode computes the full inducing-point gradient in one O(n m d) pass instead of
+per-coordinate sparse fast paths.
+
+Shape conventions: inputs X are (n, d) row-major; the inducing representation Z
+is kernel-specific (see ``inducing_from_inputs``), matching the reference where
+e.g. cov_lin_ard stores inducing points pre-scaled (lib/cov_lin_ard.ml:71) and
+cov_se_fat stores them projected (lib/cov_se_fat.ml:220).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Protocol
+
+import jax.numpy as jnp
+
+
+class KernelFamily(Protocol):
+    """Structural protocol implemented by each kernel module's family class.
+
+    Mirrors ``Specs.Eval`` (lib/interfaces.ml:106-204):
+
+    ======================  ====================================================
+    method                  reference counterpart
+    ======================  ====================================================
+    default_params          Inputs.create_default_kernel_params
+    inducing_from_inputs    Inputs.create_inducing
+    k_upper                 Inducing.calc_upper       (m, m) gram at inducing
+    k_diag                  Inputs.calc_diag          (n,) prior variances
+    k_cross                 Inputs.calc_cross         (n, m) cross-covariance
+    k_upper_inputs          Inputs.calc_upper         (n, n) full gram at inputs
+    k_one                   Input.eval_one            scalar prior variance
+    ======================  ====================================================
+    """
+
+    name: str
+    # Whether evidence optimization moves the inducing representation by
+    # default.  True for the SE kernels whose Hyper.get_all includes
+    # `Inducing_hyper (lib/cov_se_iso.ml:183-202, lib/cov_se_fat.ml:290-342);
+    # False for const/lin_one/lin_ard whose hyper set excludes inducing points.
+    learn_inducing_default: bool
+
+    def default_params(self, X: jnp.ndarray, n_inducing: int, key: Any): ...
+    def inducing_from_inputs(self, params, X: jnp.ndarray) -> jnp.ndarray: ...
+    def k_upper(self, params, Z: jnp.ndarray) -> jnp.ndarray: ...
+    def k_diag(self, params, X: jnp.ndarray) -> jnp.ndarray: ...
+    def k_cross(self, params, X: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray: ...
+    def k_upper_inputs(self, params, X: jnp.ndarray) -> jnp.ndarray: ...
+    def k_one(self, params, x: jnp.ndarray) -> jnp.ndarray: ...
+
+
+def sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared distances between rows of a (n,d) and b (m,d).
+
+    The expansion |a|^2 - 2 a.b + |b|^2 puts the O(n m d) work on the MXU
+    (one GEMM) instead of the reference's scalar triple loop
+    (lib/cov_se_iso.ml:56-72,128-144).  Clamped at zero against rounding.
+    """
+    a2 = jnp.sum(jnp.square(a), axis=-1)
+    b2 = jnp.sum(jnp.square(b), axis=-1)
+    d2 = a2[:, None] - 2.0 * jnp.matmul(a, b.T) + b2[None, :]
+    return jnp.maximum(d2, 0.0)
+
+
+def weighted_eval(family, params, X, Z, coeffs) -> jnp.ndarray:
+    """K(X, Z) @ coeffs — reference ``Inputs.weighted_eval``
+    (lib/interfaces.ml:193-198)."""
+    return jnp.matmul(family.k_cross(params, X, Z), coeffs)

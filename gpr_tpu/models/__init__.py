@@ -1,0 +1,33 @@
+from .fitc import (
+    InducingState,
+    ModelState,
+    TrainedState,
+    calc_inducing,
+    calc_means,
+    calc_model,
+    calc_trained,
+    choose_n_first_inputs,
+    choose_n_random_inputs,
+    co_variance_coeffs,
+    log_evidence,
+    update_sigma2,
+)
+from .predict import (
+    CoVariancePredictor,
+    MeanPredictor,
+    co_variance_predictor,
+    covariances_fic,
+    covariances_fic_model_inputs,
+    covariances_fitc,
+    covariances_fitc_model_inputs,
+    mean_predictor,
+    predict_mean_one,
+    predict_means,
+    predict_variance_one,
+    predict_variances,
+    variances_model_inputs,
+)
+from .sample import CovSampler, Sampler, cov_sample, cov_sampler, sample, sampler
+from .stats import Stats, calc_stats
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,59 @@
+"""Regression-quality statistics.
+
+Rebuild of the Stats module (fitc_gp.ml:305-375; spec lib/interfaces.ml:
+546-619): the nine metrics the reference reports during training.  Note the
+reference's conventions, reproduced exactly:
+
+  * target_variance is the *uncentered* second moment |y|^2 / n (:319) —
+    the CLI centers targets first, so this is the variance there;
+  * msll = prior_l - l / n with prior_l = -1/2 log(2 pi tv) - 1/2 (:329-334),
+    i.e. the mean standardized log loss against the trivial Gaussian fit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..tree import pytree_dataclass
+from .fitc import TrainedState, calc_means
+
+
+@pytree_dataclass
+class Stats:
+    n_samples: int
+    target_variance: jnp.ndarray
+    sse: jnp.ndarray
+    mse: jnp.ndarray
+    rmse: jnp.ndarray
+    smse: jnp.ndarray
+    msll: jnp.ndarray
+    mad: jnp.ndarray
+    maxad: jnp.ndarray
+
+
+def calc_stats(trained: TrainedState) -> Stats:
+    y = trained.y
+    n = y.shape[0]
+    means = calc_means(trained)
+    resid = y - means
+    target_variance = jnp.dot(y, y) / n
+    sse = jnp.dot(resid, resid)
+    mse = sse / n
+    rmse = jnp.sqrt(mse)
+    smse = mse / target_variance
+    prior_l = -0.5 * jnp.log(2.0 * math.pi * target_variance) - 0.5
+    msll = prior_l - trained.l / n
+    ad = jnp.abs(resid)
+    return Stats(
+        n_samples=n,
+        target_variance=target_variance,
+        sse=sse,
+        mse=mse,
+        rmse=rmse,
+        smse=smse,
+        msll=msll,
+        mad=jnp.mean(ad),
+        maxad=jnp.max(ad),
+    )
