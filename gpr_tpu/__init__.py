@@ -10,7 +10,7 @@ device meshes with jax.sharding, and differentiated by jax.grad.
 
 __version__ = "0.1.0"
 
-from . import kernels, models, numerics
+from . import kernels, models, numerics, optim
 from .config import config
 
-__all__ = ["kernels", "models", "numerics", "config", "__version__"]
+__all__ = ["kernels", "models", "numerics", "optim", "config", "__version__"]

@@ -1,0 +1,22 @@
+from .lbfgs import LBFGSResult, minimize_lbfgs
+from .pack import HyperPack, make_pack
+from .sgd_smd import (
+    SGDState,
+    SMDState,
+    run_ascent,
+    sgd_create,
+    sgd_step,
+    smd_create,
+    smd_step,
+)
+from .train import (
+    Bailout,
+    default_n_inducing,
+    default_sigma2,
+    make_objective,
+    train,
+    train_sgd,
+    train_smd,
+)
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,259 @@
+"""Evidence-maximization training: the ``Optim.Gsl.train`` equivalent.
+
+Rebuild of lib/fitc_gp.ml:1465-1671 with the same keyword surface and
+defaults (interfaces.ml:1031-1079): sigma2 defaults to the target second
+moment, n_inducing to min(n/10, 1000) with random selection, step/tol/epsabs
+to 0.1; best-model-so-far tracking, throttle-friendly callbacks, and
+interrupt-by-exception all behave like the reference (Bailout from a callback
+returns the best trained model seen).
+
+The objective (negative evidence) and its gradient are one jitted
+value-and-grad over the packed hyper vector; the L-BFGS driver calls it once
+per line-search point.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.fitc import (
+    TrainedState,
+    calc_model,
+    calc_trained,
+    choose_n_random_inputs,
+)
+from .lbfgs import minimize_lbfgs
+from .pack import make_pack
+from .sgd_smd import (
+    SGDState,
+    SMDState,
+    run_ascent,
+    sgd_create,
+    sgd_step,
+    smd_create,
+    smd_step,
+)
+
+
+class Bailout(Exception):
+    """Raise from a callback to stop training and keep the best model
+    (bin/ocaml_gpr.ml:380 ``exception Bailout``)."""
+
+
+def default_sigma2(targets) -> float:
+    """sigma2 default = uncentered target variance (fitc_gp.ml:1468-1472)."""
+    y = np.asarray(targets)
+    return float(np.dot(y, y) / y.shape[0])
+
+
+def default_n_inducing(n_inputs: int) -> int:
+    """min(n/10, 1000) (fitc_gp.ml:1477-1479)."""
+    return max(1, min(n_inputs // 10, 1000))
+
+
+def _prepare(
+    family, X, targets, kernel_params, sigma2, inducing, n_rand_inducing, key
+):
+    n = X.shape[0]
+    if sigma2 is None:
+        sigma2 = default_sigma2(targets)
+    elif sigma2 < 0:
+        raise ValueError(f"sigma2 < 0: {sigma2}")
+    if inducing is None:
+        m = (
+            default_n_inducing(n)
+            if n_rand_inducing is None
+            else int(n_rand_inducing)
+        )
+        if not 1 <= m <= n:
+            raise ValueError(f"violating 1 <= n_inducing ({m}) <= n ({n})")
+        if kernel_params is None:
+            kernel_params = family.default_params(X, m, key)
+        inducing = choose_n_random_inputs(key, family, kernel_params, X, m)
+    elif kernel_params is None:
+        kernel_params = family.default_params(X, inducing.shape[0], key)
+    return kernel_params, sigma2, inducing
+
+
+def make_objective(
+    family, X, targets, pack, *, variational=False, factorization=None
+):
+    """Jitted (value, grad) of the NEGATIVE evidence over the packed vector,
+    plus a jitted trained-state reconstruction for reporting."""
+
+    @jax.jit
+    def neg_l_and_grad(x):
+        def f(x):
+            params, z, sigma2 = pack.unpack(x)
+            model = calc_model(
+                family, params, X, z, sigma2,
+                variational=variational, factorization=factorization,
+            )
+            return -calc_trained(model, targets).l
+
+        return jax.value_and_grad(f)(x)
+
+    @jax.jit
+    def trained_of(x):
+        params, z, sigma2 = pack.unpack(x)
+        model = calc_model(
+            family, params, X, z, sigma2,
+            variational=variational, factorization=factorization,
+        )
+        return calc_trained(model, targets)
+
+    return neg_l_and_grad, trained_of
+
+
+def train(
+    family,
+    X,
+    targets,
+    *,
+    kernel_params=None,
+    sigma2: float | None = None,
+    inducing=None,
+    n_rand_inducing: int | None = None,
+    learn_sigma2: bool = True,
+    learn_inducing: bool | None = None,
+    fixed: Sequence[str] = (),
+    variational: bool = False,
+    factorization: str | None = None,
+    step: float = 0.1,
+    tol: float = 0.1,
+    epsabs: float = 0.1,
+    max_iter: int | None = None,
+    report_trained_model: Callable[..., None] | None = None,
+    report_gradient_norm: Callable[..., None] | None = None,
+    key=None,
+) -> TrainedState:
+    """L-BFGS evidence maximization; returns the best trained model seen.
+
+    Callbacks receive keyword arguments (iter=..., trained=... / norm=...)
+    and may raise :class:`Bailout` (or anything else) to stop — matching the
+    reference's report hooks and exception tunneling
+    (fitc_gp.ml:1532-1671).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kernel_params, sigma2, inducing = _prepare(
+        family, X, targets, kernel_params, sigma2, inducing, n_rand_inducing, key
+    )
+    pack = make_pack(
+        family, kernel_params, inducing, sigma2,
+        learn_sigma2=learn_sigma2, learn_inducing=learn_inducing, fixed=fixed,
+    )
+    neg_l_and_grad, trained_of = make_objective(
+        family, X, targets, pack,
+        variational=variational, factorization=factorization,
+    )
+
+    best: dict = {"le": -np.inf, "x": pack.x0}
+
+    def fg(x):
+        xj = jnp.asarray(x)
+        f, g = neg_l_and_grad(xj)
+        f = float(f)
+        if np.isnan(f):
+            raise FloatingPointError(
+                "optimization function returned nan"
+            )  # fitc_gp.ml:1523-1528
+        return f, np.asarray(g, dtype=np.float64)
+
+    iter_box = {"i": 1}
+
+    def callback(it, x, f, g):
+        iter_box["i"] = it + 1
+        le = -f
+        if le > best["le"]:
+            best["le"] = le
+            best["x"] = np.asarray(x)
+            if report_trained_model is not None:
+                report_trained_model(iter=it + 1, trained=trained_of(jnp.asarray(x)))
+        if report_gradient_norm is not None:
+            report_gradient_norm(iter=it + 1, norm=float(np.linalg.norm(g)))
+
+    try:
+        minimize_lbfgs(
+            fg,
+            np.asarray(pack.x0, dtype=np.float64),
+            step=step, tol=tol, epsabs=epsabs, max_iter=max_iter,
+            callback=callback,
+        )
+    except (Bailout, KeyboardInterrupt):
+        pass  # return the best model so far (bin/ocaml_gpr.ml:337-345)
+
+    return trained_of(jnp.asarray(best["x"]))
+
+
+def _ascent_setup(
+    family, X, targets, kernel_params, sigma2, inducing, n_rand_inducing,
+    learn_sigma2, learn_inducing, fixed, variational, factorization, key,
+):
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kernel_params, sigma2, inducing = _prepare(
+        family, X, targets, kernel_params, sigma2, inducing, n_rand_inducing, key
+    )
+    pack = make_pack(
+        family, kernel_params, inducing, sigma2,
+        learn_sigma2=learn_sigma2, learn_inducing=learn_inducing, fixed=fixed,
+    )
+    neg_l_and_grad, trained_of = make_objective(
+        family, X, targets, pack,
+        variational=variational, factorization=factorization,
+    )
+
+    def grad_fn(x):
+        return -neg_l_and_grad(x)[1]  # ascent gradient
+
+    def value_fn(x):
+        return -float(neg_l_and_grad(x)[0])
+
+    return pack, grad_fn, value_fn, trained_of
+
+
+def train_sgd(
+    family, X, targets, *, tau=100.0, eta0=1e-3, epsabs=0.1, max_iter=None,
+    report=None, **kw
+) -> TrainedState:
+    """SGD evidence ascent (fitc_gp.ml:1724-1833)."""
+    pack, grad_fn, value_fn, trained_of = _ascent_setup(
+        family, X, targets,
+        kw.pop("kernel_params", None), kw.pop("sigma2", None),
+        kw.pop("inducing", None), kw.pop("n_rand_inducing", None),
+        kw.pop("learn_sigma2", True), kw.pop("learn_inducing", None),
+        kw.pop("fixed", ()), kw.pop("variational", False),
+        kw.pop("factorization", None), kw.pop("key", None),
+    )
+    st = sgd_create(grad_fn, pack.x0, tau=tau, eta0=eta0)
+    best = run_ascent(
+        lambda s: sgd_step(grad_fn, s), value_fn, st,
+        epsabs=epsabs, max_iter=max_iter, report=report,
+    )
+    return trained_of(best.x)
+
+
+def train_smd(
+    family, X, targets, *, lambda_=0.1, mu=1e-3, eta0=1e-3, nu0=1e-3,
+    epsabs=0.1, max_iter=None, report=None, **kw
+) -> TrainedState:
+    """SMD evidence ascent with exact HVPs (fitc_gp.ml:1835-2019)."""
+    pack, grad_fn, value_fn, trained_of = _ascent_setup(
+        family, X, targets,
+        kw.pop("kernel_params", None), kw.pop("sigma2", None),
+        kw.pop("inducing", None), kw.pop("n_rand_inducing", None),
+        kw.pop("learn_sigma2", True), kw.pop("learn_inducing", None),
+        kw.pop("fixed", ()), kw.pop("variational", False),
+        kw.pop("factorization", None), kw.pop("key", None),
+    )
+    st = smd_create(grad_fn, pack.x0, lambda_=lambda_, mu=mu, eta0=eta0, nu0=nu0)
+    best = run_ascent(
+        lambda s: smd_step(grad_fn, s), value_fn, st,
+        epsabs=epsabs, max_iter=max_iter, report=report,
+    )
+    return trained_of(best.x)
