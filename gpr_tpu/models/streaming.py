@@ -1,0 +1,229 @@
+"""Streaming (blockwise) evidence: large-n FITC without materializing Knm.
+
+The reference's evidence walks an explicit n x m cross-covariance three times
+(build Knm, trsm to V, syrk the Gram — fitc_gp.ml:151-229), which at
+n = 10^6, m = 300 means multiple GB of HBM traffic per evaluation.  On TPU the
+whole computation is a reduction over row blocks: for each block of inputs,
+compute the Knm tile *on chip*, immediately fold it into the m x m Gram
+statistic, the m-vector Knm' (is * y), and the scalar pieces of l1/l2, and
+discard it.  HBM traffic drops to reading X once (n*d elements) plus O(m^2)
+carry — the blockwise/ring structure SURVEY.md section 5 calls for, expressed
+as lax.scan so XLA pipelines it and jax.checkpoint rematerializes tiles in
+the backward pass instead of storing them.
+
+This path uses the Cholesky-of-B factorization (the QR path needs the full
+stacked matrix; see fitc.py docstring for the stability trade).  All reduced
+statistics are accumulated in f64 when inputs are f32-or-wider to hold the
+1e-6 parity bar at n = 10^6 (SURVEY.md hard part (e)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..numerics.linalg import (
+    cholesky_upper,
+    inv_tri_upper,
+    log_det_tri,
+    matmul,
+    rows_sqr_norm,
+    solve_tri,
+)
+from ..tree import pytree_dataclass
+from .fitc import LOG_2PI, calc_inducing
+
+ACC_DTYPE = jnp.float64  # becomes f32 silently when x64 is disabled
+
+
+@pytree_dataclass
+class StreamStats:
+    """Sufficient statistics of one pass over the data.
+
+    Everything the evidence (standard or variational) and its gradient need:
+    the n-axis has been reduced away, so memory is O(m^2).
+    """
+
+    gram: jnp.ndarray  # (m, m)  Knm' diag(is) Knm
+    u_vec: jnp.ndarray  # (m,)    Knm' (is * y)
+    log_det_s: jnp.ndarray  # sum log s
+    y_is_y: jnp.ndarray  # y' diag(is) y
+    is_r_sum: jnp.ndarray  # sum(is * r)   (variational correction)
+    n: jnp.ndarray  # number of (real) rows
+
+
+def _pad_blocks(X, y, mask, block_size):
+    n = X.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    if mask is None:
+        mask = jnp.ones((n,), X.dtype)
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+    return (
+        X.reshape(nb, block_size, X.shape[1]),
+        y.reshape(nb, block_size),
+        mask.reshape(nb, block_size),
+    )
+
+
+def stream_stats(
+    family, params, inducing, sigma2, X, y, *, block_size: int = 8192,
+    remat: bool = True, mask=None,
+) -> StreamStats:
+    """One scan over row blocks accumulating StreamStats.
+
+    V tiles are formed as ``knm_tile @ U^-1`` (a GEMM against the
+    precomputed inverse Cholesky factor) rather than a per-tile triangular
+    solve — on the MXU a matmul is strictly faster than trsm and U is m x m,
+    so inverting it once is O(m^3) amortized over the whole pass.
+
+    ``mask`` (n,) of 0/1 weights lets callers exclude padding rows (the
+    sharded path pads globally before splitting across devices).
+    """
+    m = inducing.z.shape[0]
+    u_inv = inv_tri_upper(inducing.chol_km)
+    xb, yb, maskb = _pad_blocks(X, y, mask, block_size)
+
+    def body(carry, blk):
+        x_b, y_b, mask_b = blk
+        knm = family.k_cross(params, x_b, inducing.z)
+        kd = family.k_diag(params, x_b)
+        v = matmul(knm, u_inv)
+        r = kd - rows_sqr_norm(v)
+        # Padded rows are gated on both sides of every nonlinearity (sqrt,
+        # log, reciprocal): a plain mask-multiply leaves inf derivatives that
+        # turn into NaN via inf * 0 in the backward pass.
+        live = mask_b > 0
+        s = jnp.where(live, r + sigma2, 1.0)
+        is_ = mask_b / s
+        sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
+        a = knm * sqrt_is[:, None]
+        gram, u_vec, lds, yiy, isr, cnt = carry
+        gram = gram + matmul(a.T, a).astype(ACC_DTYPE)
+        u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(ACC_DTYPE)
+        lds = lds + jnp.sum(mask_b * jnp.log(s)).astype(ACC_DTYPE)
+        yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(ACC_DTYPE)
+        isr = isr + jnp.sum(is_ * r).astype(ACC_DTYPE)
+        cnt = cnt + jnp.sum(mask_b).astype(ACC_DTYPE)
+        return (gram, u_vec, lds, yiy, isr, cnt), None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    init = (
+        jnp.zeros((m, m), ACC_DTYPE),
+        jnp.zeros((m,), ACC_DTYPE),
+        jnp.zeros((), ACC_DTYPE),
+        jnp.zeros((), ACC_DTYPE),
+        jnp.zeros((), ACC_DTYPE),
+        jnp.zeros((), ACC_DTYPE),
+    )
+    (gram, u_vec, lds, yiy, isr, cnt), _ = jax.lax.scan(
+        body, init, (xb, yb, maskb)
+    )
+    return StreamStats(
+        gram=gram, u_vec=u_vec, log_det_s=lds, y_is_y=yiy, is_r_sum=isr, n=cnt
+    )
+
+
+def evidence_from_stats(
+    inducing, stats: StreamStats, *, variational: bool = False
+) -> jnp.ndarray:
+    """l = l1 + l2 from the reduced statistics — pure O(m^3) epilogue,
+    identical math to fitc.calc_model/calc_trained."""
+    dt = inducing.km.dtype
+    b = inducing.km.astype(ACC_DTYPE) + stats.gram
+    r_mat = cholesky_upper(b.astype(dt))  # same jitter policy as chol_km
+    log_det_b = log_det_tri(r_mat).astype(ACC_DTYPE)
+    l1 = -0.5 * (
+        log_det_b
+        - inducing.log_det_km.astype(ACC_DTYPE)
+        + stats.log_det_s
+        + stats.n * LOG_2PI
+    )
+    if variational:
+        l1 = l1 - 0.5 * stats.is_r_sum
+    t = solve_tri(r_mat, stats.u_vec.astype(dt), trans=True)
+    l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(ACC_DTYPE))
+    return (l1 + l2).astype(dt)
+
+
+def streaming_log_evidence(
+    family,
+    params,
+    z,
+    sigma2,
+    X,
+    y,
+    *,
+    variational: bool = False,
+    block_size: int = 8192,
+    jitter: float | None = None,
+) -> jnp.ndarray:
+    """Drop-in replacement for models.fitc.log_evidence at large n.
+
+    Differentiable w.r.t. (params, z, sigma2): the backward pass re-forms
+    each Knm tile (jax.checkpoint) so peak memory stays O(block m + m^2).
+    """
+    inducing = calc_inducing(family, params, z, jitter)
+    stats = stream_stats(
+        family, params, inducing, sigma2, X, y, block_size=block_size
+    )
+    return evidence_from_stats(inducing, stats, variational=variational)
+
+
+def streaming_coeffs(family, params, z, sigma2, X, y, *, block_size=8192,
+                     jitter=None):
+    """Posterior mean coefficients R^-1 R^-T Knm'(is y) without
+    materializing Knm; returns (inducing, r_mat, coeffs)."""
+    inducing = calc_inducing(family, params, z, jitter)
+    stats = stream_stats(
+        family, params, inducing, sigma2, X, y, block_size=block_size
+    )
+    dt = inducing.km.dtype
+    b = inducing.km.astype(ACC_DTYPE) + stats.gram
+    r_mat = cholesky_upper(b.astype(dt))
+    t = solve_tri(r_mat, stats.u_vec.astype(dt), trans=True)
+    coeffs = solve_tri(r_mat, t)
+    return inducing, r_mat, coeffs
+
+
+def predict_means_blocked(family, params, z, coeffs, X, *, block_size=8192):
+    """Streaming batch mean prediction: lax.map over row blocks keeps the
+    Ktm tile on chip (prediction at matmul throughput)."""
+    n = X.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    xp = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)]) if pad else X
+    xb = xp.reshape(nb, block_size, X.shape[1])
+    out = jax.lax.map(
+        lambda x_b: matmul(family.k_cross(params, x_b, z), coeffs), xb
+    )
+    return out.reshape(-1)[:n]
+
+
+def predict_variances_blocked(
+    family, params, z, chol_km, r_mat, X, sigma2, *, predictive=True,
+    block_size=8192
+):
+    """Streaming batch variances (kt_diag - rowsq(Ktm U^-1) + rowsq(Ktm R^-1))."""
+    u_inv = inv_tri_upper(chol_km)
+    r_inv = inv_tri_upper(r_mat)
+    n = X.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    xp = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)]) if pad else X
+    xb = xp.reshape(nb, block_size, X.shape[1])
+
+    def blk(x_b):
+        ktm = family.k_cross(params, x_b, z)
+        kd = family.k_diag(params, x_b)
+        out = kd - rows_sqr_norm(matmul(ktm, u_inv)) + rows_sqr_norm(
+            matmul(ktm, r_inv)
+        )
+        return out + sigma2 if predictive else out
+
+    return jax.lax.map(blk, xb).reshape(-1)[:n]
