@@ -1,0 +1,287 @@
+"""Command-line trainer/predictor — the rebuild of bin/ocaml_gpr.ml.
+
+Same flag set, same CSV-over-stdin protocol, same model pipeline: the
+variational FIC flavor with the se_fat kernel (bin/ocaml_gpr.ml:176-177),
+target centering and per-dimension input standardization (:249-269), L-BFGS
+evidence maximization with 1 Hz throttled verbose reports and SIGINT-safe
+best-model bailout (:301-349), model save/load, and test-time mean
+(+ optional stddev) prediction with de-standardization (:373-413).
+
+Deliberate deviations, documented:
+  * the model file is a versioned npz (io/checkpoint.py), not Marshal;
+  * the reference scales each input dimension by sqrt(sum((x - mean)^2))
+    — an n-fold larger "stddev" than the usual estimator
+    (bin/ocaml_gpr.ml:262 ``Vec.ssqr``); replicated here for parity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import signal
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gpr_tpu", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("-cmd", choices=["train", "test"], default="train",
+                   help="train (default) or test model")
+    p.add_argument("-model", required=True, help="model file to use")
+    p.add_argument("-with-stddev", dest="with_stddev", action="store_true",
+                   help="make predictions with both mean and standard deviation")
+    p.add_argument("-predictive", action="store_true",
+                   help="standard deviation includes noise level (predictive)")
+    p.add_argument("-max-iter", dest="max_iter", type=int, default=None,
+                   help="maximum number of optimization steps (default: limitless)")
+    p.add_argument("-n-inducing", dest="n_inducing", type=int, default=10,
+                   help="number of randomly initialized inducing inputs (default: 10)")
+    p.add_argument("-sigma2", type=float, default=1.0,
+                   help="initial noise level (default: 1.0)")
+    p.add_argument("-amplitude", type=float, default=1.0,
+                   help="initial amplitude level (default: 1.0)")
+    p.add_argument("-dim-red", dest="dim_red", type=int, default=None,
+                   help="dimensionality reduction (default: none)")
+    p.add_argument("-log-het-sked", dest="log_het_sked", type=float,
+                   default=None,
+                   help="turns on / sets log-heteroskedastic noise")
+    p.add_argument("-multiscale", action="store_true",
+                   help="turns on multiscale approximation")
+    p.add_argument("-tol", type=float, default=0.1,
+                   help="tolerance for gradient descent (default: 0.1)")
+    p.add_argument("-step", type=float, default=0.1,
+                   help="step size for gradient descent (default: 0.1)")
+    p.add_argument("-eps", type=float, default=0.1,
+                   help="epsilon for gradient descent (default: 0.1)")
+    p.add_argument("-verbose", action="store_true",
+                   help="prints information while training")
+    p.add_argument("-seed", type=int, default=None,
+                   help="RNG seed (default: nondeterministic, like the "
+                        "reference's Random.self_init)")
+    return p
+
+
+def read_samples(stream) -> np.ndarray:
+    rows = []
+    d = None
+    for i, line in enumerate(stream):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            vals = [float(tok) for tok in line.split(",")]
+        except ValueError as e:
+            raise SystemExit(f"failure '{line}' converting sample: {e}")
+        if d is None:
+            d = len(vals)
+        elif len(vals) != d:
+            raise SystemExit(
+                f"incompatible dimension of sample in line {i + 1}: {line}"
+            )
+        rows.append(vals)
+    if not rows:
+        raise SystemExit("no data")
+    return np.asarray(rows, dtype=np.float64)
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .io.checkpoint import ModelArtifact, save_model
+    from .kernels import SeFat
+    from .models import calc_stats
+    from .optim import Bailout, train
+
+    data = read_samples(sys.stdin)
+    if data.shape[1] < 2:
+        raise SystemExit("training data needs at least 2 columns (x..., y)")
+    inputs, targets = data[:, :-1], data[:, -1]
+    n, big_dim = inputs.shape
+
+    target_mean = float(targets.mean())
+    targets = targets - target_mean
+    target_variance = float(targets @ targets / n)
+    if args.verbose:
+        print(f"target variance: {target_variance:.5f}", file=sys.stderr)
+
+    input_means = inputs.mean(axis=0)
+    # reference parity: "stddev" = sqrt(sum of squared deviations)
+    # (bin/ocaml_gpr.ml:262)
+    input_stddevs = np.sqrt(((inputs - input_means) ** 2).sum(axis=0))
+    input_stddevs = np.where(input_stddevs == 0.0, 1.0, input_stddevs)
+    inputs = (inputs - input_means) / input_stddevs
+
+    n_inducing = min(args.n_inducing, n)
+    seed = args.seed if args.seed is not None else int(time.time_ns() % (2**31))
+    rng = np.random.default_rng(seed)
+
+    log_sf2 = 2.0 * math.log(args.amplitude)
+    if args.dim_red is not None:
+        d = min(big_dim, args.dim_red)
+        tproj = rng.uniform(-1.0, 1.0, (big_dim, d)) / big_dim
+    else:
+        d = big_dim
+        tproj = None
+    params = SeFat.Params(
+        d=d,
+        log_sf2=jnp.asarray(log_sf2),
+        tproj=None if tproj is None else jnp.asarray(tproj),
+        log_hetero_skedasticity=(
+            jnp.full((n_inducing,), args.log_het_sked)
+            if args.log_het_sked is not None
+            else None
+        ),
+        log_multiscales_m05=(
+            jnp.zeros((n_inducing, d)) if args.multiscale else None
+        ),
+    )
+
+    X = jnp.asarray(inputs)
+    y = jnp.asarray(targets)
+
+    got_signal = {"flag": False}
+
+    def on_sigint(signum, frame):
+        got_signal["flag"] = True
+
+    old_handler = signal.signal(signal.SIGINT, on_sigint)
+
+    last_report = {"eval": 0.0, "grad": 0.0}
+
+    def stats_line(trained):
+        st = calc_stats(trained)
+        return (
+            f"MSLL={float(st.msll):7.7f} SMSE={float(st.smse):7.7f} "
+            f"MAD={float(st.mad):7.7f} MAXAD={float(st.maxad):7.7f}"
+        )
+
+    def bailout(iter):
+        if got_signal["flag"]:
+            raise Bailout
+        if args.max_iter is not None and iter > args.max_iter:
+            raise Bailout
+
+    def report_trained_model(iter, trained):
+        bailout(iter)
+        if args.verbose and time.time() - last_report["eval"] > 1.0:
+            last_report["eval"] = time.time()
+            print(f"iter {iter:4d}: {stats_line(trained)}", file=sys.stderr,
+                  flush=True)
+
+    def report_gradient_norm(iter, norm):
+        bailout(iter)
+        if args.verbose and time.time() - last_report["grad"] > 1.0:
+            last_report["grad"] = time.time()
+            print(f"iter {iter:4d}: |gradient|={norm:.5f}", file=sys.stderr,
+                  flush=True)
+
+    try:
+        trained = train(
+            SeFat, X, y,
+            kernel_params=params,
+            sigma2=args.sigma2,
+            n_rand_inducing=n_inducing,
+            variational=True,  # Variational_FIC, like the CLI
+            step=args.step, tol=args.tol, epsabs=args.eps,
+            max_iter=args.max_iter,
+            report_trained_model=report_trained_model,
+            report_gradient_norm=report_gradient_norm,
+            key=jax.random.PRNGKey(seed),
+        )
+    finally:
+        signal.signal(signal.SIGINT, old_handler)
+
+    if args.verbose:
+        print(f"result: {stats_line(trained)}", file=sys.stderr)
+
+    art = ModelArtifact(
+        family_name=SeFat.name,
+        kernel_params=trained.kernel_params,
+        inducing=np.asarray(trained.model.inducing.z),
+        coeffs=np.asarray(trained.coeffs),
+        chol_km=np.asarray(trained.model.inducing.chol_km),
+        r_mat=np.asarray(trained.model.r_mat),
+        sigma2=float(trained.model.sigma2),
+        target_mean=target_mean,
+        input_means=input_means,
+        input_stddevs=input_stddevs,
+    )
+    save_model(args.model, art)
+    return 0
+
+
+def cmd_test(args) -> int:
+    import jax.numpy as jnp
+
+    from .io.checkpoint import load_model
+    from .models.predict import (
+        CoVariancePredictor,
+        MeanPredictor,
+        predict_means,
+        predict_variances,
+    )
+
+    art, _ = load_model(args.model)
+    family = art.family
+    data = read_samples(sys.stdin)
+    big_dim = art.input_means.shape[0]
+    if data.shape[1] != big_dim:
+        raise SystemExit(
+            f"incompatible dimension of inputs ({data.shape[1]}), expected "
+            f"{big_dim}"
+        )
+    inputs = (data - art.input_means) / art.input_stddevs
+    X = jnp.asarray(inputs)
+    params = art.kernel_params
+
+    mp = MeanPredictor(z=jnp.asarray(art.inducing), coeffs=jnp.asarray(art.coeffs))
+    means = np.asarray(predict_means(family, params, mp, X)) + art.target_mean
+
+    if args.with_stddev:
+        cvp = CoVariancePredictor(
+            z=jnp.asarray(art.inducing),
+            chol_km=jnp.asarray(art.chol_km),
+            r_mat=jnp.asarray(art.r_mat),
+        )
+        variances = np.asarray(
+            predict_variances(
+                family, params, cvp, X, art.sigma2, predictive=args.predictive
+            )
+        )
+        for mean, var in zip(means, variances):
+            print(f"{mean:f},{math.sqrt(max(var, 0.0)):f}")
+    else:
+        for mean in means:
+            print(f"{mean:f}")
+    return 0
+
+
+def _configure_jax():
+    """The CLI reproduces the reference's numerics, which are f64 LAPACK —
+    run in f64 (slow-but-correct on TPU, native on CPU).  GPR_TPU_PLATFORM
+    overrides the backend (the sandbox sitecustomize pins JAX_PLATFORMS)."""
+    import os
+
+    import jax
+
+    platform = os.environ.get("GPR_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_enable_x64", True)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _configure_jax()
+    if args.cmd == "train":
+        return cmd_train(args)
+    return cmd_test(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

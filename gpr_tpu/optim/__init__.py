@@ -10,6 +10,7 @@ from .sgd_smd import (
     smd_step,
 )
 from .train import (
+    TrainResult,
     Bailout,
     default_n_inducing,
     default_sigma2,

@@ -44,6 +44,27 @@ class Bailout(Exception):
     (bin/ocaml_gpr.ml:380 ``exception Bailout``)."""
 
 
+class TrainResult:
+    """Trained state plus the optimized hyperparameters.
+
+    Attribute access falls through to the wrapped :class:`TrainedState`
+    (``.l``, ``.coeffs``, ``.model`` ...), so it can be used wherever a
+    trained state is expected while also exposing what the reference's
+    ``Trained.get_model`` + ``Model.get_kernel`` chain provides
+    (bin/ocaml_gpr.ml:205-212): the final kernel params, inducing
+    representation, and noise level.
+    """
+
+    def __init__(self, trained: TrainedState, kernel_params, inducing, sigma2):
+        self.trained = trained
+        self.kernel_params = kernel_params
+        self.inducing = inducing
+        self.sigma2 = sigma2
+
+    def __getattr__(self, name):
+        return getattr(self.trained, name)
+
+
 def default_sigma2(targets) -> float:
     """sigma2 default = uncentered target variance (fitc_gp.ml:1468-1472)."""
     y = np.asarray(targets)
@@ -130,8 +151,9 @@ def train(
     report_trained_model: Callable[..., None] | None = None,
     report_gradient_norm: Callable[..., None] | None = None,
     key=None,
-) -> TrainedState:
-    """L-BFGS evidence maximization; returns the best trained model seen.
+) -> TrainResult:
+    """L-BFGS evidence maximization; returns the best trained model seen
+    (with its optimized kernel params, inducing points and noise level).
 
     Callbacks receive keyword arguments (iter=..., trained=... / norm=...)
     and may raise :class:`Bailout` (or anything else) to stop — matching the
@@ -187,7 +209,9 @@ def train(
     except (Bailout, KeyboardInterrupt):
         pass  # return the best model so far (bin/ocaml_gpr.ml:337-345)
 
-    return trained_of(jnp.asarray(best["x"]))
+    x_best = jnp.asarray(best["x"])
+    params_b, z_b, sigma2_b = pack.unpack(x_best)
+    return TrainResult(trained_of(x_best), params_b, z_b, sigma2_b)
 
 
 def _ascent_setup(
@@ -220,7 +244,7 @@ def _ascent_setup(
 def train_sgd(
     family, X, targets, *, tau=100.0, eta0=1e-3, epsabs=0.1, max_iter=None,
     report=None, **kw
-) -> TrainedState:
+) -> TrainResult:
     """SGD evidence ascent (fitc_gp.ml:1724-1833)."""
     pack, grad_fn, value_fn, trained_of = _ascent_setup(
         family, X, targets,
@@ -235,13 +259,14 @@ def train_sgd(
         lambda s: sgd_step(grad_fn, s), value_fn, st,
         epsabs=epsabs, max_iter=max_iter, report=report,
     )
-    return trained_of(best.x)
+    params_b, z_b, sigma2_b = pack.unpack(best.x)
+    return TrainResult(trained_of(best.x), params_b, z_b, sigma2_b)
 
 
 def train_smd(
     family, X, targets, *, lambda_=0.1, mu=1e-3, eta0=1e-3, nu0=1e-3,
     epsabs=0.1, max_iter=None, report=None, **kw
-) -> TrainedState:
+) -> TrainResult:
     """SMD evidence ascent with exact HVPs (fitc_gp.ml:1835-2019)."""
     pack, grad_fn, value_fn, trained_of = _ascent_setup(
         family, X, targets,
@@ -256,4 +281,5 @@ def train_smd(
         lambda s: smd_step(grad_fn, s), value_fn, st,
         epsabs=epsabs, max_iter=max_iter, report=report,
     )
-    return trained_of(best.x)
+    params_b, z_b, sigma2_b = pack.unpack(best.x)
+    return TrainResult(trained_of(best.x), params_b, z_b, sigma2_b)

@@ -1,0 +1,148 @@
+"""CLI train/test round-trip (subprocess, CSV over stdin — the reference's
+protocol, bin/ocaml_gpr.ml) and checkpoint save/load."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpr_tpu.io import ModelArtifact, load_model, save_model
+from gpr_tpu.kernels import SeFat, SeIso
+from gpr_tpu.models import calc_model, calc_trained
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, stdin_text, timeout=300):
+    env = dict(os.environ)
+    env["GPR_TPU_PLATFORM"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "gpr_tpu.cli", *args],
+        input=stdin_text, capture_output=True, text=True, cwd=REPO, env=env,
+        timeout=timeout,
+    )
+
+
+def make_csv(rng, n=120, d=2, with_target=True):
+    X = rng.standard_normal((n, d))
+    y = np.sin(X.sum(axis=1)) + 0.1 * rng.standard_normal(n)
+    rows = []
+    for i in range(n):
+        cols = list(X[i]) + ([y[i]] if with_target else [])
+        rows.append(",".join(f"{v:.8f}" for v in cols))
+    return "\n".join(rows) + "\n", X, y
+
+
+@pytest.mark.slow
+def test_cli_train_test_roundtrip(tmp_path, rng):
+    model_file = str(tmp_path / "model.npz")
+    csv, X, y = make_csv(rng)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "8",
+         "-max-iter", "20", "-seed", "7", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    assert os.path.exists(model_file)
+    assert "target variance" in res.stderr
+
+    test_csv, Xt, _ = make_csv(rng, n=30, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
+    assert res.returncode == 0, res.stderr
+    means = [float(line) for line in res.stdout.strip().splitlines()]
+    assert len(means) == 30
+    assert all(np.isfinite(means))
+    # predictions should be in a sane range around the target scale
+    assert max(abs(m) for m in means) < 10.0
+
+    res = run_cli(
+        ["-cmd", "test", "-model", model_file, "-with-stddev", "-predictive"],
+        test_csv,
+    )
+    assert res.returncode == 0, res.stderr
+    for line in res.stdout.strip().splitlines():
+        mean, sd = map(float, line.split(","))
+        assert np.isfinite(mean) and sd > 0
+
+
+@pytest.mark.slow
+def test_cli_all_kernel_options(tmp_path, rng):
+    model_file = str(tmp_path / "model.npz")
+    csv, _, _ = make_csv(rng, n=80, d=5)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "5",
+         "-max-iter", "8", "-dim-red", "3", "-log-het-sked", "-3.0",
+         "-multiscale", "-seed", "3"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    test_csv, _, _ = make_csv(rng, n=10, d=5, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file, "-with-stddev"],
+                  test_csv)
+    assert res.returncode == 0, res.stderr
+    assert len(res.stdout.strip().splitlines()) == 10
+
+
+def test_cli_bad_input(tmp_path):
+    res = run_cli(["-cmd", "train", "-model", str(tmp_path / "m.npz")],
+                  "1.0,2.0\n1.0\n")
+    assert res.returncode != 0
+    assert "incompatible dimension" in res.stderr
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    X = jnp.asarray(rng.standard_normal((40, 3)))
+    y = jnp.asarray(rng.standard_normal(40))
+    Z = jnp.asarray(rng.standard_normal((6, 3)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(-0.1))
+    model = calc_model(SeIso, p, X, Z, 0.4)
+    trained = calc_trained(model, y)
+    art = ModelArtifact(
+        family_name="se_iso",
+        kernel_params=p,
+        inducing=np.asarray(Z),
+        coeffs=np.asarray(trained.coeffs),
+        chol_km=np.asarray(model.inducing.chol_km),
+        r_mat=np.asarray(model.r_mat),
+        sigma2=0.4,
+        target_mean=1.5,
+        input_means=np.zeros(3),
+        input_stddevs=np.ones(3),
+    )
+    path = str(tmp_path / "m.npz")
+    save_model(path, art, extra_arrays={"opt_state": np.arange(5.0)})
+    art2, extra = load_model(path)
+    assert art2.family is SeIso
+    np.testing.assert_allclose(art2.coeffs, art.coeffs)
+    np.testing.assert_allclose(
+        float(art2.kernel_params.log_ell), 0.2, rtol=1e-12
+    )
+    np.testing.assert_allclose(extra["opt_state"], np.arange(5.0))
+    assert art2.target_mean == 1.5
+
+
+def test_checkpoint_se_fat_optional_none(tmp_path, rng):
+    X = jnp.asarray(rng.standard_normal((30, 4)))
+    p = SeFat.Params(
+        d=4, log_sf2=jnp.asarray(0.1), tproj=None,
+        log_hetero_skedasticity=None, log_multiscales_m05=None,
+    )
+    Z = SeFat.inducing_from_inputs(p, X[:5])
+    model = calc_model(SeFat, p, X, Z, 0.5)
+    trained = calc_trained(model, jnp.asarray(rng.standard_normal(30)))
+    art = ModelArtifact(
+        family_name="se_fat", kernel_params=p, inducing=np.asarray(Z),
+        coeffs=np.asarray(trained.coeffs),
+        chol_km=np.asarray(model.inducing.chol_km),
+        r_mat=np.asarray(model.r_mat), sigma2=0.5, target_mean=0.0,
+        input_means=np.zeros(4), input_stddevs=np.ones(4),
+    )
+    path = str(tmp_path / "m.npz")
+    save_model(path, art)
+    art2, _ = load_model(path)
+    assert art2.kernel_params.tproj is None
+    assert art2.kernel_params.d == 4
