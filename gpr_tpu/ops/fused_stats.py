@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: fused FITC evidence statistics for the SE-iso kernel.
+
+One grid step processes one row-tile of inputs entirely in VMEM:
+form the Knm tile from (X-tile, Z) on the MXU, immediately derive the FITC
+diagonal (r, s, 1/s), and contract into the per-tile partials of
+
+    G   = Knm' diag(1/s) Knm        (m, m)
+    u   = Knm' (y / s)              (m,)
+    lds = sum log s,  yiy = y'y/s,  isr = sum r/s
+
+— the cross-covariance never exists outside VMEM.  This is the hand-fused
+version of models/streaming.py's scan body (same math, same masking), the
+role the reference delegates to LAPACK syrk/gemm over a materialized matrix
+(fitc_gp.ml:151-229).
+
+Per-tile partials are written out (grid, ...) and summed outside in f64:
+TPU Pallas has no f64, so accumulating across tiles *inside* the kernel
+would round-robin f32 error into the Gram statistic; summing ~n/512 f32
+partials in f64 outside preserves the parity budget and costs O(m^2 n/512)
+HBM traffic — negligible.
+
+V-tiles use a GEMM against U^-1 (precomputed once) rather than a per-tile
+triangular solve: MXU beats trsm and the O(m^3) inversion amortizes over n.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ACC = jnp.float64  # degrades to f32 when x64 is off (TPU default) — the
+# outside-the-kernel sum is then plain f32, still no worse than in-kernel.
+
+
+def _se_iso_stats_kernel(
+    x_ref,  # (B, d) row tile
+    y_ref,  # (B,) targets tile       [as (B, 1)]
+    mask_ref,  # (B, 1) 1.0 for live rows
+    z_ref,  # (m, d) inducing (replicated per tile)
+    uinv_ref,  # (m, m) U^-1
+    scal_ref,  # (1, 3) [inv_ell2_05, log_sf2, sigma2] in SMEM
+    gram_ref,  # out (m, m) partial
+    uvec_ref,  # out (1, m) partial
+    sums_ref,  # out (1, 4) partial [lds, yiy, isr, n_live]
+):
+    inv_ell2_05 = scal_ref[0, 0]
+    log_sf2 = scal_ref[0, 1]
+    sigma2 = scal_ref[0, 2]
+
+    x = x_ref[:]  # (B, d)
+    z = z_ref[:]  # (m, d)
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (B, 1)
+    z2 = jnp.sum(z * z, axis=1, keepdims=True).T  # (1, m)
+    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)  # MXU
+    d2 = jnp.maximum(x2 - 2.0 * xz + z2, 0.0)
+    knm = jnp.exp(log_sf2 + inv_ell2_05 * d2)  # (B, m)
+
+    v = jnp.dot(knm, uinv_ref[:], preferred_element_type=jnp.float32)
+    r = jnp.exp(log_sf2) - jnp.sum(v * v, axis=1, keepdims=True)  # (B, 1)
+    mask = mask_ref[:]  # (B, 1)
+    live = mask > 0.0
+    s = jnp.where(live, r + sigma2, 1.0)
+    is_ = mask / s  # (B, 1)
+
+    y = y_ref[:]  # (B, 1)
+    a = knm * jnp.sqrt(is_)
+    gram_ref[0] = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
+    uvec_ref[0] = jnp.dot((is_ * y).T, knm, preferred_element_type=jnp.float32)
+    lds = jnp.sum(jnp.where(live, jnp.log(s), 0.0))
+    yiy = jnp.sum(is_ * y * y)
+    isr = jnp.sum(is_ * r)
+    n_live = jnp.sum(mask)
+    sums_ref[0, 0] = jnp.stack([lds, yiy, isr, n_live])
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def se_iso_stream_stats_fused(
+    log_ell, log_sf2, z, u_inv, sigma2, X, y, mask=None, *, block_size=1024,
+    interpret=False,
+):
+    """Per-tile partial statistics via the fused kernel, summed in ACC dtype.
+
+    Returns (gram, u_vec, lds, yiy, isr, n) matching
+    models.streaming.StreamStats fields.  f32 compute; f64 cross-tile sums
+    when x64 is enabled.
+    """
+    n, d = X.shape
+    m = z.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    f32 = jnp.float32
+    if mask is None:
+        mask = jnp.ones((n,), f32)
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+
+    xf = X.astype(f32)
+    yf = y.astype(f32).reshape(nb * block_size, 1)
+    mf = mask.astype(f32).reshape(nb * block_size, 1)
+    zf = z.astype(f32)
+    uf = u_inv.astype(f32)
+    inv_ell2_05 = (-0.5 * jnp.exp(-2.0 * log_ell)).astype(f32)
+    scal = jnp.stack(
+        [inv_ell2_05, jnp.asarray(log_sf2, f32), jnp.asarray(sigma2, f32)]
+    ).reshape(1, 3)
+
+    grid = (nb,)
+    out_shape = (
+        jax.ShapeDtypeStruct((nb, m, m), f32),
+        jax.ShapeDtypeStruct((nb, 1, m), f32),
+        jax.ShapeDtypeStruct((nb, 1, 4), f32),
+    )
+    gram_p, uvec_p, sums_p = pl.pallas_call(
+        _se_iso_stats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_size, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * block_size * m * (d + 2 * m),
+            bytes_accessed=nb * (block_size * (d + 2) + 2 * m * m) * 4,
+            transcendentals=nb * block_size * (m + 1),
+        ),
+    )(xf, yf, mf, zf, uf, scal)
+
+    gram = jnp.sum(gram_p.astype(ACC), axis=0)
+    u_vec = jnp.sum(uvec_p.astype(ACC), axis=0).reshape(m)
+    sums = jnp.sum(sums_p.astype(ACC), axis=0).reshape(4)
+    return gram, u_vec, sums[0], sums[1], sums[2], sums[3]

@@ -104,10 +104,15 @@ def make_objective(
     family, X, targets, pack, *, variational=False, factorization=None
 ):
     """Jitted (value, grad) of the NEGATIVE evidence over the packed vector,
-    plus a jitted trained-state reconstruction for reporting."""
+    plus a jitted trained-state reconstruction for reporting.
+
+    The data is threaded through as jit *arguments*, never closure-captured:
+    captured arrays lower to embedded constants, which bloats the compiled
+    graph and breaks remote-compile backends at large n.
+    """
 
     @jax.jit
-    def neg_l_and_grad(x):
+    def _neg_l_and_grad(x, X, targets):
         def f(x):
             params, z, sigma2 = pack.unpack(x)
             model = calc_model(
@@ -119,7 +124,7 @@ def make_objective(
         return jax.value_and_grad(f)(x)
 
     @jax.jit
-    def trained_of(x):
+    def _trained_of(x, X, targets):
         params, z, sigma2 = pack.unpack(x)
         model = calc_model(
             family, params, X, z, sigma2,
@@ -127,7 +132,10 @@ def make_objective(
         )
         return calc_trained(model, targets)
 
-    return neg_l_and_grad, trained_of
+    return (
+        lambda x: _neg_l_and_grad(x, X, targets),
+        lambda x: _trained_of(x, X, targets),
+    )
 
 
 def train(

@@ -129,8 +129,10 @@ def make_sharded_objective(
     y = jax.device_put(y, row)
     mask = jax.device_put(mask, row)
 
+    # Data threads through as jit arguments (closure capture would embed the
+    # shards as compiled-in constants).
     @jax.jit
-    def neg_l_and_grad(xvec):
+    def _neg_l_and_grad(xvec, X, y, mask):
         def f(xvec):
             params, z, sigma2 = pack.unpack(xvec)
             return -sharded_log_evidence(
@@ -140,4 +142,4 @@ def make_sharded_objective(
 
         return jax.value_and_grad(f)(xvec)
 
-    return neg_l_and_grad
+    return lambda xvec: _neg_l_and_grad(xvec, X, y, mask)
