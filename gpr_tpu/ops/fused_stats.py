@@ -77,6 +77,138 @@ def _se_iso_stats_kernel(
     sums_ref[0, 0] = jnp.stack([lds, yiy, isr, n_live])
 
 
+def _se_iso_stats_kernel_acc(
+    x_ref, y_ref, mask_ref, z_ref, uinv_ref, scal_ref,
+    gram_ref, uvec_ref, sums_ref,
+):
+    """Accumulating variant: outputs use a constant index map, so the same
+    VMEM blocks stay resident across the (sequential) TPU grid; step 0
+    initializes, later steps add.  No per-tile HBM partials — trades the
+    f64 outside-sum for in-VMEM f32 accumulation (same precision class as
+    the XLA scan when x64 is off)."""
+    i = pl.program_id(0)
+
+    inv_ell2_05 = scal_ref[0, 0]
+    log_sf2 = scal_ref[0, 1]
+    sigma2 = scal_ref[0, 2]
+
+    x = x_ref[:]
+    z = z_ref[:]
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)
+    z2 = jnp.sum(z * z, axis=1, keepdims=True).T
+    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(x2 - 2.0 * xz + z2, 0.0)
+    knm = jnp.exp(log_sf2 + inv_ell2_05 * d2)
+
+    v = jnp.dot(knm, uinv_ref[:], preferred_element_type=jnp.float32)
+    r = jnp.exp(log_sf2) - jnp.sum(v * v, axis=1, keepdims=True)
+    mask = mask_ref[:]
+    live = mask > 0.0
+    s = jnp.where(live, r + sigma2, 1.0)
+    is_ = mask / s
+
+    y = y_ref[:]
+    a = knm * jnp.sqrt(is_)
+    gram = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
+    uvec = jnp.dot((is_ * y).T, knm, preferred_element_type=jnp.float32)
+    sums = jnp.stack(
+        [
+            jnp.sum(jnp.where(live, jnp.log(s), 0.0)),
+            jnp.sum(is_ * y * y),
+            jnp.sum(is_ * r),
+            jnp.sum(mask),
+        ]
+    )
+
+    @pl.when(i == 0)
+    def _():
+        gram_ref[:] = gram
+        uvec_ref[:] = uvec.reshape(uvec_ref.shape)
+        sums_ref[0] = sums
+
+    @pl.when(i > 0)
+    def _():
+        gram_ref[:] += gram
+        uvec_ref[:] += uvec.reshape(uvec_ref.shape)
+        sums_ref[0] += sums
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "interpret")
+)
+def se_iso_stream_stats_fused_acc(
+    log_ell, log_sf2, z, u_inv, sigma2, X, y, mask=None, *, block_size=4096,
+    interpret=False,
+):
+    """Single-pass fused statistics with in-VMEM accumulation.
+
+    Fastest forward path on hardware; use the partial-sum variant
+    (:func:`se_iso_stream_stats_fused`) when f64 cross-tile accumulation is
+    required for parity work.
+    """
+    n, d = X.shape
+    m = z.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    f32 = jnp.float32
+    if mask is None:
+        mask = jnp.ones((n,), f32)
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+
+    xf = X.astype(f32)
+    yf = y.astype(f32).reshape(nb * block_size, 1)
+    mf = mask.astype(f32).reshape(nb * block_size, 1)
+    zf = z.astype(f32)
+    uf = u_inv.astype(f32)
+    inv_ell2_05 = (-0.5 * jnp.exp(-2.0 * log_ell)).astype(f32)
+    scal = jnp.stack(
+        [inv_ell2_05, jnp.asarray(log_sf2, f32), jnp.asarray(sigma2, f32)]
+    ).reshape(1, 3)
+
+    gram, uvec, sums = pl.pallas_call(
+        _se_iso_stats_kernel_acc,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_size, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, m), f32),
+            jax.ShapeDtypeStruct((1, m), f32),
+            jax.ShapeDtypeStruct((1, 4), f32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * block_size * m * (d + 2 * m),
+            bytes_accessed=nb * block_size * (d + 2) * 4 + 2 * m * m * 4,
+            transcendentals=nb * block_size * (m + 1),
+        ),
+    )(xf, yf, mf, zf, uf, scal)
+    return (
+        gram.astype(ACC),
+        uvec.reshape(m).astype(ACC),
+        sums[0, 0].astype(ACC),
+        sums[0, 1].astype(ACC),
+        sums[0, 2].astype(ACC),
+        sums[0, 3].astype(ACC),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
 def se_iso_stream_stats_fused(
     log_ell, log_sf2, z, u_inv, sigma2, X, y, mask=None, *, block_size=1024,

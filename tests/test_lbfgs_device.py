@@ -1,0 +1,78 @@
+"""Device-resident L-BFGS: classic test functions + full GP training in one
+jit, compared against the host-driven trainer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpr_tpu.kernels import SeIso
+from gpr_tpu.models import calc_model, calc_trained, log_evidence
+from gpr_tpu.optim import make_pack, train
+from gpr_tpu.optim.lbfgs_device import minimize_lbfgs_device
+
+
+def test_device_lbfgs_rosenbrock():
+    def fg(x):
+        f = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+        return f, jax.grad(
+            lambda x: 100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+        )(x)
+
+    st = minimize_lbfgs_device(
+        fg, jnp.asarray([-1.2, 1.0]), epsabs=1e-7, max_iter=200,
+        max_ls_evals=30,
+    )
+    np.testing.assert_allclose(np.asarray(st.x), [1.0, 1.0], atol=1e-5)
+    assert float(jnp.linalg.norm(st.g)) < 1e-6
+
+
+def test_device_lbfgs_quadratic():
+    a = jnp.asarray(np.diag([1.0, 10.0, 100.0]))
+
+    def fg(x):
+        return 0.5 * x @ a @ x, a @ x
+
+    st = minimize_lbfgs_device(fg, jnp.ones(3), epsabs=1e-9, max_iter=100)
+    np.testing.assert_allclose(np.asarray(st.x), 0.0, atol=1e-8)
+
+
+def test_device_lbfgs_trains_gp(rng):
+    n, m, d = 300, 8, 2
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(n))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    Z0 = jnp.asarray(np.asarray(X)[:m])
+    pack = make_pack(SeIso, p0, Z0, 1.0)
+
+    def fg(x):
+        def f(x):
+            params, z, s2 = pack.unpack(x)
+            return -log_evidence(SeIso, params, z, s2, X, y,
+                                 factorization="chol")
+        return jax.value_and_grad(f)(x)
+
+    l_start = -float(fg(pack.x0)[0])
+    st = minimize_lbfgs_device(fg, pack.x0, epsabs=1.0, max_iter=100,
+                               step=0.1, tol=0.1)
+    l_dev = -float(st.f)
+    assert l_dev > l_start + 10.0
+
+    # host trainer on the same problem reaches a comparable optimum
+    res = train(SeIso, X, y, kernel_params=p0, inducing=Z0, sigma2=1.0,
+                epsabs=1.0, max_iter=200)
+    l_host = float(res.l)
+    assert abs(l_dev - l_host) < 0.05 * abs(l_host) + 5.0
+
+
+def test_device_lbfgs_survives_nan_region():
+    """Objective NaNs for x < 0; line search must shrink and converge to the
+    minimum at x = 1 from a start that tempts overshoot."""
+
+    def fg(x):
+        f = jnp.where(x[0] <= 0, jnp.nan, (jnp.log(x[0])) ** 2)
+        g = jnp.where(x[0] <= 0, jnp.nan, 2 * jnp.log(x[0]) / x[0])
+        return f, g[None] if g.ndim == 0 else g
+
+    st = minimize_lbfgs_device(fg, jnp.asarray([4.0]), epsabs=1e-6,
+                               max_iter=60, max_ls_evals=25)
+    np.testing.assert_allclose(np.asarray(st.x), [1.0], atol=1e-4)
