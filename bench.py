@@ -40,7 +40,7 @@ def sync(out):
         np.asarray(leaf)
 
 
-def timeit(fn, *args, iters=3):
+def timeit(fn, *args, iters=8):
     t0 = time.perf_counter()
     out = fn(*args)
     sync(out)
