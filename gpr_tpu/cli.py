@@ -66,6 +66,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def read_samples(stream) -> np.ndarray:
+    # Native fast path: hand the whole input to the C++ parser
+    # (gpr_tpu/io/native.py); falls back to the line-by-line Python reader
+    # when no toolchain/library is available.
+    try:
+        from .io.native import CsvError, parse_csv_bytes
+
+        data = stream.buffer.read() if hasattr(stream, "buffer") else None
+        if data is not None:
+            try:
+                arr = parse_csv_bytes(data)
+            except CsvError as e:
+                raise SystemExit(str(e))
+            if arr is not None:
+                return arr
+            stream = data.decode().splitlines()  # native lib unavailable
+    except AttributeError:
+        pass
+
     rows = []
     d = None
     for i, line in enumerate(stream):
