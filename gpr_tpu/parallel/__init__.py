@@ -1,5 +1,8 @@
 from .sharded import (
     DATA_AXIS,
+    sharded_log_evidence_tsqr,
+    sharded_predict_means,
+    sharded_predict_variances,
     make_mesh,
     make_sharded_objective,
     pad_to_shards,
@@ -9,6 +12,9 @@ from .sharded import (
 
 __all__ = [
     "DATA_AXIS",
+    "sharded_log_evidence_tsqr",
+    "sharded_predict_means",
+    "sharded_predict_variances",
     "make_mesh",
     "make_sharded_objective",
     "pad_to_shards",

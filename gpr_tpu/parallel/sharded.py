@@ -24,10 +24,19 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.fitc import calc_inducing
+from ..models.fitc import LOG_2PI, calc_inducing
 from ..models.streaming import (
     evidence_from_stats,
     stream_stats,
+)
+from ..numerics.linalg import (
+    inv_tri_upper,
+    log_det_tri,
+    matmul,
+    qr_r_positive,
+    rows_sqr_norm,
+    solve_tri,
+    solve_tri_right,
 )
 
 DATA_AXIS = "data"
@@ -108,6 +117,142 @@ def sharded_log_evidence(
         check_vma=False,
     )
     return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
+
+
+def sharded_log_evidence_tsqr(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    sigma2,
+    X,
+    y,
+    mask=None,
+    *,
+    variational: bool = False,
+    jitter: float | None = None,
+):
+    """Distributed evidence via tall-skinny QR — the maximally stable path.
+
+    The single-device engine can keep the reference's Foster-2009 stacked QR
+    (fitc.py factorization='qr'); a literal (n+m) x m QR does not shard.  The
+    TSQR form does: each shard QR-factors its local block of
+    A1 = diag(sqrt is) Knm, the m x m R factors are all-gathered (p m^2
+    floats over ICI), and one small QR of the stacked [R_1; ...; R_p; U]
+    yields the same R as the global stacked QR — normal equations are never
+    formed, preserving the conditioning argument (SURVEY.md section 5, last
+    bullet).  Costs one materialized (n/p, m) block per shard; use
+    sharded_log_evidence (Gram/psum) when speed matters more than the last
+    digits of conditioning.
+    """
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, sigma2, xs, ys, ms):
+        inducing = calc_inducing(family, params, z, jitter)
+        knm = family.k_cross(params, xs, inducing.z)
+        kn_diag = family.k_diag(params, xs)
+        v = solve_tri_right(knm, inducing.chol_km)
+        r = kn_diag - rows_sqr_norm(v)
+        live = ms > 0
+        s = jnp.where(live, r + sigma2, 1.0)
+        is_ = ms / s
+        sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
+        a1 = knm * sqrt_is[:, None]
+
+        r_local = jnp.linalg.qr(a1, mode="r")  # (m, m)
+        r_all = jax.lax.all_gather(r_local, DATA_AXIS)  # (p, m, m)
+        m = z.shape[0]
+        stacked = jnp.concatenate(
+            [r_all.reshape(-1, m), inducing.chol_km], axis=0
+        )
+        r_mat = qr_r_positive(stacked)
+
+        log_det_s = jax.lax.psum(jnp.sum(jnp.where(live, jnp.log(s), 0.0)),
+                                 DATA_AXIS)
+        n_live = jax.lax.psum(jnp.sum(ms), DATA_AXIS)
+        u_vec = jax.lax.psum(matmul(knm.T, is_ * ys), DATA_AXIS)
+        y_is_y = jax.lax.psum(jnp.sum(is_ * ys * ys), DATA_AXIS)
+
+        l1 = -0.5 * (
+            log_det_tri(r_mat) - inducing.log_det_km + log_det_s
+            + n_live * LOG_2PI
+        )
+        if variational:
+            l1 = l1 - 0.5 * jax.lax.psum(jnp.sum(is_ * r), DATA_AXIS)
+        t = solve_tri(r_mat, u_vec, trans=True)
+        l2 = -0.5 * (y_is_y - jnp.dot(t, t))
+        return l1 + l2
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
+
+
+def sharded_predict_means(family, mesh: Mesh, params, z, coeffs, X):
+    """Batch mean prediction with the n-axis sharded: purely local GEMMs,
+    zero collectives — serving scales linearly with chips."""
+    n = X.shape[0]
+    pad = (-n) % mesh.devices.size
+    Xp = (
+        jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        if pad else X
+    )
+
+    def shard_fn(params, z, coeffs, xs):
+        return matmul(family.k_cross(params, xs, z), coeffs)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    out = fn(params, z, coeffs, Xp)
+    # replicate before trimming the padding (slicing a row-sharded array to a
+    # non-divisible length would need an ambiguous reshard)
+    return jax.device_put(out, NamedSharding(mesh, P()))[:n]
+
+
+def sharded_predict_variances(
+    family, mesh: Mesh, params, z, chol_km, r_mat, X, sigma2, *,
+    predictive=True
+):
+    """Sharded marginal variances; local solves against replicated factors."""
+    n = X.shape[0]
+    pad = (-n) % mesh.devices.size
+    Xp = (
+        jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        if pad else X
+    )
+    u_inv = inv_tri_upper(chol_km)
+    r_inv = inv_tri_upper(r_mat)
+
+    def shard_fn(params, z, u_inv, r_inv, xs):
+        ktm = family.k_cross(params, xs, z)
+        kd = family.k_diag(params, xs)
+        out = (
+            kd
+            - rows_sqr_norm(matmul(ktm, u_inv))
+            + rows_sqr_norm(matmul(ktm, r_inv))
+        )
+        return out + sigma2 if predictive else out
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    out = fn(params, z, u_inv, r_inv, Xp)
+    return jax.device_put(out, NamedSharding(mesh, P()))[:n]
 
 
 def make_sharded_objective(
