@@ -1,0 +1,57 @@
+"""Resumable training: checkpoint the optimizer state alongside the model.
+
+The reference's model file stores only the predictor — "training resume
+doesn't exist" (SURVEY.md section 5).  Here a training checkpoint is the
+packed hyper vector plus the L-BFGS curvature history, so an interrupted run
+continues with the same quasi-Newton memory it stopped with.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..optim.lbfgs_device import LBFGSDeviceState
+
+
+def training_state_arrays(st: LBFGSDeviceState) -> dict[str, np.ndarray]:
+    """Flatten an LBFGSDeviceState for io.checkpoint.save_model's
+    ``extra_arrays``."""
+    return {
+        "lbfgs_x": np.asarray(st.x),
+        "lbfgs_f": np.asarray(st.f),
+        "lbfgs_g": np.asarray(st.g),
+        "lbfgs_s_hist": np.asarray(st.s_hist),
+        "lbfgs_y_hist": np.asarray(st.y_hist),
+        "lbfgs_rho": np.asarray(st.rho),
+        "lbfgs_head": np.asarray(st.head),
+        "lbfgs_n_iter": np.asarray(st.n_iter),
+    }
+
+
+def training_state_from_arrays(extra: dict) -> LBFGSDeviceState:
+    """Rebuild the optimizer state saved by :func:`training_state_arrays`."""
+    return LBFGSDeviceState(
+        x=jnp.asarray(extra["lbfgs_x"]),
+        f=jnp.asarray(extra["lbfgs_f"]),
+        g=jnp.asarray(extra["lbfgs_g"]),
+        s_hist=jnp.asarray(extra["lbfgs_s_hist"]),
+        y_hist=jnp.asarray(extra["lbfgs_y_hist"]),
+        rho=jnp.asarray(extra["lbfgs_rho"]),
+        head=jnp.asarray(extra["lbfgs_head"], jnp.int32),
+        n_iter=jnp.asarray(extra["lbfgs_n_iter"], jnp.int32),
+        failed=jnp.asarray(False),
+    )
+
+
+def resume_minimize(fg, st: LBFGSDeviceState, **kw):
+    """Continue a device L-BFGS run from a restored state.
+
+    Restarts at st.x; the curvature history rebuilds within ``history``
+    iterations (restarting L-BFGS from the incumbent is standard and loses
+    only a few line searches).  The cumulative iteration count is preserved
+    for reporting."""
+    from ..optim.lbfgs_device import minimize_lbfgs_device
+
+    out = minimize_lbfgs_device(fg, st.x, **kw)
+    return out._replace(n_iter=out.n_iter + st.n_iter)

@@ -74,3 +74,15 @@ def weighted_eval(family, params, X, Z, coeffs) -> jnp.ndarray:
     """K(X, Z) @ coeffs — reference ``Inputs.weighted_eval``
     (lib/interfaces.ml:193-198)."""
     return jnp.matmul(family.k_cross(params, X, Z), coeffs)
+
+
+def weighted_eval_one(family, params, x, Z, coeffs) -> jnp.ndarray:
+    """k(x, Z) . coeffs — reference ``Input.weighted_eval``
+    (lib/interfaces.ml:131-137)."""
+    return jnp.dot(family.k_cross(params, x[None, :], Z)[0], coeffs)
+
+
+def choose_subset(X: jnp.ndarray, indexes) -> jnp.ndarray:
+    """Row subset — reference ``Inputs.choose_subset`` / ``Utils.choose_cols``
+    (lib/utils.ml:60-75; column-major there, row-major here)."""
+    return X[jnp.asarray(indexes)]

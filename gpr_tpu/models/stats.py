@@ -33,6 +33,53 @@ class Stats:
     maxad: jnp.ndarray
 
 
+def calc_n_samples(trained: TrainedState) -> int:
+    """fitc_gp.ml:318."""
+    return trained.y.shape[0]
+
+
+def calc_target_variance(trained: TrainedState) -> jnp.ndarray:
+    """Uncentered second moment |y|^2/n (fitc_gp.ml:319)."""
+    y = trained.y
+    return jnp.dot(y, y) / y.shape[0]
+
+
+def calc_sse(trained: TrainedState) -> jnp.ndarray:
+    """fitc_gp.ml:321-323."""
+    resid = trained.y - calc_means(trained)
+    return jnp.dot(resid, resid)
+
+
+def calc_mse(trained: TrainedState) -> jnp.ndarray:
+    return calc_sse(trained) / calc_n_samples(trained)
+
+
+def calc_rmse(trained: TrainedState) -> jnp.ndarray:
+    return jnp.sqrt(calc_mse(trained))
+
+
+def calc_smse(trained: TrainedState) -> jnp.ndarray:
+    """fitc_gp.ml:327."""
+    return calc_mse(trained) / calc_target_variance(trained)
+
+
+def calc_msll(trained: TrainedState) -> jnp.ndarray:
+    """Mean standardized log loss vs the trivial Gaussian (fitc_gp.ml:329-334)."""
+    tv = calc_target_variance(trained)
+    prior_l = -0.5 * jnp.log(2.0 * math.pi * tv) - 0.5
+    return prior_l - trained.l / calc_n_samples(trained)
+
+
+def calc_mad(trained: TrainedState) -> jnp.ndarray:
+    """fitc_gp.ml:336-344."""
+    return jnp.mean(jnp.abs(trained.y - calc_means(trained)))
+
+
+def calc_maxad(trained: TrainedState) -> jnp.ndarray:
+    """fitc_gp.ml:346-352."""
+    return jnp.max(jnp.abs(trained.y - calc_means(trained)))
+
+
 def calc_stats(trained: TrainedState) -> Stats:
     y = trained.y
     n = y.shape[0]

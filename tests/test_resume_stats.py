@@ -1,0 +1,92 @@
+"""Training resume round-trip and the individual stats accessors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpr_tpu.io import load_model, save_model
+from gpr_tpu.io.checkpoint import ModelArtifact
+from gpr_tpu.io.resume import (
+    resume_minimize,
+    training_state_arrays,
+    training_state_from_arrays,
+)
+from gpr_tpu.kernels import SeIso
+from gpr_tpu.models import calc_model, calc_trained
+from gpr_tpu.models.stats import (
+    calc_mad,
+    calc_maxad,
+    calc_mse,
+    calc_msll,
+    calc_rmse,
+    calc_smse,
+    calc_sse,
+    calc_stats,
+    calc_target_variance,
+)
+from gpr_tpu.optim import make_pack
+from gpr_tpu.optim.lbfgs_device import minimize_lbfgs_device
+
+
+def test_individual_stats_match_combined(rng):
+    X = jnp.asarray(rng.standard_normal((60, 2)))
+    y = jnp.asarray(rng.standard_normal(60))
+    Z = jnp.asarray(rng.standard_normal((6, 2)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.1), log_sf2=jnp.asarray(0.0))
+    trained = calc_trained(calc_model(SeIso, p, X, Z, 0.5), y)
+    st = calc_stats(trained)
+    for fn, field in [
+        (calc_target_variance, "target_variance"), (calc_sse, "sse"),
+        (calc_mse, "mse"), (calc_rmse, "rmse"), (calc_smse, "smse"),
+        (calc_msll, "msll"), (calc_mad, "mad"), (calc_maxad, "maxad"),
+    ]:
+        np.testing.assert_allclose(
+            float(fn(trained)), float(getattr(st, field)), rtol=1e-12
+        )
+
+
+def test_resume_roundtrip(tmp_path, rng):
+    """Interrupt a GP training run mid-way, checkpoint, restore, continue —
+    the final objective must match an uninterrupted run."""
+    X = jnp.asarray(rng.standard_normal((200, 2)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(200))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    pack = make_pack(SeIso, p0, X[:6], 1.0)
+
+    from gpr_tpu.models import log_evidence
+
+    def fg(x):
+        def f(x):
+            params, z, s2 = pack.unpack(x)
+            return -log_evidence(SeIso, params, z, s2, X, y,
+                                 factorization="chol")
+        return jax.value_and_grad(f)(x)
+
+    full = minimize_lbfgs_device(fg, pack.x0, epsabs=0.5, max_iter=120)
+
+    half = minimize_lbfgs_device(fg, pack.x0, epsabs=0.5, max_iter=8)
+    # checkpoint via the model-artifact extra arrays
+    params_h, z_h, s2_h = pack.unpack(half.x)
+    model = calc_model(SeIso, params_h, X, z_h, s2_h, factorization="chol")
+    trained = calc_trained(model, y)
+    art = ModelArtifact(
+        family_name="se_iso", kernel_params=params_h,
+        inducing=np.asarray(z_h), coeffs=np.asarray(trained.coeffs),
+        chol_km=np.asarray(model.inducing.chol_km),
+        r_mat=np.asarray(model.r_mat), sigma2=float(s2_h), target_mean=0.0,
+        input_means=np.zeros(2), input_stddevs=np.ones(2),
+    )
+    path = str(tmp_path / "ckpt.npz")
+    save_model(path, art, extra_arrays=training_state_arrays(half))
+
+    _, extra = load_model(path)
+    restored = training_state_from_arrays(extra)
+    np.testing.assert_allclose(np.asarray(restored.x), np.asarray(half.x))
+    resumed = resume_minimize(fg, restored, epsabs=0.5, max_iter=120)
+
+    assert int(resumed.n_iter) >= 8
+    # nonconvex objective: resumed and uninterrupted runs may settle in
+    # slightly different stationary points; both must satisfy the stopping
+    # rule and land at comparable objective values
+    assert float(jnp.linalg.norm(resumed.g)) < 0.5
+    assert float(resumed.f) <= float(full.f) + 1.0
