@@ -41,16 +41,27 @@ def sync(out):
 
 
 def timeit(fn, *args, iters=8):
+    """Returns (throughput s/iter, latency s, first-call s, out).
+
+    Throughput pipelines back-to-back dispatches and syncs once — that is
+    how a training loop executes (async dispatch overlaps host work);
+    latency syncs every call and includes the full host round trip.
+    """
     t0 = time.perf_counter()
     out = fn(*args)
     sync(out)
     first = time.perf_counter() - t0
     ts = []
-    for _ in range(iters):
+    for _ in range(max(3, iters // 2)):
         t0 = time.perf_counter()
         sync(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts), first, out
+    latency = min(ts)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    sync(outs[-1])
+    throughput = (time.perf_counter() - t0) / iters
+    return throughput, latency, first, out
 
 
 def main():
@@ -92,9 +103,10 @@ def main():
     for name, f in [("streaming", f_streaming), ("dense", f_dense)]:
         try:
             vg = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))
-            t, first, out = timeit(vg, params, Z, sigma2, X, y)
-            log(f"{name}: {t*1e3:.1f} ms/iter (first call {first:.1f}s, "
-                f"evidence {float(out[0]):.1f})")
+            t, lat, first, out = timeit(vg, params, Z, sigma2, X, y)
+            log(f"{name}: {t*1e3:.1f} ms/iter pipelined, {lat*1e3:.1f} ms "
+                f"latency (first call {first:.1f}s, evidence "
+                f"{float(out[0]):.1f})")
             results[name] = t
         except Exception as e:  # noqa: BLE001 - report and keep best path
             log(f"{name}: FAILED {type(e).__name__}: {e}")
@@ -120,7 +132,7 @@ def main():
                 SeIso, p, z, c, xs, block_size=65536
             )
         )
-        tp, _, _ = timeit(predict, params, Z, coeffs, X)
+        tp, _, _, _ = timeit(predict, params, Z, coeffs, X)
         log(f"predict: {N/tp/1e6:.1f} M pts/s ({tp*1e3:.1f} ms for 1M)")
     except Exception as e:  # noqa: BLE001
         log(f"predict: FAILED {type(e).__name__}: {e}")

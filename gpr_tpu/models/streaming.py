@@ -33,7 +33,10 @@ from ..numerics.linalg import (
 from ..tree import pytree_dataclass
 from .fitc import LOG_2PI, calc_inducing
 
-ACC_DTYPE = jnp.float64  # becomes f32 silently when x64 is disabled
+def _acc_dtype():
+    """f64 accumulators when x64 is enabled; plain f32 otherwise (avoids
+    per-op truncation warnings on TPU default config)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 @pytree_dataclass
@@ -102,24 +105,24 @@ def stream_stats(
         sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
         a = knm * sqrt_is[:, None]
         gram, u_vec, lds, yiy, isr, cnt = carry
-        gram = gram + matmul(a.T, a).astype(ACC_DTYPE)
-        u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(ACC_DTYPE)
-        lds = lds + jnp.sum(mask_b * jnp.log(s)).astype(ACC_DTYPE)
-        yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(ACC_DTYPE)
-        isr = isr + jnp.sum(is_ * r).astype(ACC_DTYPE)
-        cnt = cnt + jnp.sum(mask_b).astype(ACC_DTYPE)
+        gram = gram + matmul(a.T, a).astype(_acc_dtype())
+        u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(_acc_dtype())
+        lds = lds + jnp.sum(mask_b * jnp.log(s)).astype(_acc_dtype())
+        yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(_acc_dtype())
+        isr = isr + jnp.sum(is_ * r).astype(_acc_dtype())
+        cnt = cnt + jnp.sum(mask_b).astype(_acc_dtype())
         return (gram, u_vec, lds, yiy, isr, cnt), None
 
     if remat:
         body = jax.checkpoint(body)
 
     init = (
-        jnp.zeros((m, m), ACC_DTYPE),
-        jnp.zeros((m,), ACC_DTYPE),
-        jnp.zeros((), ACC_DTYPE),
-        jnp.zeros((), ACC_DTYPE),
-        jnp.zeros((), ACC_DTYPE),
-        jnp.zeros((), ACC_DTYPE),
+        jnp.zeros((m, m), _acc_dtype()),
+        jnp.zeros((m,), _acc_dtype()),
+        jnp.zeros((), _acc_dtype()),
+        jnp.zeros((), _acc_dtype()),
+        jnp.zeros((), _acc_dtype()),
+        jnp.zeros((), _acc_dtype()),
     )
     (gram, u_vec, lds, yiy, isr, cnt), _ = jax.lax.scan(
         body, init, (xb, yb, maskb)
@@ -135,19 +138,19 @@ def evidence_from_stats(
     """l = l1 + l2 from the reduced statistics — pure O(m^3) epilogue,
     identical math to fitc.calc_model/calc_trained."""
     dt = inducing.km.dtype
-    b = inducing.km.astype(ACC_DTYPE) + stats.gram
+    b = inducing.km.astype(_acc_dtype()) + stats.gram
     r_mat = cholesky_upper(b.astype(dt))  # same jitter policy as chol_km
-    log_det_b = log_det_tri(r_mat).astype(ACC_DTYPE)
+    log_det_b = log_det_tri(r_mat).astype(_acc_dtype())
     l1 = -0.5 * (
         log_det_b
-        - inducing.log_det_km.astype(ACC_DTYPE)
+        - inducing.log_det_km.astype(_acc_dtype())
         + stats.log_det_s
         + stats.n * LOG_2PI
     )
     if variational:
         l1 = l1 - 0.5 * stats.is_r_sum
     t = solve_tri(r_mat, stats.u_vec.astype(dt), trans=True)
-    l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(ACC_DTYPE))
+    l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()))
     return (l1 + l2).astype(dt)
 
 
@@ -184,7 +187,7 @@ def streaming_coeffs(family, params, z, sigma2, X, y, *, block_size=8192,
         family, params, inducing, sigma2, X, y, block_size=block_size
     )
     dt = inducing.km.dtype
-    b = inducing.km.astype(ACC_DTYPE) + stats.gram
+    b = inducing.km.astype(_acc_dtype()) + stats.gram
     r_mat = cholesky_upper(b.astype(dt))
     t = solve_tri(r_mat, stats.u_vec.astype(dt), trans=True)
     coeffs = solve_tri(r_mat, t)

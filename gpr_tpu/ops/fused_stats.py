@@ -32,8 +32,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ACC = jnp.float64  # degrades to f32 when x64 is off (TPU default) — the
-# outside-the-kernel sum is then plain f32, still no worse than in-kernel.
+def _acc():
+    # f64 cross-tile sums when x64 is on; plain f32 otherwise (no worse than
+    # in-kernel accumulation, and no truncation warnings on default TPU).
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def _se_iso_stats_kernel(
@@ -200,12 +202,12 @@ def se_iso_stream_stats_fused_acc(
         ),
     )(xf, yf, mf, zf, uf, scal)
     return (
-        gram.astype(ACC),
-        uvec.reshape(m).astype(ACC),
-        sums[0, 0].astype(ACC),
-        sums[0, 1].astype(ACC),
-        sums[0, 2].astype(ACC),
-        sums[0, 3].astype(ACC),
+        gram.astype(_acc()),
+        uvec.reshape(m).astype(_acc()),
+        sums[0, 0].astype(_acc()),
+        sums[0, 1].astype(_acc()),
+        sums[0, 2].astype(_acc()),
+        sums[0, 3].astype(_acc()),
     )
 
 
@@ -279,7 +281,7 @@ def se_iso_stream_stats_fused(
         ),
     )(xf, yf, mf, zf, uf, scal)
 
-    gram = jnp.sum(gram_p.astype(ACC), axis=0)
-    u_vec = jnp.sum(uvec_p.astype(ACC), axis=0).reshape(m)
-    sums = jnp.sum(sums_p.astype(ACC), axis=0).reshape(4)
+    gram = jnp.sum(gram_p.astype(_acc()), axis=0)
+    u_vec = jnp.sum(uvec_p.astype(_acc()), axis=0).reshape(m)
+    sums = jnp.sum(sums_p.astype(_acc()), axis=0).reshape(4)
     return gram, u_vec, sums[0], sums[1], sums[2], sums[3]
