@@ -11,10 +11,16 @@ carry — the blockwise/ring structure SURVEY.md section 5 calls for, expressed
 as lax.scan so XLA pipelines it and jax.checkpoint rematerializes tiles in
 the backward pass instead of storing them.
 
-This path uses the Cholesky-of-B factorization (the QR path needs the full
-stacked matrix; see fitc.py docstring for the stability trade).  All reduced
-statistics are accumulated in f64 when inputs are f32-or-wider to hold the
-1e-6 parity bar at n = 10^6 (SURVEY.md hard part (e)).
+Stability: instead of accumulating the raw Gram Knm' diag(is) Knm (whose
+Cholesky target B = Km + Gram inherits Km's near-null directions — in f32
+the Gram's rounding asymmetry can push B indefinite and NaN the whole
+evidence), the scan accumulates the *whitened* statistic
+G = sum (V sqrt(is))' (V sqrt(is)) with V = Knm U^-1.  The factorization
+target becomes I + G (eigenvalues >= 1: unconditionally Cholesky-safe), and
+log|B| - log|Km| = log|I + G| falls out directly — the streaming analogue of
+the reference's Foster-2009 QR stability argument (gpr_manual.tex:221-223).
+All reduced statistics are accumulated in f64 when enabled (SURVEY.md hard
+part (e)).
 """
 
 from __future__ import annotations
@@ -47,8 +53,8 @@ class StreamStats:
     the n-axis has been reduced away, so memory is O(m^2).
     """
 
-    gram: jnp.ndarray  # (m, m)  Knm' diag(is) Knm
-    u_vec: jnp.ndarray  # (m,)    Knm' (is * y)
+    gram: jnp.ndarray  # (m, m)  whitened: U^-T Knm' diag(is) Knm U^-1
+    u_vec: jnp.ndarray  # (m,)    whitened: U^-T Knm' (is * y)
     log_det_s: jnp.ndarray  # sum log s
     y_is_y: jnp.ndarray  # y' diag(is) y
     is_r_sum: jnp.ndarray  # sum(is * r)   (variational correction)
@@ -103,10 +109,10 @@ def stream_stats(
         s = jnp.where(live, r + sigma2, 1.0)
         is_ = mask_b / s
         sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
-        a = knm * sqrt_is[:, None]
+        a = v * sqrt_is[:, None]  # whitened rows: (V sqrt(is)) tile
         gram, u_vec, lds, yiy, isr, cnt = carry
         gram = gram + matmul(a.T, a).astype(_acc_dtype())
-        u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(_acc_dtype())
+        u_vec = u_vec + matmul(v.T, is_ * y_b).astype(_acc_dtype())
         lds = lds + jnp.sum(mask_b * jnp.log(s)).astype(_acc_dtype())
         yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(_acc_dtype())
         isr = isr + jnp.sum(is_ * r).astype(_acc_dtype())
@@ -132,24 +138,31 @@ def stream_stats(
     )
 
 
+def _whitened_factor(inducing, stats):
+    """Upper R~ with R~'R~ = I + G (G the whitened Gram).  Eigenvalues of the
+    target are >= 1, so this Cholesky cannot fail — no extra jitter."""
+    dt = inducing.km.dtype
+    m = stats.gram.shape[0]
+    bt = jnp.eye(m, dtype=_acc_dtype()) + stats.gram
+    return cholesky_upper(bt.astype(dt), jitter=0.0)
+
+
 def evidence_from_stats(
     inducing, stats: StreamStats, *, variational: bool = False
 ) -> jnp.ndarray:
     """l = l1 + l2 from the reduced statistics — pure O(m^3) epilogue,
-    identical math to fitc.calc_model/calc_trained."""
+    identical math to fitc.calc_model/calc_trained via the whitened
+    identity log|B| - log|Km + jitter I| = log|I + G|."""
     dt = inducing.km.dtype
-    b = inducing.km.astype(_acc_dtype()) + stats.gram
-    r_mat = cholesky_upper(b.astype(dt))  # same jitter policy as chol_km
-    log_det_b = log_det_tri(r_mat).astype(_acc_dtype())
+    r_tilde = _whitened_factor(inducing, stats)
     l1 = -0.5 * (
-        log_det_b
-        - inducing.log_det_km.astype(_acc_dtype())
+        log_det_tri(r_tilde).astype(_acc_dtype())
         + stats.log_det_s
         + stats.n * LOG_2PI
     )
     if variational:
         l1 = l1 - 0.5 * stats.is_r_sum
-    t = solve_tri(r_mat, stats.u_vec.astype(dt), trans=True)
+    t = solve_tri(r_tilde, stats.u_vec.astype(dt), trans=True)
     l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()))
     return (l1 + l2).astype(dt)
 
@@ -187,10 +200,13 @@ def streaming_coeffs(family, params, z, sigma2, X, y, *, block_size=8192,
         family, params, inducing, sigma2, X, y, block_size=block_size
     )
     dt = inducing.km.dtype
-    b = inducing.km.astype(_acc_dtype()) + stats.gram
-    r_mat = cholesky_upper(b.astype(dt))
-    t = solve_tri(r_mat, stats.u_vec.astype(dt), trans=True)
-    coeffs = solve_tri(r_mat, t)
+    r_tilde = _whitened_factor(inducing, stats)
+    t = solve_tri(r_tilde, stats.u_vec.astype(dt), trans=True)
+    # de-whiten: R = R~ U (upper x upper), coeffs = U^-1 R~^-1 t
+    coeffs = solve_tri(
+        inducing.chol_km, solve_tri(r_tilde, t), trans=False
+    )
+    r_mat = matmul(r_tilde, inducing.chol_km)
     return inducing, r_mat, coeffs
 
 

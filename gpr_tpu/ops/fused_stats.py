@@ -4,8 +4,8 @@ One grid step processes one row-tile of inputs entirely in VMEM:
 form the Knm tile from (X-tile, Z) on the MXU, immediately derive the FITC
 diagonal (r, s, 1/s), and contract into the per-tile partials of
 
-    G   = Knm' diag(1/s) Knm        (m, m)
-    u   = Knm' (y / s)              (m,)
+    G   = (V sqrt(1/s))' (V sqrt(1/s))   (m, m, whitened — see streaming.py)
+    u   = V' (y / s)                     (m,)
     lds = sum log s,  yiy = y'y/s,  isr = sum r/s
 
 — the cross-covariance never exists outside VMEM.  This is the hand-fused
@@ -69,9 +69,9 @@ def _se_iso_stats_kernel(
     is_ = mask / s  # (B, 1)
 
     y = y_ref[:]  # (B, 1)
-    a = knm * jnp.sqrt(is_)
+    a = v * jnp.sqrt(is_)  # whitened rows (see models/streaming.py)
     gram_ref[0] = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
-    uvec_ref[0] = jnp.dot((is_ * y).T, knm, preferred_element_type=jnp.float32)
+    uvec_ref[0] = jnp.dot((is_ * y).T, v, preferred_element_type=jnp.float32)
     lds = jnp.sum(jnp.where(live, jnp.log(s), 0.0))
     yiy = jnp.sum(is_ * y * y)
     isr = jnp.sum(is_ * r)
@@ -110,9 +110,9 @@ def _se_iso_stats_kernel_acc(
     is_ = mask / s
 
     y = y_ref[:]
-    a = knm * jnp.sqrt(is_)
+    a = v * jnp.sqrt(is_)  # whitened rows (see models/streaming.py)
     gram = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
-    uvec = jnp.dot((is_ * y).T, knm, preferred_element_type=jnp.float32)
+    uvec = jnp.dot((is_ * y).T, v, preferred_element_type=jnp.float32)
     sums = jnp.stack(
         [
             jnp.sum(jnp.where(live, jnp.log(s), 0.0)),

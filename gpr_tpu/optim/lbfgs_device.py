@@ -286,25 +286,44 @@ def fit(
     epsabs: float = 0.1,
     max_iter: int = 100,
     history: int = 10,
+    normalize: bool = True,
+    streaming_block_size: int | None = None,
 ):
     """Train a sparse GP to convergence in ONE device dispatch.
 
     Composes the packed negative-evidence objective with the device L-BFGS;
     returns (params, z, sigma2, LBFGSDeviceState).  Use optim.train for the
     callback/interrupt-rich host loop; use this for production throughput.
+
+    ``normalize`` (default on) optimizes the mean NLL — mandatory for f32
+    training at large n, where the total evidence overwhelms line-search
+    resolution; ``epsabs`` then applies to mean-scale gradient norms.
+    ``streaming_block_size`` switches the objective to the streaming
+    evidence (models/streaming.py) for large n.
     """
     from ..models.fitc import calc_model, calc_trained
+    from ..models.streaming import streaming_log_evidence
+
+    scale = 1.0 / X.shape[0] if normalize else 1.0
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(x0, X, y):
         def fg(x):
             def f(x):
                 params, z, sigma2 = pack.unpack(x)
-                model = calc_model(
-                    family, params, X, z, sigma2,
-                    variational=variational, factorization="chol",
-                )
-                return -calc_trained(model, y).l
+                if streaming_block_size is not None:
+                    l = streaming_log_evidence(
+                        family, params, z, sigma2, X, y,
+                        variational=variational,
+                        block_size=streaming_block_size,
+                    )
+                else:
+                    model = calc_model(
+                        family, params, X, z, sigma2,
+                        variational=variational, factorization="chol",
+                    )
+                    l = calc_trained(model, y).l
+                return -l * scale
 
             return jax.value_and_grad(f)(x)
 

@@ -101,7 +101,8 @@ def _prepare(
 
 
 def make_objective(
-    family, X, targets, pack, *, variational=False, factorization=None
+    family, X, targets, pack, *, variational=False, factorization=None,
+    normalize=False,
 ):
     """Jitted (value, grad) of the NEGATIVE evidence over the packed vector,
     plus a jitted trained-state reconstruction for reporting.
@@ -109,7 +110,13 @@ def make_objective(
     The data is threaded through as jit *arguments*, never closure-captured:
     captured arrays lower to embedded constants, which bloats the compiled
     graph and breaks remote-compile backends at large n.
+
+    ``normalize=True`` optimizes the mean NLL (-l/n): same optimum, but at
+    n ~ 10^6 in f32 the total evidence (~1e6) exceeds line-search resolution
+    while the mean stays O(1) — required for large-n f32 training.  Note
+    epsabs thresholds then apply to mean-scale gradients.
     """
+    scale = 1.0 / X.shape[0] if normalize else 1.0
 
     @jax.jit
     def _neg_l_and_grad(x, X, targets):
@@ -119,7 +126,7 @@ def make_objective(
                 family, params, X, z, sigma2,
                 variational=variational, factorization=factorization,
             )
-            return -calc_trained(model, targets).l
+            return -calc_trained(model, targets).l * scale
 
         return jax.value_and_grad(f)(x)
 
