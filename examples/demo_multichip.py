@@ -11,6 +11,9 @@ importing jax):
 from __future__ import annotations
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
@@ -20,8 +23,10 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 
 import jax
 
-if jax.device_count() < 2:  # pragma: no cover - depends on attached hardware
-    jax.config.update("jax_platforms", "cpu")
+# Select the backend BEFORE any device query initializes it.  Default to the
+# CPU mesh (sitecustomize pins JAX_PLATFORMS to the TPU tunnel, which has a
+# single chip here); set GPR_TPU_PLATFORM=axon to run on real chips.
+jax.config.update("jax_platforms", os.environ.get("GPR_TPU_PLATFORM", "cpu"))
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -41,7 +46,7 @@ def main():
     mesh = make_mesh(n_dev)
     print(f"mesh: {n_dev} x {jax.devices()[0].platform} devices")
 
-    X_np, y_np, _ = gen_data(seed=0, n=20_000)
+    X_np, y_np, _ = gen_data(seed=0, n=8_000)
     X, y = jnp.asarray(X_np), jnp.asarray(y_np)
 
     params = SeIso.default_params(X, 20)
@@ -56,7 +61,7 @@ def main():
     # value-and-grad with a single m^2 psum over the interconnect
     x = pack.x0
     f0 = None
-    for i in range(60):
+    for i in range(30):
         f, g = step_fn(x)
         if f0 is None:
             f0 = float(f)
