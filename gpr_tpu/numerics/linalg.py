@@ -38,10 +38,21 @@ def cholesky_upper(a: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
 
     Reference: ``lacpy ~uplo:`U``; ``Mat.add_const_diag jitter``; ``potrf``
     (lib/fitc_gp.ml:53-57).  Jitter defaults to ``config.cholesky_jitter``.
+
+    In f32 the default jitter additionally scales with the diagonal: the
+    reference's absolute 1e-6 assumes f64 rounding (~1e-16); under f32
+    accumulation (~6e-8 relative) a near-singular gram needs jitter at the
+    f32 noise floor or the factorization NaNs.  The f64 parity path is
+    unaffected.  Pass ``jitter`` explicitly to override.
     """
+    n = a.shape[-1]
     if jitter is None:
         jitter = config.cholesky_jitter
-    n = a.shape[-1]
+        if a.dtype == jnp.float32:
+            diag_scale = jnp.mean(
+                jnp.abs(jnp.diagonal(a, axis1=-2, axis2=-1)), axis=-1
+            )
+            jitter = jnp.maximum(jitter, 1e-5 * diag_scale)
     a = a + jitter * jnp.eye(n, dtype=a.dtype)
     return jnp.linalg.cholesky(a, upper=True)
 
