@@ -80,7 +80,7 @@ def _pad_blocks(X, y, mask, block_size):
 
 def stream_stats(
     family, params, inducing, sigma2, X, y, *, block_size: int = 8192,
-    remat: bool = True, mask=None,
+    remat: bool = True, mask=None, unroll: int = 1,
 ) -> StreamStats:
     """One scan over row blocks accumulating StreamStats.
 
@@ -131,7 +131,7 @@ def stream_stats(
         jnp.zeros((), _acc_dtype()),
     )
     (gram, u_vec, lds, yiy, isr, cnt), _ = jax.lax.scan(
-        body, init, (xb, yb, maskb)
+        body, init, (xb, yb, maskb), unroll=unroll
     )
     return StreamStats(
         gram=gram, u_vec=u_vec, log_det_s=lds, y_is_y=yiy, is_r_sum=isr, n=cnt
@@ -178,6 +178,7 @@ def streaming_log_evidence(
     variational: bool = False,
     block_size: int = 8192,
     jitter: float | None = None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Drop-in replacement for models.fitc.log_evidence at large n.
 
@@ -186,7 +187,8 @@ def streaming_log_evidence(
     """
     inducing = calc_inducing(family, params, z, jitter)
     stats = stream_stats(
-        family, params, inducing, sigma2, X, y, block_size=block_size
+        family, params, inducing, sigma2, X, y, block_size=block_size,
+        unroll=unroll,
     )
     return evidence_from_stats(inducing, stats, variational=variational)
 

@@ -203,7 +203,7 @@ def minimize_lbfgs_device(
     epsabs: float = 0.1,
     max_iter: int = 100,
     history: int = 10,
-    max_ls_evals: int = 16,
+    max_ls_evals: int = 30,
 ) -> LBFGSDeviceState:
     """Minimize fg entirely on device.  fg must be a traced-compatible
     function returning (f, g)."""
@@ -259,6 +259,17 @@ def minimize_lbfgs_device(
         )
         head = jnp.where(good_pair, (st.head + 1) % history, st.head)
 
+        # Line-search failure along a quasi-Newton direction: drop the
+        # curvature history and retry from steepest descent (the host driver
+        # does the same, optim/lbfgs.py); only a failure WITH empty history
+        # is terminal.
+        have_hist = jnp.any(st.rho > 0.0)
+        clear = (~ok) & have_hist
+        s_hist = jnp.where(clear, jnp.zeros_like(s_hist), s_hist)
+        y_hist = jnp.where(clear, jnp.zeros_like(y_hist), y_hist)
+        rho = jnp.where(clear, jnp.zeros_like(rho), rho)
+        head = jnp.where(clear, 0, head)
+
         return LBFGSDeviceState(
             x=jnp.where(ok, st.x + s, st.x),
             f=jnp.where(ok, f_new, st.f),
@@ -268,7 +279,7 @@ def minimize_lbfgs_device(
             rho=rho,
             head=head,
             n_iter=st.n_iter + 1,
-            failed=~ok,
+            failed=(~ok) & (~have_hist),
         )
 
     return lax.while_loop(cond, body, init)
