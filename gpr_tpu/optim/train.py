@@ -29,8 +29,6 @@ from ..models.fitc import (
 from .lbfgs import minimize_lbfgs
 from .pack import make_pack
 from .sgd_smd import (
-    SGDState,
-    SMDState,
     run_ascent,
     sgd_create,
     sgd_step,
@@ -269,6 +267,8 @@ def train_sgd(
         kw.pop("fixed", ()), kw.pop("variational", False),
         kw.pop("factorization", None), kw.pop("key", None),
     )
+    if kw:
+        raise TypeError(f"unexpected keyword arguments: {sorted(kw)}")
     st = sgd_create(grad_fn, pack.x0, tau=tau, eta0=eta0)
     best = run_ascent(
         lambda s: sgd_step(grad_fn, s), value_fn, st,
@@ -291,6 +291,8 @@ def train_smd(
         kw.pop("fixed", ()), kw.pop("variational", False),
         kw.pop("factorization", None), kw.pop("key", None),
     )
+    if kw:
+        raise TypeError(f"unexpected keyword arguments: {sorted(kw)}")
     st = smd_create(grad_fn, pack.x0, lambda_=lambda_, mu=mu, eta0=eta0, nu0=nu0)
     best = run_ascent(
         lambda s: smd_step(grad_fn, s), value_fn, st,

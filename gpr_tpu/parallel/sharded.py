@@ -18,8 +18,6 @@ not bandwidth, bound.  Nothing n-sized ever crosses the interconnect.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
