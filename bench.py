@@ -20,6 +20,7 @@ reliable under the axon tunnel).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,6 +30,15 @@ import numpy as np
 
 N, D, M = 1_000_000, 8, 300
 BASELINE_S_PER_ITER = 10.0
+# Remote-compile latency through the tunnel is wildly variable (5 s - 9 min
+# observed for identical graphs); stop starting new measurement paths once
+# this much wall clock is spent so the result line always gets printed.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1200))
+_START = time.perf_counter()
+
+
+def over_budget():
+    return time.perf_counter() - _START > BUDGET_S
 
 
 def log(msg):
@@ -101,6 +111,9 @@ def main():
 
     results = {}
     for name, f in [("streaming", f_streaming), ("dense", f_dense)]:
+        if results and over_budget():
+            log(f"{name}: skipped (over {BUDGET_S:.0f}s budget)")
+            continue
         try:
             vg = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))
             t, lat, first, out = timeit(vg, params, Z, sigma2, X, y)
@@ -121,6 +134,8 @@ def main():
 
     # secondary: predict throughput (mean prediction at the same shape)
     try:
+        if over_budget():
+            raise TimeoutError("over budget")
         coeffs_fn = jax.jit(
             lambda p, z, s2, X, y: streaming_coeffs(
                 SeIso, p, z, s2, X, y, block_size=32768
