@@ -71,12 +71,18 @@ def _two_loop(g, s_hist, y_hist, rho, head, history):
     return -q
 
 
-def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals):
+def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0):
     """Strong-Wolfe line search in lax control flow.
 
     Phase 1 brackets by doubling; phase 2 bisects.  Returns
     (alpha, f, g, ok).  All branches fixed-shape; NaN objective values are
     treated as Armijo failures (step too long), matching the host driver.
+
+    ``f_noise`` relaxes the sufficient-decrease test by an absolute slack —
+    the approximate-Wolfe idea (Hager-Zhang): with an f32 objective whose
+    deterministic rounding jitter exceeds the true decrease near a solution,
+    the exact Armijo test rejects every step and optimization stalls at the
+    noise floor.
     """
     dphi0 = jnp.dot(g0, p)
 
@@ -94,8 +100,9 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals):
         a = c["a"]
         f_a, g_a, dphi_a = phi(a)
         bad = ~jnp.isfinite(f_a)
-        armijo_fail = bad | (f_a > f0 + c1 * a * dphi0) | (
-            (c["evals"] > 0) & (f_a >= c["phi_lo"]) & (c["stage"] == 0)
+        armijo_fail = bad | (f_a > f0 + c1 * a * dphi0 + f_noise) | (
+            (c["evals"] > 0) & (f_a >= c["phi_lo"] + f_noise)
+            & (c["stage"] == 0)
         )
         curv_ok = jnp.abs(dphi_a) <= -c2 * dphi0
 
@@ -183,7 +190,7 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals):
 
     # If the loop exhausted evals without strong Wolfe, fall back to the best
     # finite point seen (sufficient-decrease-only), else fail.
-    fallback_ok = (out["best_f"] < f0) & jnp.isfinite(out["best_f"])
+    fallback_ok = (out["best_f"] < f0 + f_noise) & jnp.isfinite(out["best_f"])
     a_final = jnp.where(out["ok"], out["a"], out["best_a"])
     use = out["ok"] | fallback_ok
     f_f, g_f, _ = phi(a_final)
@@ -192,7 +199,7 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fg", "history", "max_iter", "max_ls_evals"),
+    static_argnames=("fg", "history", "max_iter", "max_ls_evals", "f_noise"),
 )
 def minimize_lbfgs_device(
     fg: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
@@ -204,9 +211,14 @@ def minimize_lbfgs_device(
     max_iter: int = 100,
     history: int = 10,
     max_ls_evals: int = 30,
+    f_noise: float = 0.0,
 ) -> LBFGSDeviceState:
     """Minimize fg entirely on device.  fg must be a traced-compatible
-    function returning (f, g)."""
+    function returning (f, g).
+
+    Set ``f_noise`` to the objective's evaluation-noise amplitude (e.g.
+    ``4 * 6e-8 * |f|`` for an f32 objective) to keep line searches alive at
+    the noise floor (approximate Wolfe)."""
     dt = x0.dtype
     k = x0.shape[0]
     f0, g0 = fg(x0)
@@ -242,7 +254,7 @@ def minimize_lbfgs_device(
             first, jnp.minimum(1.0, step / jnp.maximum(gnorm, 1e-30)), 1.0
         )
         a, f_new, g_new, ok = _wolfe_zoom(
-            fg, st.x, st.f, st.g, p, alpha0, 1e-4, tol, max_ls_evals
+            fg, st.x, st.f, st.g, p, alpha0, 1e-4, tol, max_ls_evals, f_noise
         )
 
         s = a * p
@@ -299,6 +311,7 @@ def fit(
     history: int = 10,
     normalize: bool = True,
     streaming_block_size: int | None = None,
+    f_noise: float | None = None,
 ):
     """Train a sparse GP to convergence in ONE device dispatch.
 
@@ -310,12 +323,16 @@ def fit(
     training at large n, where the total evidence overwhelms line-search
     resolution; ``epsabs`` then applies to mean-scale gradient norms.
     ``streaming_block_size`` switches the objective to the streaming
-    evidence (models/streaming.py) for large n.
+    evidence (models/streaming.py) for large n.  ``f_noise`` defaults to a
+    few f32 ulps of a unit-scale objective when the data is f32 (None ->
+    auto), 0 for f64.
     """
     from ..models.fitc import calc_model, calc_trained
     from ..models.streaming import streaming_log_evidence
 
     scale = 1.0 / X.shape[0] if normalize else 1.0
+    if f_noise is None:
+        f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(x0, X, y):
@@ -340,7 +357,7 @@ def fit(
 
         return minimize_lbfgs_device(
             fg, x0, step=step, tol=tol, epsabs=epsabs, max_iter=max_iter,
-            history=history,
+            history=history, f_noise=f_noise,
         )
 
     st = _run(pack.x0, X, y)
