@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..numerics.linalg import (
     cholesky_upper,
@@ -81,6 +82,7 @@ def _pad_blocks(X, y, mask, block_size):
 def stream_stats(
     family, params, inducing, sigma2, X, y, *, block_size: int = 8192,
     remat: bool = True, mask=None, unroll: int = 1,
+    remat_policy: str = "recompute_all",
 ) -> StreamStats:
     """One scan over row blocks accumulating StreamStats.
 
@@ -95,10 +97,15 @@ def stream_stats(
     m = inducing.z.shape[0]
     u_inv = inv_tri_upper(inducing.chol_km)
     xb, yb, maskb = _pad_blocks(X, y, mask, block_size)
+    save_kernel = remat_policy == "save_kernel"
 
     def body(carry, blk):
         x_b, y_b, mask_b = blk
         knm = family.k_cross(params, x_b, inducing.z)
+        if save_kernel:
+            # keep the cross-covariance tiles for the backward pass (costs
+            # n*m floats of HBM) instead of re-evaluating the kernel
+            knm = checkpoint_name(knm, "knm")
         kd = family.k_diag(params, x_b)
         v = matmul(knm, u_inv)
         r = kd - rows_sqr_norm(v)
@@ -120,7 +127,13 @@ def stream_stats(
         return (gram, u_vec, lds, yiy, isr, cnt), None
 
     if remat:
-        body = jax.checkpoint(body)
+        if save_kernel:
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names("knm"),
+            )
+        else:
+            body = jax.checkpoint(body)
 
     init = (
         jnp.zeros((m, m), _acc_dtype()),
@@ -179,6 +192,7 @@ def streaming_log_evidence(
     block_size: int = 8192,
     jitter: float | None = None,
     unroll: int = 1,
+    remat_policy: str = "recompute_all",
 ) -> jnp.ndarray:
     """Drop-in replacement for models.fitc.log_evidence at large n.
 
@@ -188,7 +202,7 @@ def streaming_log_evidence(
     inducing = calc_inducing(family, params, z, jitter)
     stats = stream_stats(
         family, params, inducing, sigma2, X, y, block_size=block_size,
-        unroll=unroll,
+        unroll=unroll, remat_policy=remat_policy,
     )
     return evidence_from_stats(inducing, stats, variational=variational)
 

@@ -135,3 +135,20 @@ def test_sharded_se_fat(rng):
     dense = log_evidence(SeFat, p, Z, 0.5, X, y, variational=True,
                          factorization="chol")
     np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-11)
+
+
+def test_remat_policy_save_kernel_matches(rng):
+    """The save-kernel checkpoint policy must not change values/gradients."""
+    X, Z, y, p = data(rng, n=300, m=7)
+
+    def f(policy):
+        return jax.grad(
+            lambda p_: streaming_log_evidence(
+                SeIso, p_, Z, SIGMA2, X, y, block_size=64,
+                remat_policy=policy,
+            )
+        )(p)
+
+    g1, g2 = f("recompute_all"), f("save_kernel")
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
