@@ -140,9 +140,22 @@ def minimize_lbfgs(
         gnorm = np.linalg.norm(g)
         alpha0 = 1.0 if y_hist else min(1.0, step / max(gnorm, 1e-30))
         ls = _strong_wolfe(fg, x, f, g, p, alpha0, c2=tol)
+        if ls is None and not y_hist:
+            # Strong Wolfe failed even along steepest descent (typical on
+            # ill-conditioned starts where the curvature test is
+            # unsatisfiable at f64 resolution): fall back to plain Armijo
+            # backtracking — any decrease keeps the optimization alive,
+            # matching GSL BFGS2's grind-through behavior.
+            a = alpha0
+            for _ in range(40):
+                f_a, g_a = fg(x + a * p)
+                if np.isfinite(f_a) and f_a < f:
+                    ls = (a, f_a, g_a)
+                    break
+                a *= 0.5
         if ls is None:
-            # line search failed along the quasi-Newton direction; restart
-            # from steepest descent once, then give up
+            # failed along the quasi-Newton direction; restart from steepest
+            # descent once, then give up
             if not y_hist:
                 break
             s_hist.clear()

@@ -188,15 +188,22 @@ def train(
     )
 
     best: dict = {"le": -np.inf, "x": pack.x0}
+    n_evals = {"n": 0}
 
     def fg(x):
         xj = jnp.asarray(x)
         f, g = neg_l_and_grad(xj)
         f = float(f)
+        n_evals["n"] += 1
         if np.isnan(f):
-            raise FloatingPointError(
-                "optimization function returned nan"
-            )  # fitc_gp.ml:1523-1528
+            if n_evals["n"] == 1:
+                # NaN at the starting point is unrecoverable
+                # (fitc_gp.ml:1523-1528)
+                raise FloatingPointError("optimization function returned nan")
+            # NaN at a line-search probe (sigma2 underflow, exp overflow at a
+            # wild trial step) just means "step too far": report +inf so the
+            # search backs off.
+            return np.inf, np.zeros_like(np.asarray(g, dtype=np.float64))
         return f, np.asarray(g, dtype=np.float64)
 
     iter_box = {"i": 1}
