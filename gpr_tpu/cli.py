@@ -296,9 +296,16 @@ def _configure_jax():
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _configure_jax()
-    if args.cmd == "train":
-        return cmd_train(args)
-    return cmd_test(args)
+    try:
+        if args.cmd == "train":
+            return cmd_train(args)
+        return cmd_test(args)
+    except FileNotFoundError as e:
+        raise SystemExit(f"cannot open model file: {e.filename}")
+    except FloatingPointError as e:
+        raise SystemExit(
+            f"training failed: {e} (check inputs for NaN/inf values)"
+        )
 
 
 if __name__ == "__main__":

@@ -79,11 +79,14 @@ class CsvError(ValueError):
     def __init__(self, code: int, line: int):
         self.code = code
         self.line = line
-        msg = {
-            -1: f"incompatible dimension of sample in line {line}",
-            -2: f"failure converting sample in line {line}",
-            -3: "out of memory or I/O failure",
-        }.get(code, f"csv parse error {code}")
+        if code == -2 and line == 0:
+            msg = "no data"  # bin/ocaml_gpr.ml:153
+        else:
+            msg = {
+                -1: f"incompatible dimension of sample in line {line}",
+                -2: f"failure converting sample in line {line}",
+                -3: "out of memory or I/O failure",
+            }.get(code, f"csv parse error {code}")
         super().__init__(msg)
 
 
