@@ -24,6 +24,8 @@ class Config:
     debug: bool = False
     # Matmul precision for f32 inputs on TPU.  HIGHEST = f32 accumulation via
     # multiple bf16 passes; matters for the 1e-6 parity bar at large n.
+    # NOTE: read at trace time — changing it does not invalidate already-
+    # compiled jit caches; set it before building jitted objectives.
     matmul_precision: str = "highest"
     # 'qr' | 'chol' | 'auto': how to factor B = Km + Knm' D^-1 Knm.
     # 'qr' reproduces the reference's Foster-2009 stacked QR

@@ -212,3 +212,22 @@ def test_train_sgd_smd_on_gp(rng):
     t2 = train_smd(SeIso, X, y, n_rand_inducing=6, max_iter=15, epsabs=1.0)
     assert np.isfinite(float(t1.l))
     assert np.isfinite(float(t2.l))
+
+
+def test_train_se_fat_fixed_subset(rng):
+    """Hyper-subset selection through training: freeze tproj and the noise,
+    learn only sf2/hetero/multiscales/inducing (the reference's explicit
+    ``hypers`` array use case)."""
+    X = jnp.asarray(rng.standard_normal((80, 4)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)))
+    p0 = SeFat.default_params(X, 6, key=jax.random.PRNGKey(2))
+    res = train(
+        SeFat, X, y, kernel_params=p0, n_rand_inducing=6, sigma2=0.5,
+        learn_sigma2=False, fixed=("tproj",), max_iter=6, epsabs=1.0,
+        key=jax.random.PRNGKey(2),
+    )
+    np.testing.assert_allclose(np.asarray(res.kernel_params.tproj),
+                               np.asarray(p0.tproj))
+    np.testing.assert_allclose(float(res.sigma2), 0.5, rtol=1e-12)
+    # something else did move
+    assert float(jnp.abs(res.kernel_params.log_sf2 - p0.log_sf2)) > 1e-8
