@@ -60,3 +60,17 @@ def test_jsonl_logger():
     assert lines[0]["iter"] == 1 and lines[0]["l"] == -123.5
     assert lines[1]["note"] == "better"
     assert "ts" in lines[0]
+
+
+def test_debug_nans_context():
+    import jax
+    import jax.numpy as jnp
+
+    from gpr_tpu.utils import debug_nans
+
+    old = jax.config.jax_debug_nans
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans is True
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.asarray(-1.0)) + 1.0
+    assert jax.config.jax_debug_nans == old
