@@ -1,3 +1,4 @@
+from .mesh2d import MODEL_AXIS, make_mesh_2d, sharded_log_evidence_2d
 from .sharded import (
     DATA_AXIS,
     sharded_log_evidence_tsqr,
@@ -12,6 +13,9 @@ from .sharded import (
 
 __all__ = [
     "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh_2d",
+    "sharded_log_evidence_2d",
     "sharded_log_evidence_tsqr",
     "sharded_predict_means",
     "sharded_predict_variances",

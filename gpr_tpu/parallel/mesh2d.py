@@ -1,0 +1,188 @@
+"""2-D (data x model) mesh evidence: tensor parallelism over the m axis.
+
+The 1-D path (sharded.py) replicates all m-sized work; fine to m ~ a few
+thousand.  Beyond that, the two O(n m^2) GEMMs per pass (V = Knm U^-1 and
+the Gram) dominate — this module shards them over a second mesh axis while
+staying *exact*:
+
+  per (data_i, model_j) member, per row block:
+    knm   = K(X_block, Z)                      duplicated over model
+                                               (O(n m d): ~d/m of the GEMM
+                                               flops — negligible)
+    V_.j  = knm @ U^-1[:, cols_j]              GEMM #1, model-sharded
+    rowsq = psum_model(rowsq(V_.j))            n_block floats over the axis
+    r, s, 1/s                                  elementwise
+    G_.j += knm' (1/s * knm[:, cols_j])        GEMM #2, model-sharded
+    u    += knm' (y / s)                       GEMV, duplicated (cheap)
+
+  epilogue (replicated): psum_data + all_gather_model the raw Gram column
+  blocks, whiten G~ = U^-T G U^-1, factor I + G~, evidence as in
+  models/streaming.py.
+
+The m x m factorizations stay replicated — the honest threshold for this
+design is m where m^3 / chip-flops or m^2 memory binds (~3 x 10^4 on v5e);
+distributed block Cholesky is the next step beyond (NEXT.md).
+
+Requires m divisible by the model-axis size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.fitc import LOG_2PI, calc_inducing
+from ..numerics.linalg import (
+    cholesky_upper,
+    inv_tri_upper,
+    log_det_tri,
+    matmul,
+    solve_tri,
+)
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    devices = jax.devices()
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}"
+        )
+    return jax.make_mesh(
+        (n_data, n_model), (DATA_AXIS, MODEL_AXIS),
+        devices=devices[: n_data * n_model],
+    )
+
+
+def _acc_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def sharded_log_evidence_2d(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    sigma2,
+    X,
+    y,
+    mask=None,
+    *,
+    variational: bool = False,
+    block_size: int = 8192,
+    jitter: float | None = None,
+):
+    """Exact evidence over a (data, model) mesh.
+
+    X (n, d) and y (n,) shard over the data axis (replicated over model);
+    params/z/sigma2 replicate everywhere.  Differentiable; collectives
+    transpose correctly under jax.grad.
+    """
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+    n_model = mesh.shape[MODEL_AXIS]
+    m = z.shape[0]
+    if m % n_model != 0:
+        raise ValueError(
+            f"m ({m}) must be divisible by the model axis ({n_model})"
+        )
+    m_t = m // n_model
+
+    def shard_fn(params, z, sigma2, xs, ys, ms):
+        j = lax.axis_index(MODEL_AXIS)
+        inducing = calc_inducing(family, params, z, jitter)
+        u_inv = inv_tri_upper(inducing.chol_km)  # replicated (m, m)
+        u_inv_j = lax.dynamic_slice_in_dim(u_inv, j * m_t, m_t, axis=1)
+
+        n_local = xs.shape[0]
+        bs = min(block_size, n_local)
+        nb = -(-n_local // bs)
+        pad = nb * bs - n_local
+        if pad:
+            xs = jnp.concatenate([xs, jnp.zeros((pad, xs.shape[1]), xs.dtype)])
+            ys = jnp.concatenate([ys, jnp.zeros((pad,), ys.dtype)])
+            ms = jnp.concatenate([ms, jnp.zeros((pad,), ms.dtype)])
+        xb = xs.reshape(nb, bs, xs.shape[1])
+        yb = ys.reshape(nb, bs)
+        mb = ms.reshape(nb, bs)
+
+        acc = _acc_dtype()
+
+        def body(carry, blk):
+            x_b, y_b, mask_b = blk
+            knm = family.k_cross(params, x_b, z)  # (bs, m), dup over model
+            kd = family.k_diag(params, x_b)
+            v_j = matmul(knm, u_inv_j)  # (bs, m_t) model-sharded GEMM
+            rq = lax.psum(jnp.sum(jnp.square(v_j), axis=-1), MODEL_AXIS)
+            r = kd - rq
+            live = mask_b > 0
+            s = jnp.where(live, r + sigma2, 1.0)
+            is_ = mask_b / s
+
+            knm_j = lax.dynamic_slice_in_dim(knm, j * m_t, m_t, axis=1)
+            gram_j, u_vec, lds, yiy, isr, cnt = carry
+            # raw-Gram column block; whitening happens in the epilogue (the
+            # f64 accumulator preserves PSD for the sandwich)
+            gram_j = gram_j + matmul(knm.T, is_[:, None] * knm_j).astype(acc)
+            u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(acc)
+            lds = lds + jnp.sum(jnp.where(live, jnp.log(s), 0.0)).astype(acc)
+            yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(acc)
+            isr = isr + jnp.sum(is_ * r).astype(acc)
+            cnt = cnt + jnp.sum(mask_b).astype(acc)
+            return (gram_j, u_vec, lds, yiy, isr, cnt), None
+
+        init = (
+            jnp.zeros((m, m_t), acc),
+            jnp.zeros((m,), acc),
+            jnp.zeros((), acc),
+            jnp.zeros((), acc),
+            jnp.zeros((), acc),
+            jnp.zeros((), acc),
+        )
+        (gram_j, u_vec, lds, yiy, isr, cnt), _ = lax.scan(
+            jax.checkpoint(body), init, (xb, yb, mb)
+        )
+
+        # reduce: data-psum the column blocks, then assemble over model; the
+        # scalar stats and u were computed identically on every model member
+        # (duplicated work), so they only reduce over data
+        gram_j = lax.psum(gram_j, DATA_AXIS)
+        gram = lax.all_gather(gram_j, MODEL_AXIS, axis=1, tiled=True)  # (m, m)
+        u_vec = lax.psum(u_vec, DATA_AXIS)
+        lds = lax.psum(lds, DATA_AXIS)
+        yiy = lax.psum(yiy, DATA_AXIS)
+        isr = lax.psum(isr, DATA_AXIS)
+        cnt = lax.psum(cnt, DATA_AXIS)
+
+        # whitened epilogue (replicated m^3)
+        dt = inducing.km.dtype
+        g_white = matmul(u_inv.T.astype(acc), matmul(gram, u_inv.astype(acc)))
+        r_tilde = cholesky_upper(
+            (jnp.eye(m, dtype=acc) + g_white).astype(dt), jitter=0.0
+        )
+        l1 = -0.5 * (
+            log_det_tri(r_tilde).astype(acc) + lds + cnt * LOG_2PI
+        )
+        if variational:
+            l1 = l1 - 0.5 * isr
+        u_white = solve_tri(inducing.chol_km, u_vec.astype(dt), trans=True)
+        t = solve_tri(r_tilde, u_white, trans=True)
+        l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
+        return (l1 + l2).astype(dt)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
