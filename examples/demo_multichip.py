@@ -76,6 +76,18 @@ def main():
     rmse = float(jnp.sqrt(jnp.mean((mu - y) ** 2)))
     print(f"sharded predict: rmse={rmse:.3f} (noise sigma 0.7)")
 
+    # 2-D mesh (data x model): tensor parallelism over the inducing axis
+    if n_dev >= 4 and n_dev % 2 == 0:
+        from gpr_tpu.parallel import make_mesh_2d, sharded_log_evidence_2d
+
+        mesh2 = make_mesh_2d(n_dev // 2, 2)
+        l_2d = sharded_log_evidence_2d(
+            SeIso, mesh2, params_t, z_t, sigma2_t, X, y, variational=True,
+            block_size=2048,
+        )
+        print(f"2-D mesh ({n_dev // 2} data x 2 model) evidence: "
+              f"{float(l_2d):.1f} (matches 1-D: {-float(f):.1f})")
+
 
 if __name__ == "__main__":
     main()

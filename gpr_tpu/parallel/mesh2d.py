@@ -19,6 +19,15 @@ staying *exact*:
   blocks, whiten G~ = U^-T G U^-1, factor I + G~, evidence as in
   models/streaming.py.
 
+Precision: the raw-Gram sandwich amplifies accumulation rounding by
+cond(Km); with f64 accumulators (x64 enabled) the identity margin holds,
+but in pure f32 the whitened matrix can lose positive-definiteness by O(1)
+(measured -3.2 on an ill-conditioned 1-D example).  When accumulators are
+f32 this module therefore switches to accumulating the *whitened* Gram
+directly (compute the full V row block — duplicating the V GEMM across the
+model axis — and shard only the Gram GEMM): unconditionally stable, with a
+reduced TP speedup ceiling of 2x.  With x64 both GEMMs shard.
+
 The m x m factorizations stay replicated — the honest threshold for this
 design is m where m^3 / chip-flops or m^2 memory binds (~3 x 10^4 on v5e);
 distributed block Cholesky is the next step beyond (NEXT.md).
@@ -93,6 +102,9 @@ def sharded_log_evidence_2d(
         )
     m_t = m // n_model
 
+    # raw-Gram TP needs f64 accumulators to survive the whitening sandwich
+    raw_gram = _acc_dtype() == jnp.float64
+
     def shard_fn(params, z, sigma2, xs, ys, ms):
         j = lax.axis_index(MODEL_AXIS)
         inducing = calc_inducing(family, params, z, jitter)
@@ -117,19 +129,35 @@ def sharded_log_evidence_2d(
             x_b, y_b, mask_b = blk
             knm = family.k_cross(params, x_b, z)  # (bs, m), dup over model
             kd = family.k_diag(params, x_b)
-            v_j = matmul(knm, u_inv_j)  # (bs, m_t) model-sharded GEMM
-            rq = lax.psum(jnp.sum(jnp.square(v_j), axis=-1), MODEL_AXIS)
-            r = kd - rq
             live = mask_b > 0
-            s = jnp.where(live, r + sigma2, 1.0)
-            is_ = mask_b / s
-
-            knm_j = lax.dynamic_slice_in_dim(knm, j * m_t, m_t, axis=1)
             gram_j, u_vec, lds, yiy, isr, cnt = carry
-            # raw-Gram column block; whitening happens in the epilogue (the
-            # f64 accumulator preserves PSD for the sandwich)
-            gram_j = gram_j + matmul(knm.T, is_[:, None] * knm_j).astype(acc)
-            u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(acc)
+            if raw_gram:
+                v_j = matmul(knm, u_inv_j)  # (bs, m_t) model-sharded GEMM
+                rq = lax.psum(jnp.sum(jnp.square(v_j), axis=-1), MODEL_AXIS)
+                r = kd - rq
+                s = jnp.where(live, r + sigma2, 1.0)
+                is_ = mask_b / s
+                knm_j = lax.dynamic_slice_in_dim(knm, j * m_t, m_t, axis=1)
+                # raw-Gram column block; whitened in the epilogue (f64
+                # accumulation preserves PSD through the sandwich)
+                gram_j = gram_j + matmul(
+                    knm.T, is_[:, None] * knm_j
+                ).astype(acc)
+                u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(acc)
+            else:
+                # f32-stable mode: full V per member (duplicated GEMM), shard
+                # only the whitened-Gram GEMM — PSD by construction
+                v = matmul(knm, u_inv)  # (bs, m)
+                r = kd - jnp.sum(jnp.square(v), axis=-1)
+                s = jnp.where(live, r + sigma2, 1.0)
+                is_ = mask_b / s
+                sqrt_is = jnp.where(
+                    live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0
+                )
+                a = v * sqrt_is[:, None]
+                a_j = lax.dynamic_slice_in_dim(a, j * m_t, m_t, axis=1)
+                gram_j = gram_j + matmul(a.T, a_j).astype(acc)
+                u_vec = u_vec + matmul(v.T, is_ * y_b).astype(acc)
             lds = lds + jnp.sum(jnp.where(live, jnp.log(s), 0.0)).astype(acc)
             yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(acc)
             isr = isr + jnp.sum(is_ * r).astype(acc)
@@ -161,7 +189,13 @@ def sharded_log_evidence_2d(
 
         # whitened epilogue (replicated m^3)
         dt = inducing.km.dtype
-        g_white = matmul(u_inv.T.astype(acc), matmul(gram, u_inv.astype(acc)))
+        if raw_gram:
+            g_white = matmul(
+                u_inv.T.astype(acc), matmul(gram, u_inv.astype(acc))
+            )
+            g_white = 0.5 * (g_white + g_white.T)
+        else:
+            g_white = gram  # already whitened in the body
         r_tilde = cholesky_upper(
             (jnp.eye(m, dtype=acc) + g_white).astype(dt), jitter=0.0
         )
@@ -170,7 +204,10 @@ def sharded_log_evidence_2d(
         )
         if variational:
             l1 = l1 - 0.5 * isr
-        u_white = solve_tri(inducing.chol_km, u_vec.astype(dt), trans=True)
+        if raw_gram:
+            u_white = solve_tri(inducing.chol_km, u_vec.astype(dt), trans=True)
+        else:
+            u_white = u_vec.astype(dt)  # accumulated as V'(is y) = U^-T u
         t = solve_tri(r_tilde, u_white, trans=True)
         l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
         return (l1 + l2).astype(dt)
