@@ -27,7 +27,8 @@ from .predict import (
     predict_variances,
     variances_model_inputs,
 )
-from .sample import CovSampler, Sampler, cov_sample, cov_sampler, sample, sampler
+from .sample import (CovSampler, Sampler, cov_sample, cov_sampler,
+                     sample, sample_fic_blocked, sampler)
 from .stats import Stats, calc_stats
 
 __all__ = [n for n in dir() if not n.startswith("_")]

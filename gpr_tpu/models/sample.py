@@ -68,3 +68,63 @@ def cov_sample(key, cs: CovSampler, n: int | None = None) -> jnp.ndarray:
     z = jax.random.normal(key, shape, cs.cov_chol.dtype)
     correlated = matmul(cs.cov_chol.T, z)
     return correlated + (cs.means if n is None else cs.means[:, None])
+
+
+def sample_fic_blocked(
+    key,
+    family,
+    params,
+    cvp,
+    X,
+    sigma2,
+    n_samples: int,
+    *,
+    predictive: bool = True,
+    block_size: int = 8192,
+):
+    """Exact joint FIC posterior samples at unbounded scale: O(t m) per draw.
+
+    The FIC posterior covariance is low-rank-plus-diagonal,
+    Sigma = W W' + diag(r_t) with W = Ktm R^-1 and
+    r_t = kt_diag - rowsq(Ktm U^-1) (+ sigma2 if predictive), so
+
+        sample = mean + W eps_m + sqrt(r_t) * eps_t,   eps ~ N(0, I)
+
+    is exact without materializing the t x t covariance the reference must
+    Cholesky (fitc_gp.ml:661-671) — sampling a million test points jointly
+    becomes a streamed matmul.  Returns (t, n_samples); means are NOT added
+    (compose with predict_means/predict_means_blocked).
+    """
+    from ..numerics.linalg import inv_tri_upper, rows_sqr_norm
+
+    t = X.shape[0]
+    m = cvp.z.shape[0]
+    k_eps_m, k_eps_t = jax.random.split(key)
+    eps_m = jax.random.normal(k_eps_m, (m, n_samples), X.dtype)
+    u_inv = inv_tri_upper(cvp.chol_km)
+    r_inv = inv_tri_upper(cvp.r_mat)
+
+    nb = -(-t // block_size)
+    pad = nb * block_size - t
+    Xp = (
+        jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        if pad else X
+    )
+    xb = Xp.reshape(nb, block_size, X.shape[1])
+    keys = jax.random.split(k_eps_t, nb)
+
+    def blk(args):
+        x_b, k_b = args
+        ktm = family.k_cross(params, x_b, cvp.z)
+        kt_diag = family.k_diag(params, x_b)
+        r_t = kt_diag - rows_sqr_norm(matmul(ktm, u_inv))
+        if predictive:
+            r_t = r_t + sigma2
+        r_t = jnp.maximum(r_t, 0.0)
+        w = matmul(ktm, r_inv)  # (b, m)
+        eps_t = jax.random.normal(k_b, (x_b.shape[0], eps_m.shape[1]),
+                                  X.dtype)
+        return matmul(w, eps_m) + jnp.sqrt(r_t)[:, None] * eps_t
+
+    out = jax.lax.map(blk, (xb, keys))
+    return out.reshape(-1, n_samples)[:t]

@@ -133,3 +133,39 @@ def test_cov_sampler_statistics(setup):
     # single draw shape
     one = cov_sample(jax.random.PRNGKey(2), cs)
     assert one.shape == (5,)
+
+
+def test_fic_blocked_sampling_moments(setup):
+    """Low-rank streamed FIC sampling reproduces the dense FIC posterior
+    moments without forming the t x t covariance."""
+    from gpr_tpu.models.sample import sample_fic_blocked
+
+    p, X, Z, y, model, trained = setup
+    cvp = co_variance_predictor(model)
+    Xs = X[:6]
+    cov_ref = covariances_fic(SeIso, p, cvp, Xs, SIGMA2, predictive=False)
+    draws = sample_fic_blocked(
+        jax.random.PRNGKey(3), SeIso, p, cvp, Xs, SIGMA2, 60000,
+        predictive=False, block_size=4,
+    )
+    assert draws.shape == (6, 60000)
+    emp = jnp.cov(np.asarray(draws))
+    np.testing.assert_allclose(np.asarray(emp), np.asarray(cov_ref), atol=0.02)
+    np.testing.assert_allclose(np.asarray(jnp.mean(draws, axis=1)),
+                               np.zeros(6), atol=0.02)
+
+
+def test_fic_blocked_sampling_large_t(setup):
+    """Sampling 50k joint test points runs in low-rank time/memory."""
+    from gpr_tpu.models.sample import sample_fic_blocked
+
+    p, X, Z, y, model, trained = setup
+    cvp = co_variance_predictor(model)
+    rng2 = np.random.default_rng(0)
+    Xbig = jnp.asarray(rng2.standard_normal((50_000, 2)))
+    draws = sample_fic_blocked(
+        jax.random.PRNGKey(5), SeIso, p, cvp, Xbig, SIGMA2, 3,
+        block_size=8192,
+    )
+    assert draws.shape == (50_000, 3)
+    assert bool(jnp.all(jnp.isfinite(draws)))
