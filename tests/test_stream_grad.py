@@ -1,0 +1,134 @@
+"""Hand-fused streaming VJP (models/stream_grad.py) == checkpointed AD.
+
+The custom backward re-derives the cotangent chain by hand; these tests pin
+it against jax AD through the same scan body, in f64, for every kernel
+family, with non-divisible n (padding/mask gating live in the backward too)
+and both evidence variants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpr_tpu.kernels import Const, LinArd, LinOne, SeFat, SeIso
+from gpr_tpu.models.streaming import streaming_log_evidence
+
+
+def _setup(rng, family, n=71, d=3, m=9):
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    if family is SeFat:
+        params = SeFat.Params(
+            d=d,
+            log_sf2=jnp.asarray(0.2),
+            tproj=jnp.asarray(rng.standard_normal((d, d)) / d),
+            log_hetero_skedasticity=jnp.asarray(
+                rng.standard_normal(m) * 0.1 - 3.0
+            ),
+            log_multiscales_m05=jnp.asarray(rng.standard_normal((m, d)) * 0.1),
+        )
+    else:
+        params = family.default_params(X, m)
+    # Perturb the inducing representation off the data rows: at an exact
+    # interpolation point (Z == scaled X rows) the true gradient is a tiny
+    # residue of O(1) cancelling per-tile terms, and "AD == custom to
+    # roundoff" becomes relative to the cancellation scale, not the result.
+    Z = family.inducing_from_inputs(params, X[:m])
+    Z = Z + 0.05 * jnp.asarray(rng.standard_normal(Z.shape))
+    return params, Z, X, y
+
+
+@pytest.mark.parametrize("family", [SeIso, SeFat, LinOne, LinArd, Const])
+@pytest.mark.parametrize("variational", [False, True])
+def test_custom_vjp_matches_ad(rng, family, variational):
+    params, Z, X, y = _setup(rng, family)
+    sigma2 = jnp.asarray(0.3)
+
+    def make_obj(grad_impl):
+        def obj(params, Z, sigma2):
+            return streaming_log_evidence(
+                family, params, Z, sigma2, X, y,
+                variational=variational, block_size=16, grad_impl=grad_impl,
+            )
+        return obj
+
+    v_ad, g_ad = jax.value_and_grad(make_obj("ad"), argnums=(0, 1, 2))(
+        params, Z, sigma2
+    )
+    v_cv, g_cv = jax.value_and_grad(make_obj("custom"), argnums=(0, 1, 2))(
+        params, Z, sigma2
+    )
+    assert np.isclose(float(v_ad), float(v_cv), rtol=1e-12, atol=1e-12)
+    flat_ad = jax.tree.leaves(g_ad)
+    flat_cv = jax.tree.leaves(g_cv)
+    assert len(flat_ad) == len(flat_cv)
+    for a, c in zip(flat_ad, flat_cv):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_custom_vjp_under_jit_and_mask(rng):
+    """jit + explicit mask path (sharded callers pass masks)."""
+    from gpr_tpu.models.fitc import calc_inducing
+    from gpr_tpu.models.streaming import evidence_from_stats, stream_stats
+
+    params, Z, X, y = _setup(rng, SeIso, n=50)
+    mask = jnp.asarray((rng.uniform(size=50) > 0.2).astype(np.float64))
+    sigma2 = jnp.asarray(0.5)
+
+    def make_obj(grad_impl):
+        @jax.jit
+        def obj(params, Z, sigma2, X, y, mask):
+            inducing = calc_inducing(SeIso, params, Z)
+            stats = stream_stats(
+                SeIso, params, inducing, sigma2, X, y, block_size=16,
+                mask=mask, grad_impl=grad_impl,
+            )
+            return evidence_from_stats(inducing, stats, variational=True)
+        return obj
+
+    args = (params, Z, sigma2, X, y, mask)
+    v_ad, g_ad = jax.value_and_grad(make_obj("ad"), argnums=(0, 1, 2))(*args)
+    v_cv, g_cv = jax.value_and_grad(make_obj("custom"), argnums=(0, 1, 2))(
+        *args
+    )
+    assert np.isclose(float(v_ad), float(v_cv), rtol=1e-12)
+    for a, c in zip(jax.tree.leaves(g_ad), jax.tree.leaves(g_cv)):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_custom_vjp_sharded(rng):
+    """Default grad path inside shard_map == single-device AD gradients."""
+    from gpr_tpu.parallel import make_mesh, shard_batch
+    from gpr_tpu.parallel.sharded import sharded_log_evidence
+
+    params, Z, X, y = _setup(rng, SeIso, n=64)
+    sigma2 = jnp.asarray(0.4)
+    mesh = make_mesh(8)
+    Xs, ys, mask = shard_batch(mesh, X, y)
+
+    def obj_sharded(params, Z, sigma2):
+        return sharded_log_evidence(
+            SeIso, mesh, params, Z, sigma2, Xs, ys, mask, block_size=8
+        )
+
+    def obj_local(params, Z, sigma2):
+        return streaming_log_evidence(
+            SeIso, params, Z, sigma2, X, y, block_size=8, grad_impl="ad"
+        )
+
+    v_s, g_s = jax.jit(jax.value_and_grad(obj_sharded, argnums=(0, 1, 2)))(
+        params, Z, sigma2
+    )
+    v_l, g_l = jax.value_and_grad(obj_local, argnums=(0, 1, 2))(
+        params, Z, sigma2
+    )
+    assert np.isclose(float(v_s), float(v_l), rtol=1e-11)
+    for a, c in zip(jax.tree.leaves(g_l), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=1e-8, atol=1e-10
+        )
