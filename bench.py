@@ -74,9 +74,32 @@ def timeit(fn, *args, iters=8):
     return throughput, latency, first, out
 
 
+def mxu_utilization(t_s: float, n: int, m: int, device) -> str:
+    """Roofline accounting for one streaming evidence+gradient at (n, m).
+
+    Large GEMMs per iteration (models/stream_grad.py): forward V and Gram,
+    backward V recompute, V@Gsym, Knm-bar, U^-1-bar — 6 contractions of
+    2 n m_pad^2 flops with m zero-padded to the 128-wide MXU lane multiple;
+    matmul_precision='high' runs each f32 GEMM as 3 bf16 MXU passes.  MXU
+    busy fraction = executed-pass flops / time / chip bf16 peak.
+    """
+    kind = str(getattr(device, "device_kind", "")).lower()
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+             "v4": 275e12, "v6": 918e12}
+    peak = next((v for k, v in peaks.items() if k in kind), 197e12)
+    m_pad = -(-m // 128) * 128
+    passes = 3  # matmul_precision='high'
+    gemm_flops = 6 * 2 * n * m_pad * m_pad
+    busy = gemm_flops * passes / t_s
+    useful = 6 * 2 * n * m * m / t_s
+    return (f"MXU: {busy/1e12:.0f} TF/s of bf16 passes = "
+            f"{100*busy/peak:.0f}% busy of {peak/1e12:.0f} TF/s peak "
+            f"({kind or 'unknown'}); useful f32 {useful/1e12:.1f} TF/s")
+
+
 def main():
     from gpr_tpu.config import config
-    from gpr_tpu.kernels import SeIso
+    from gpr_tpu.kernels import SeFat, SeIso
     from gpr_tpu.models.fitc import log_evidence
     from gpr_tpu.models.streaming import (
         predict_means_blocked,
@@ -102,7 +125,7 @@ def main():
 
     def f_streaming(params, z, sigma2, X, y):
         return streaming_log_evidence(
-            SeIso, params, z, sigma2, X, y, block_size=32768
+            SeIso, params, z, sigma2, X, y, block_size=16384
         )
 
     def f_dense(params, z, sigma2, X, y):
@@ -131,6 +154,32 @@ def main():
         return
 
     best = min(results.values())
+    log(mxu_utilization(best, N, M, dev))
+
+    # secondary: the flagship model (se_fat variational FIC — the reference
+    # CLI's configuration, bin/ocaml_gpr.ml:176-177) at the same shape
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        pf = SeFat.Params(
+            d=D, log_sf2=jnp.asarray(0.1, dtype),
+            tproj=jnp.asarray(rng.standard_normal((D, D)) / D, dtype),
+            log_hetero_skedasticity=jnp.full((M,), -5.0, dtype),
+            log_multiscales_m05=jnp.zeros((M, D), dtype),
+        )
+        Zf = SeFat.inducing_from_inputs(pf, X[:M])
+
+        def f_fat(p, z, s2, X, y):
+            return streaming_log_evidence(
+                SeFat, p, z, s2, X, y, variational=True, block_size=16384
+            )
+
+        vgf = jax.jit(jax.value_and_grad(f_fat, argnums=(0, 1, 2)))
+        tf_, latf, firstf, outf = timeit(vgf, pf, Zf, sigma2, X, y)
+        log(f"flagship se_fat variational: {tf_*1e3:.1f} ms/iter pipelined "
+            f"(first {firstf:.1f}s, evidence {float(outf[0]):.1f})")
+    except Exception as e:  # noqa: BLE001
+        log(f"flagship se_fat: FAILED {type(e).__name__}: {e}")
 
     # secondary: predict throughput (mean prediction at the same shape)
     try:

@@ -11,7 +11,59 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..optim.lbfgs import LBFGSHostState
 from ..optim.lbfgs_device import LBFGSDeviceState
+
+
+# ---------------------------------------------------------------------------
+# Host train() loop (optim.train / optim.lbfgs.minimize_lbfgs)
+# ---------------------------------------------------------------------------
+
+
+def save_train_checkpoint(
+    path: str, st: LBFGSHostState, *, best_x=None, best_le=None
+):
+    """Persist the host L-BFGS state (+ best-model-so-far tracking) as a
+    plain npz.  Resuming with :func:`load_train_checkpoint` on the SAME
+    objective reproduces the uninterrupted trajectory exactly."""
+    k = len(st.s_hist)
+    n = st.x.shape[0]
+    arrays = {
+        "x": np.asarray(st.x, np.float64),
+        "f": np.asarray(st.f, np.float64),
+        "g": np.asarray(st.g, np.float64),
+        "s_hist": (np.stack(st.s_hist) if k else np.zeros((0, n))),
+        "y_hist": (np.stack(st.y_hist) if k else np.zeros((0, n))),
+        "rho_hist": np.asarray(st.rho_hist, np.float64),
+        "n_iter": np.asarray(st.n_iter, np.int64),
+        "best_x": np.asarray(best_x if best_x is not None else st.x,
+                             np.float64),
+        "best_le": np.asarray(
+            best_le if best_le is not None else -st.f, np.float64
+        ),
+    }
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
+
+
+def load_train_checkpoint(path: str):
+    """Returns (LBFGSHostState, best_x, best_le)."""
+    with np.load(path) as z:
+        st = LBFGSHostState(
+            x=z["x"],
+            f=float(z["f"]),
+            g=z["g"],
+            s_hist=list(z["s_hist"]),
+            y_hist=list(z["y_hist"]),
+            rho_hist=[float(r) for r in z["rho_hist"]],
+            n_iter=int(z["n_iter"]),
+        )
+        return st, z["best_x"], float(z["best_le"])
+
+
+# ---------------------------------------------------------------------------
+# Device fit() loop (optim.lbfgs_device)
+# ---------------------------------------------------------------------------
 
 
 def training_state_arrays(st: LBFGSDeviceState) -> dict[str, np.ndarray]:

@@ -30,6 +30,23 @@ class LBFGSResult:
     converged: bool
 
 
+@dataclasses.dataclass
+class LBFGSHostState:
+    """Complete optimizer state of the host loop: resuming from this
+    reproduces the uninterrupted trajectory exactly (same curvature history,
+    same incumbent, same iteration count).  The reference's GSL state is
+    opaque and unsaveable (SURVEY.md section 5: training resume doesn't
+    exist); this is the rebuild's addition."""
+
+    x: np.ndarray
+    f: float
+    g: np.ndarray
+    s_hist: list  # list of (n,) arrays, oldest first
+    y_hist: list
+    rho_hist: list  # list of floats
+    n_iter: int
+
+
 def _strong_wolfe(fg, x, f0, g0, p, alpha0, c1=1e-4, c2=0.1, max_evals=25):
     """Line search satisfying the strong Wolfe conditions (zoom algorithm,
     Nocedal & Wright alg. 3.5/3.6).  ``fg`` returns (f, g); minimization."""
@@ -98,6 +115,8 @@ def minimize_lbfgs(
     max_iter: int | None = None,
     history: int = 10,
     callback: Callable[[int, np.ndarray, float, np.ndarray], None] | None = None,
+    init_state: LBFGSHostState | None = None,
+    state_callback: Callable[[LBFGSHostState], None] | None = None,
 ) -> LBFGSResult:
     """Minimize fg, stopping when |g| < epsabs (the reference's outer loop
     criterion, fitc_gp.ml:1657-1671) or max_iter.
@@ -105,15 +124,29 @@ def minimize_lbfgs(
     ``callback(iter, x, f, g)`` fires after every accepted step and may raise
     to interrupt — exceptions propagate (the reference's Bailout/
     Optim_exception tunneling; callers catch and keep the best model).
+
+    ``state_callback(LBFGSHostState)`` fires after every accepted step with
+    the full optimizer state; pass a saved state back as ``init_state`` to
+    continue an interrupted run on the SAME objective — the trajectory then
+    matches the uninterrupted one exactly.  ``max_iter`` counts total
+    (cumulative) iterations.
     """
-    x = np.asarray(x0, dtype=np.float64)
-    f, g = fg(x)
-    if not np.isfinite(f):
-        raise FloatingPointError("optimization function returned nan")
-    s_hist: list[np.ndarray] = []
-    y_hist: list[np.ndarray] = []
-    rho_hist: list[float] = []
-    n_iter = 0
+    if init_state is not None:
+        x = np.asarray(init_state.x, dtype=np.float64)
+        f, g = float(init_state.f), np.asarray(init_state.g, np.float64)
+        s_hist = [np.asarray(s, np.float64) for s in init_state.s_hist]
+        y_hist = [np.asarray(y, np.float64) for y in init_state.y_hist]
+        rho_hist = [float(r) for r in init_state.rho_hist]
+        n_iter = int(init_state.n_iter)
+    else:
+        x = np.asarray(x0, dtype=np.float64)
+        f, g = fg(x)
+        if not np.isfinite(f):
+            raise FloatingPointError("optimization function returned nan")
+        s_hist = []
+        y_hist = []
+        rho_hist = []
+        n_iter = 0
     max_iter = max_iter if max_iter is not None else 10_000
 
     if callback is not None:
@@ -179,6 +212,12 @@ def minimize_lbfgs(
         n_iter += 1
         if callback is not None:
             callback(n_iter, x, f, g)
+        if state_callback is not None:
+            state_callback(LBFGSHostState(
+                x=x.copy(), f=f, g=g.copy(),
+                s_hist=list(s_hist), y_hist=list(y_hist),
+                rho_hist=list(rho_hist), n_iter=n_iter,
+            ))
 
     return LBFGSResult(
         x=x, f=f, g=g, n_iter=n_iter, converged=bool(np.linalg.norm(g) < epsabs)

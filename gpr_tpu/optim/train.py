@@ -164,6 +164,9 @@ def train(
     report_trained_model: Callable[..., None] | None = None,
     report_gradient_norm: Callable[..., None] | None = None,
     key=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> TrainResult:
     """L-BFGS evidence maximization; returns the best trained model seen
     (with its optimized kernel params, inducing points and noise level).
@@ -172,6 +175,13 @@ def train(
     and may raise :class:`Bailout` (or anything else) to stop — matching the
     reference's report hooks and exception tunneling
     (fitc_gp.ml:1532-1671).
+
+    ``checkpoint_path`` persists the full optimizer state (packed hypers +
+    L-BFGS curvature history + best-so-far) every ``checkpoint_every``
+    accepted iterations; ``resume=True`` continues from that file (same
+    data/model configuration required) and reproduces the uninterrupted
+    trajectory exactly.  The reference cannot do this — its model file holds
+    only the predictor (bin/ocaml_gpr.ml:179-228).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -187,7 +197,26 @@ def train(
         variational=variational, factorization=factorization,
     )
 
+    init_state = None
     best: dict = {"le": -np.inf, "x": pack.x0}
+    if resume:
+        if checkpoint_path is None:
+            raise ValueError("resume=True requires checkpoint_path")
+        import os
+
+        if os.path.exists(checkpoint_path):
+            from ..io.resume import load_train_checkpoint
+
+            init_state, best_x, best_le = load_train_checkpoint(
+                checkpoint_path
+            )
+            if init_state.x.shape != np.asarray(pack.x0).shape:
+                raise ValueError(
+                    f"checkpoint hyper vector has shape {init_state.x.shape} "
+                    f"but this configuration packs {np.asarray(pack.x0).shape}"
+                    " — resume requires the same model/data setup"
+                )
+            best = {"le": best_le, "x": best_x}
     n_evals = {"n": 0}
 
     def fg(x):
@@ -219,12 +248,23 @@ def train(
         if report_gradient_norm is not None:
             report_gradient_norm(iter=it + 1, norm=float(np.linalg.norm(g)))
 
+    state_callback = None
+    if checkpoint_path is not None:
+        from ..io.resume import save_train_checkpoint
+
+        def state_callback(st):
+            if st.n_iter % max(1, checkpoint_every) == 0:
+                save_train_checkpoint(
+                    checkpoint_path, st, best_x=best["x"], best_le=best["le"]
+                )
+
     try:
         minimize_lbfgs(
             fg,
             np.asarray(pack.x0, dtype=np.float64),
             step=step, tol=tol, epsabs=epsabs, max_iter=max_iter,
-            callback=callback,
+            callback=callback, init_state=init_state,
+            state_callback=state_callback,
         )
     except (Bailout, KeyboardInterrupt):
         pass  # return the best model so far (bin/ocaml_gpr.ml:337-345)

@@ -89,3 +89,58 @@ def test_resume_roundtrip(tmp_path, rng):
     # lands in the nonconvex landscape is not this test's business)
     assert int(resumed.n_iter) >= 8
     assert float(resumed.f) <= float(half.f) + 1e-9
+
+
+def test_host_train_resume_reproduces_trajectory(tmp_path, rng):
+    """Interrupt the host train() loop, resume from its checkpoint, and land
+    on the SAME final hypers as the uninterrupted run (VERDICT round-1 item:
+    resumability for the callback-rich host path, not just device fit())."""
+    from gpr_tpu.datasets import gen_data
+    from gpr_tpu.optim.train import Bailout, train
+
+    Xn, yn, _ = gen_data(3, n=200)
+    X, y = jnp.asarray(Xn), jnp.asarray(yn)
+    kw = dict(
+        n_rand_inducing=6, variational=True, key=jax.random.PRNGKey(7),
+        max_iter=12, epsabs=1e-6,
+    )
+
+    full = train(SeIso, X, y, **kw)
+
+    ckpt = str(tmp_path / "train.ckpt.npz")
+
+    def bail(iter, norm):
+        if iter >= 5:
+            raise Bailout
+
+    partial = train(
+        SeIso, X, y, checkpoint_path=ckpt, report_gradient_norm=bail, **kw
+    )
+    # the interrupted run must differ (it stopped early)
+    assert float(partial.l) <= float(full.l) + 1e-9
+
+    resumed = train(SeIso, X, y, checkpoint_path=ckpt, resume=True, **kw)
+    np.testing.assert_allclose(float(resumed.l), float(full.l), rtol=1e-10)
+    for a, b in zip(
+        jax.tree.leaves((resumed.kernel_params, resumed.inducing,
+                         resumed.sigma2)),
+        jax.tree.leaves((full.kernel_params, full.inducing, full.sigma2)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
+                                   atol=1e-12)
+
+
+def test_host_train_resume_requires_matching_pack(tmp_path, rng):
+    from gpr_tpu.datasets import gen_data
+    from gpr_tpu.optim.train import train
+
+    Xn, yn, _ = gen_data(3, n=120)
+    X, y = jnp.asarray(Xn), jnp.asarray(yn)
+    ckpt = str(tmp_path / "t.npz")
+    train(SeIso, X, y, n_rand_inducing=5, max_iter=2, checkpoint_path=ckpt,
+          key=jax.random.PRNGKey(0))
+    import pytest
+
+    with pytest.raises(ValueError, match="resume requires"):
+        train(SeIso, X, y, n_rand_inducing=7, max_iter=2,
+              checkpoint_path=ckpt, resume=True, key=jax.random.PRNGKey(0))
