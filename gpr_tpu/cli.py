@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="step size for gradient descent (default: 0.1)")
     p.add_argument("-eps", type=float, default=0.1,
                    help="epsilon for gradient descent (default: 0.1)")
+    p.add_argument("-block-size", dest="block_size", type=int, default=None,
+                   help="train with the streaming evidence in row blocks of "
+                        "this size: memory stays O(block x m) at any n "
+                        "(default: dense n x m cross-covariance)")
     p.add_argument("-verbose", action="store_true",
                    help="prints information while training")
     p.add_argument("-seed", type=int, default=None,
@@ -205,6 +209,7 @@ def cmd_train(args) -> int:
             sigma2=args.sigma2,
             n_rand_inducing=n_inducing,
             variational=True,  # Variational_FIC, like the CLI
+            block_size=args.block_size,
             step=args.step, tol=args.tol, epsabs=args.eps,
             max_iter=args.max_iter,
             report_trained_model=report_trained_model,

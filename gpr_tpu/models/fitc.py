@@ -242,8 +242,15 @@ def calc_trained(model: ModelState, y) -> TrainedState:
     return TrainedState(model=model, y=y, coeffs=coeffs, l2=l2, l=model.l1 + l2)
 
 
-def calc_means(trained: TrainedState) -> jnp.ndarray:
-    """Posterior means at the training inputs (fitc_gp.ml:297-298)."""
+def calc_means(trained) -> jnp.ndarray:
+    """Posterior means at the training inputs (fitc_gp.ml:297-298).
+
+    Streaming trained states (models.streaming.StreamingTrained) carry the
+    blockwise-precomputed means; the dense state multiplies Knm on demand.
+    """
+    means = getattr(trained, "means", None)
+    if means is not None:
+        return means
     return matmul(trained.model.knm, trained.coeffs)
 
 

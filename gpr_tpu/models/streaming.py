@@ -231,6 +231,71 @@ def streaming_log_evidence(
     return evidence_from_stats(inducing, stats, variational=variational)
 
 
+@pytree_dataclass
+class StreamingModelLite:
+    """The O(m^2) slice of ModelState a trained streaming model needs for
+    reporting and persistence: no n-sized members (knm/v/r/is live only as
+    tiles inside the scan)."""
+
+    inducing: object  # InducingState
+    sigma2: jnp.ndarray
+    r_mat: jnp.ndarray  # (m, m) upper, de-whitened
+    l1: jnp.ndarray
+
+
+@pytree_dataclass
+class StreamingTrained:
+    """TrainedState analogue for the streaming path.  ``means`` is
+    precomputed blockwise (models.fitc.calc_means returns it directly), so
+    calc_stats and the CLI reporting work without ever materializing Knm."""
+
+    model: StreamingModelLite
+    y: jnp.ndarray
+    coeffs: jnp.ndarray
+    means: jnp.ndarray
+    l: jnp.ndarray
+
+
+def streaming_trained(
+    family, params, z, sigma2, X, y, *, variational=False, block_size=8192,
+    jitter=None,
+) -> StreamingTrained:
+    """Condition on targets with O(block m + m^2) memory: the large-n
+    equivalent of calc_model + calc_trained (fitc_gp.ml:151-292)."""
+    inducing = calc_inducing(family, params, z, jitter)
+    stats = stream_stats(
+        family, params, inducing, sigma2, X, y, block_size=block_size
+    )
+    dt = inducing.km.dtype
+    r_tilde = _whitened_factor(inducing, stats)
+    l1 = -0.5 * (
+        log_det_tri(r_tilde).astype(_acc_dtype())
+        + stats.log_det_s
+        + stats.n * LOG_2PI
+    )
+    if variational:
+        l1 = l1 - 0.5 * stats.is_r_sum
+    t = solve_tri(r_tilde, stats.u_vec.astype(dt), trans=True)
+    l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()))
+    coeffs = solve_tri(inducing.chol_km, solve_tri(r_tilde, t))
+    r_mat = matmul(r_tilde, inducing.chol_km)
+    means = predict_means_blocked(
+        family, params, inducing.z, coeffs, X, block_size=block_size
+    )
+    return StreamingTrained(
+        model=StreamingModelLite(
+            inducing=inducing,
+            sigma2=jnp.asarray(sigma2, dt),
+            r_mat=r_mat,
+            l1=l1.astype(dt),
+        ),
+        y=y,
+        coeffs=coeffs,
+        means=means,
+        l=(l1 + l2).astype(dt),
+    )
+
+
 def streaming_coeffs(family, params, z, sigma2, X, y, *, block_size=8192,
                      jitter=None):
     """Posterior mean coefficients R^-1 R^-T Knm'(is y) without

@@ -100,7 +100,7 @@ def _prepare(
 
 def make_objective(
     family, X, targets, pack, *, variational=False, factorization=None,
-    normalize=False,
+    normalize=False, block_size=None,
 ):
     """Jitted (value, grad) of the NEGATIVE evidence over the packed vector,
     plus a jitted trained-state reconstruction for reporting.
@@ -113,8 +113,38 @@ def make_objective(
     n ~ 10^6 in f32 the total evidence (~1e6) exceeds line-search resolution
     while the mean stays O(1) — required for large-n f32 training.  Note
     epsabs thresholds then apply to mean-scale gradients.
+
+    ``block_size`` switches to the streaming evidence (models/streaming.py):
+    Knm is never materialized, so memory stays O(block m + m^2) at any n.
     """
     scale = 1.0 / X.shape[0] if normalize else 1.0
+
+    if block_size is not None:
+        from ..models.streaming import streaming_log_evidence, streaming_trained
+
+        @jax.jit
+        def _neg_l_and_grad(x, X, targets):
+            def f(x):
+                params, z, sigma2 = pack.unpack(x)
+                return -streaming_log_evidence(
+                    family, params, z, sigma2, X, targets,
+                    variational=variational, block_size=block_size,
+                ) * scale
+
+            return jax.value_and_grad(f)(x)
+
+        @jax.jit
+        def _trained_of(x, X, targets):
+            params, z, sigma2 = pack.unpack(x)
+            return streaming_trained(
+                family, params, z, sigma2, X, targets,
+                variational=variational, block_size=block_size,
+            )
+
+        return (
+            lambda x: _neg_l_and_grad(x, X, targets),
+            lambda x: _trained_of(x, X, targets),
+        )
 
     @jax.jit
     def _neg_l_and_grad(x, X, targets):
@@ -157,6 +187,7 @@ def train(
     fixed: Sequence[str] = (),
     variational: bool = False,
     factorization: str | None = None,
+    block_size: int | None = None,
     step: float = 0.1,
     tol: float = 0.1,
     epsabs: float = 0.1,
@@ -195,6 +226,7 @@ def train(
     neg_l_and_grad, trained_of = make_objective(
         family, X, targets, pack,
         variational=variational, factorization=factorization,
+        block_size=block_size,
     )
 
     init_state = None

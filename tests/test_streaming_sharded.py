@@ -152,3 +152,42 @@ def test_remat_policy_save_kernel_matches(rng):
     g1, g2 = f("recompute_all"), f("save_kernel")
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_streaming_trained_matches_dense(rng):
+    """streaming_trained == calc_model+calc_trained on every reported field."""
+    from gpr_tpu.models import calc_stats
+    from gpr_tpu.models.streaming import streaming_trained
+
+    X, Z, y, p = data(rng, n=300, m=7)
+    model = calc_model(SeIso, p, X, Z, SIGMA2, variational=True,
+                       factorization="chol")
+    dense = calc_trained(model, y)
+    st = streaming_trained(SeIso, p, Z, SIGMA2, X, y, variational=True,
+                           block_size=64)
+    np.testing.assert_allclose(float(st.l), float(dense.l), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(st.coeffs), np.asarray(dense.coeffs),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.model.r_mat),
+                               np.asarray(model.r_mat), rtol=1e-9, atol=1e-12)
+    s_stream, s_dense = calc_stats(st), calc_stats(dense)
+    np.testing.assert_allclose(float(s_stream.smse), float(s_dense.smse),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(s_stream.msll), float(s_dense.msll),
+                               rtol=1e-9)
+
+
+def test_train_with_streaming_objective(rng):
+    """train(block_size=...) reaches the same model as the dense objective."""
+    from gpr_tpu.optim.train import train
+
+    X, Z, y, p = data(rng, n=240, m=6)
+    kw = dict(kernel_params=p, inducing=Z, sigma2=0.5, variational=True,
+              max_iter=8, key=jax.random.PRNGKey(1))
+    dense = train(SeIso, X, y, **kw)
+    stream = train(SeIso, X, y, block_size=64, **kw)
+    np.testing.assert_allclose(float(stream.l), float(dense.l), rtol=1e-8)
+    for a, b in zip(jax.tree.leaves(stream.kernel_params),
+                    jax.tree.leaves(dense.kernel_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-9)
