@@ -160,6 +160,26 @@ def main():
     best = min(results.values())
     log(mxu_utilization(best, N, M, dev))
 
+    # candidate: fused Pallas forward (+ hand-VJP backward) vs the XLA scan
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+
+        def f_pallas(params, z, sigma2, X, y):
+            return streaming_log_evidence(
+                SeIso, params, z, sigma2, X, y, block_size=16384,
+                impl="pallas",
+            )
+
+        vgp = jax.jit(jax.value_and_grad(f_pallas, argnums=(0, 1, 2)))
+        tp_, latp, firstp, outp = timeit(vgp, params, Z, sigma2, X, y)
+        fwdp = jax.jit(f_pallas)
+        tpf, _, _, _ = timeit(fwdp, params, Z, sigma2, X, y)
+        log(f"pallas fwd+vjp: {tp_*1e3:.1f} ms/iter (fwd only {tpf*1e3:.1f} "
+            f"ms, evidence {float(outp[0]):.1f})")
+    except Exception as e:  # noqa: BLE001
+        log(f"pallas: FAILED {type(e).__name__}: {e}")
+
     # secondary: the flagship model (se_fat variational FIC — the reference
     # CLI's configuration, bin/ocaml_gpr.ml:176-177) at the same shape
     try:

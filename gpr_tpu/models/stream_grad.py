@@ -82,7 +82,27 @@ def _forward_scan(family, params, z, u_inv, sigma2, xb, yb, maskb, unroll):
     return out
 
 
-def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None):
+def _forward_pallas(family, params, z, u_inv, sigma2, xb, yb, maskb,
+                    interpret):
+    """Fused Pallas forward (ops/fused_stats.py) over the pre-blocked data.
+    se_iso only; f32 compute with in-VMEM accumulation."""
+    from ..ops.fused_stats import se_iso_stream_stats_fused_acc
+
+    if getattr(family, "name", None) != "se_iso":
+        raise ValueError(
+            f"impl='pallas' supports the se_iso kernel only, got "
+            f"{getattr(family, 'name', family)}"
+        )
+    d = xb.shape[-1]
+    return se_iso_stream_stats_fused_acc(
+        params.log_ell, params.log_sf2, z, u_inv, sigma2,
+        xb.reshape(-1, d), yb.reshape(-1), maskb.reshape(-1),
+        block_size=xb.shape[1], interpret=interpret,
+    )
+
+
+def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
+                         fwd_impl: str = "scan", interpret: bool = False):
     """custom_vjp'd (params, z, u_inv, sigma2, xb, yb, maskb) -> 6 stats.
 
     Cached per (family, unroll, bwd_precision); xb/yb/maskb are pre-blocked
@@ -97,9 +117,18 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None):
     noise-tolerant line search absorbs (the evidence VALUE keeps full
     precision either way).  None inherits the global matmul precision.
     """
-    key = (family, unroll, bwd_precision)
+    key = (family, unroll, bwd_precision, fwd_impl, interpret)
     if key in _CACHE:
         return _CACHE[key]
+
+    def fwd_stats(params, z, u_inv, sigma2, xb, yb, maskb):
+        if fwd_impl == "pallas":
+            return _forward_pallas(
+                family, params, z, u_inv, sigma2, xb, yb, maskb, interpret
+            )
+        return _forward_scan(
+            family, params, z, u_inv, sigma2, xb, yb, maskb, unroll
+        )
 
     def bmm(a, b):
         return jnp.matmul(a, b, precision=bwd_precision) \
@@ -107,14 +136,10 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None):
 
     @jax.custom_vjp
     def core(params, z, u_inv, sigma2, xb, yb, maskb):
-        return _forward_scan(
-            family, params, z, u_inv, sigma2, xb, yb, maskb, unroll
-        )
+        return fwd_stats(params, z, u_inv, sigma2, xb, yb, maskb)
 
     def fwd(params, z, u_inv, sigma2, xb, yb, maskb):
-        out = _forward_scan(
-            family, params, z, u_inv, sigma2, xb, yb, maskb, unroll
-        )
+        out = fwd_stats(params, z, u_inv, sigma2, xb, yb, maskb)
         return out, (params, z, u_inv, sigma2, xb, yb, maskb)
 
     def bwd(res, cot):

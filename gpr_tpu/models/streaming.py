@@ -83,7 +83,7 @@ def stream_stats(
     family, params, inducing, sigma2, X, y, *, block_size: int = 8192,
     remat: bool = True, mask=None, unroll: int = 1,
     remat_policy: str = "recompute_all", grad_impl: str = "custom",
-    grad_precision=None,
+    grad_precision=None, impl: str = "scan",
 ) -> StreamStats:
     """One scan over row blocks accumulating StreamStats.
 
@@ -104,6 +104,23 @@ def stream_stats(
     m = inducing.z.shape[0]
     u_inv = inv_tri_upper(inducing.chol_km)
     xb, yb, maskb = _pad_blocks(X, y, mask, block_size)
+
+    if impl == "pallas":
+        # fused Pallas forward + hand-VJP backward (differentiable); runs in
+        # interpreter mode off-TPU so CPU CI covers the kernel math
+        from .stream_grad import make_stream_stats_cv
+
+        core = make_stream_stats_cv(
+            family, unroll, grad_precision, fwd_impl="pallas",
+            interpret=jax.default_backend() != "tpu",
+        )
+        gram, u_vec, lds, yiy, isr, cnt = core(
+            params, inducing.z, u_inv, sigma2, xb, yb, maskb
+        )
+        return StreamStats(
+            gram=gram, u_vec=u_vec, log_det_s=lds, y_is_y=yiy,
+            is_r_sum=isr, n=cnt,
+        )
 
     if grad_impl == "custom":
         from .stream_grad import make_stream_stats_cv
@@ -215,6 +232,7 @@ def streaming_log_evidence(
     remat_policy: str = "recompute_all",
     grad_impl: str = "custom",
     grad_precision=None,
+    impl: str = "scan",
 ) -> jnp.ndarray:
     """Drop-in replacement for models.fitc.log_evidence at large n.
 
@@ -226,7 +244,7 @@ def streaming_log_evidence(
     stats = stream_stats(
         family, params, inducing, sigma2, X, y, block_size=block_size,
         unroll=unroll, remat_policy=remat_policy, grad_impl=grad_impl,
-        grad_precision=grad_precision,
+        grad_precision=grad_precision, impl=impl,
     )
     return evidence_from_stats(inducing, stats, variational=variational)
 

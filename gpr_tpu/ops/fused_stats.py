@@ -56,8 +56,10 @@ def _se_iso_stats_kernel(
     x = x_ref[:]  # (B, d)
     z = z_ref[:]  # (m, d)
     x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (B, 1)
-    z2 = jnp.sum(z * z, axis=1, keepdims=True).T  # (1, m)
-    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)  # MXU
+    z2 = jnp.sum(z * z, axis=1).reshape(1, -1)  # (1, m)
+    xz = jax.lax.dot_general(  # MXU, d axes contracted in place
+        x, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     d2 = jnp.maximum(x2 - 2.0 * xz + z2, 0.0)
     knm = jnp.exp(log_sf2 + inv_ell2_05 * d2)  # (B, m)
 
@@ -70,8 +72,13 @@ def _se_iso_stats_kernel(
 
     y = y_ref[:]  # (B, 1)
     a = v * jnp.sqrt(is_)  # whitened rows (see models/streaming.py)
-    gram_ref[0] = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
-    uvec_ref[0] = jnp.dot((is_ * y).T, v, preferred_element_type=jnp.float32)
+    gram_ref[0] = jax.lax.dot_general(
+        a, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    uvec_ref[0] = jax.lax.dot_general(
+        is_ * y, v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     lds = jnp.sum(jnp.where(live, jnp.log(s), 0.0))
     yiy = jnp.sum(is_ * y * y)
     isr = jnp.sum(is_ * r)
@@ -97,8 +104,12 @@ def _se_iso_stats_kernel_acc(
     x = x_ref[:]
     z = z_ref[:]
     x2 = jnp.sum(x * x, axis=1, keepdims=True)
-    z2 = jnp.sum(z * z, axis=1, keepdims=True).T
-    xz = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    z2 = jnp.sum(z * z, axis=1).reshape(1, -1)
+    # contract the d axis of both operands directly: no z transpose
+    xz = jax.lax.dot_general(
+        x, z, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     d2 = jnp.maximum(x2 - 2.0 * xz + z2, 0.0)
     knm = jnp.exp(log_sf2 + inv_ell2_05 * d2)
 
@@ -111,8 +122,14 @@ def _se_iso_stats_kernel_acc(
 
     y = y_ref[:]
     a = v * jnp.sqrt(is_)  # whitened rows (see models/streaming.py)
-    gram = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
-    uvec = jnp.dot((is_ * y).T, v, preferred_element_type=jnp.float32)
+    # contract the row axis of both operands: a' a without the transpose
+    gram = jax.lax.dot_general(
+        a, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    uvec = jax.lax.dot_general(
+        is_ * y, v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     sums = jnp.stack(
         [
             jnp.sum(jnp.where(live, jnp.log(s), 0.0)),

@@ -1,0 +1,102 @@
+"""Distributed block Cholesky + triangular solve over a mesh axis.
+
+For m beyond ~3x10^4 the replicated m x m epilogue of mesh2d stops fitting
+per-chip memory.  Here the data Gram stays *column-block sharded* over the
+model axis end to end:
+
+  * :func:`dist_cholesky_upper` factors a symmetric PSD A (as column blocks
+    A_j of shape (m, m_t)) into upper R with R'R = A, one block column per
+    mesh member.  Right-looking over p = mesh-axis-size block steps; per
+    step one psum-broadcast of the (m_t, m_t) diagonal factor and one
+    all_gather of the (m_t, m) row block — peak per-chip memory O(m^2 / p),
+    total traffic m^2 floats (what one all_gather of the Gram would move,
+    without ever materializing it).
+  * :func:`dist_solve_lower_t` forward-substitutes R' t = u blockwise,
+    broadcasting each solved (m_t,) piece.
+  * :func:`dist_log_det_tri` reduces the local diagonal blocks.
+
+The uniform-SPMD trick: at step k every member solves
+``R_kj = R_kk^-T S_kj`` on its own rows-k slab; for the owner (j == k) this
+identity returns exactly R_kk (R_kk^-T A_kk = R_kk), and for j < k the
+result is masked to zero — no control-flow divergence between members.
+
+Reference contrast: the reference's factorizations are single-process LAPACK
+potrf calls (lib/fitc_gp.ml:168-183); distribution has no counterpart there
+(SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..numerics.linalg import cholesky_upper, log_det_tri, matmul, solve_tri
+
+
+def dist_cholesky_upper(a_j: jnp.ndarray, axis: str, p: int) -> jnp.ndarray:
+    """Column block R_j of upper R with R'R = A.
+
+    ``a_j``: this member's (m, m_t) column block of symmetric PSD A;
+    ``axis``: mesh axis name the blocks shard over; ``p``: axis size
+    (static).  Requires m == p * m_t.
+    """
+    m, m_t = a_j.shape
+    if m != p * m_t:
+        raise ValueError(f"column block {a_j.shape} inconsistent with p={p}")
+    j = lax.axis_index(axis)
+    s_j = a_j
+    r_j = jnp.zeros_like(a_j)
+    for k in range(p):
+        s_kj = lax.dynamic_slice_in_dim(s_j, k * m_t, m_t, axis=0)
+        # broadcast the owner's diagonal block (psum of a one-hot selection)
+        dkk = lax.psum(jnp.where(j == k, s_kj, 0.0), axis)
+        r_kk = cholesky_upper(dkk, jitter=0.0)
+        r_kj = solve_tri(r_kk, s_kj, trans=True)  # == r_kk when j == k
+        r_kj = jnp.where(j >= k, r_kj, 0.0)
+        r_j = lax.dynamic_update_slice_in_dim(r_j, r_kj, k * m_t, axis=0)
+        if k + 1 < p:
+            # gather row block R_k (masked pieces left of the diagonal are 0)
+            r_k = lax.all_gather(r_kj, axis, axis=1, tiled=True)  # (m_t, m)
+            s_j = s_j - matmul(r_k.T, r_kj)
+    return r_j
+
+
+def dist_log_det_tri(r_j: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """log det(R'R) = 2 sum log diag(R) from column blocks."""
+    m, m_t = r_j.shape
+    j = lax.axis_index(axis)
+    diag_block = lax.dynamic_slice_in_dim(r_j, j * m_t, m_t, axis=0)
+    return lax.psum(log_det_tri(diag_block), axis)
+
+
+def dist_solve_lower_t(r_j: jnp.ndarray, u: jnp.ndarray, axis: str,
+                       p: int) -> jnp.ndarray:
+    """t with R' t = u (forward substitution), R given as column blocks.
+
+    ``u`` (m,) is replicated; returns t (m,) replicated.  Row block k of R'
+    is this member's column block transposed, so member k solves its own
+    diagonal system and the solved piece is psum-broadcast (m_t floats per
+    step).
+    """
+    m, m_t = r_j.shape
+    j = lax.axis_index(axis)
+    eye = jnp.eye(m_t, dtype=r_j.dtype)
+    t = jnp.zeros((m,), r_j.dtype)
+    for k in range(p):
+        u_k = lax.dynamic_slice_in_dim(u, k * m_t, m_t)
+        # member k: acc = R[0:k rows, k col-block]' t[0:k] using its own block
+        acc = matmul(r_j.T, t)  # (m_t,) = (R_col_j)' t; valid on member k
+        rhs = u_k - acc
+        r_kk = lax.dynamic_slice_in_dim(r_j, k * m_t, m_t, axis=0)
+        # R_kk' t_k = rhs; only member k holds the true diagonal block.  The
+        # others solve a gated identity system (their slab can have zero
+        # diagonals, and a masked-but-NaN primal poisons reverse mode — the
+        # double-where pattern, see models/streaming.py).
+        owner = j == k
+        t_k = solve_tri(
+            jnp.where(owner, r_kk, eye), jnp.where(owner, rhs, 0.0),
+            trans=True,
+        )
+        t_k = lax.psum(jnp.where(owner, t_k, 0.0), axis)
+        t = lax.dynamic_update_slice_in_dim(t, t_k, k * m_t, axis=0)
+    return t

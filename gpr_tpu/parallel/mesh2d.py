@@ -85,12 +85,21 @@ def sharded_log_evidence_2d(
     variational: bool = False,
     block_size: int = 8192,
     jitter: float | None = None,
+    epilogue: str = "replicated",
 ):
     """Exact evidence over a (data, model) mesh.
 
     X (n, d) and y (n,) shard over the data axis (replicated over model);
     params/z/sigma2 replicate everywhere.  Differentiable; collectives
     transpose correctly under jax.grad.
+
+    ``epilogue="distributed"`` keeps the Gram column-block sharded end to
+    end: no all_gather, distributed block Cholesky of I + G~ and distributed
+    forward substitution (parallel/dist_chol.py) — per-chip memory for the
+    data Gram drops to O(m^2 / p_model).  (The inducing factor U stays
+    replicated: a one-off O(m^3) independent of n; fully distributing Km is
+    future work.)  Uses the whitened accumulation in any dtype, so the V
+    GEMM duplicates across the model axis (TP ceiling 2x, as in f32 mode).
     """
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
@@ -102,8 +111,9 @@ def sharded_log_evidence_2d(
         )
     m_t = m // n_model
 
-    # raw-Gram TP needs f64 accumulators to survive the whitening sandwich
-    raw_gram = _acc_dtype() == jnp.float64
+    # raw-Gram TP needs f64 accumulators to survive the whitening sandwich;
+    # the distributed epilogue always accumulates whitened column blocks
+    raw_gram = _acc_dtype() == jnp.float64 and epilogue != "distributed"
 
     def shard_fn(params, z, sigma2, xs, ys, ms):
         j = lax.axis_index(MODEL_AXIS)
@@ -176,19 +186,43 @@ def sharded_log_evidence_2d(
             jax.checkpoint(body), init, (xb, yb, mb)
         )
 
-        # reduce: data-psum the column blocks, then assemble over model; the
-        # scalar stats and u were computed identically on every model member
-        # (duplicated work), so they only reduce over data
+        # reduce: data-psum the column blocks; the scalar stats and u were
+        # computed identically on every model member (duplicated work), so
+        # they only reduce over data
         gram_j = lax.psum(gram_j, DATA_AXIS)
-        gram = lax.all_gather(gram_j, MODEL_AXIS, axis=1, tiled=True)  # (m, m)
         u_vec = lax.psum(u_vec, DATA_AXIS)
         lds = lax.psum(lds, DATA_AXIS)
         yiy = lax.psum(yiy, DATA_AXIS)
         isr = lax.psum(isr, DATA_AXIS)
         cnt = lax.psum(cnt, DATA_AXIS)
 
-        # whitened epilogue (replicated m^3)
         dt = inducing.km.dtype
+        if epilogue == "distributed":
+            # whitened column blocks stay sharded: distributed factorization
+            from .dist_chol import (
+                dist_cholesky_upper,
+                dist_log_det_tri,
+                dist_solve_lower_t,
+            )
+
+            eye_j = lax.dynamic_slice_in_dim(
+                jnp.eye(m, dtype=dt), j * m_t, m_t, axis=1
+            )
+            a_j = eye_j + gram_j.astype(dt)
+            r_j = dist_cholesky_upper(a_j, MODEL_AXIS, n_model)
+            l1 = -0.5 * (
+                dist_log_det_tri(r_j, MODEL_AXIS).astype(acc)
+                + lds + cnt * LOG_2PI
+            )
+            if variational:
+                l1 = l1 - 0.5 * isr
+            t = dist_solve_lower_t(r_j, u_vec.astype(dt), MODEL_AXIS, n_model)
+            l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
+            return (l1 + l2).astype(dt)
+
+        gram = lax.all_gather(gram_j, MODEL_AXIS, axis=1, tiled=True)  # (m, m)
+
+        # whitened epilogue (replicated m^3)
         if raw_gram:
             g_white = matmul(
                 u_inv.T.astype(acc), matmul(gram, u_inv.astype(acc))

@@ -1,0 +1,125 @@
+"""Distributed block Cholesky / solve (parallel/dist_chol.py) == replicated
+LAPACK-path results, and the mesh2d distributed epilogue == dense evidence.
+Runs on the 8-virtual-device CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from gpr_tpu.kernels import SeFat, SeIso
+from gpr_tpu.models import log_evidence
+from gpr_tpu.numerics.linalg import cholesky_upper, log_det_tri, solve_tri
+from gpr_tpu.parallel.dist_chol import (
+    dist_cholesky_upper,
+    dist_log_det_tri,
+    dist_solve_lower_t,
+)
+from gpr_tpu.parallel.mesh2d import (
+    MODEL_AXIS,
+    make_mesh_2d,
+    sharded_log_evidence_2d,
+)
+
+SIGMA2 = 0.3
+
+
+def _spd(rng, m):
+    w = rng.standard_normal((m, m))
+    return jnp.asarray(np.eye(m) + w @ w.T / m)
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+def test_dist_cholesky_matches_replicated(rng, p):
+    m = 24
+    a = _spd(rng, m)
+    u = jnp.asarray(rng.standard_normal(m))
+    mesh = jax.make_mesh((p,), (MODEL_AXIS,), devices=jax.devices()[:p])
+
+    def shard_fn(a_j, u):
+        r_j = dist_cholesky_upper(a_j, MODEL_AXIS, p)
+        ld = dist_log_det_tri(r_j, MODEL_AXIS)
+        t = dist_solve_lower_t(r_j, u, MODEL_AXIS, p)
+        return r_j, ld, t
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(None, MODEL_AXIS), P()),
+        out_specs=(P(None, MODEL_AXIS), P(), P()), check_vma=False,
+    )
+    r, ld, t = fn(a, u)
+
+    r_ref = cholesky_upper(a, jitter=0.0)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(ld), float(log_det_tri(r_ref)),
+                               rtol=1e-12)
+    t_ref = solve_tri(r_ref, u, trans=True)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), rtol=1e-10,
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("variational", [False, True])
+def test_mesh2d_distributed_epilogue_matches_dense(rng, shape, variational):
+    n, m, d = 360, 24, 3  # m non-trivially blocked over the model axis
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(n))
+    Z = jnp.asarray(rng.standard_normal((m, d)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+    mesh = make_mesh_2d(*shape)
+    sharded = sharded_log_evidence_2d(
+        SeIso, mesh, p, Z, SIGMA2, X, y, variational=variational,
+        block_size=64, epilogue="distributed",
+    )
+    dense = log_evidence(SeIso, p, Z, SIGMA2, X, y, variational=variational,
+                         factorization="chol")
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-11)
+
+
+def test_mesh2d_distributed_epilogue_gradients(rng):
+    n, m, d = 240, 16, 3
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    Z = jnp.asarray(rng.standard_normal((m, d)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+    mesh = make_mesh_2d(2, 4)
+
+    @jax.jit
+    def g_dist(p, Z, s2):
+        def f(p, Z, s2):
+            return sharded_log_evidence_2d(
+                SeIso, mesh, p, Z, s2, X, y, block_size=64,
+                epilogue="distributed",
+            )
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(p, Z, s2)
+
+    def f_ref(p, Z, s2):
+        return log_evidence(SeIso, p, Z, s2, X, y, factorization="chol")
+
+    v_d, grads_d = g_dist(p, Z, jnp.asarray(SIGMA2))
+    v_r, grads_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(
+        p, Z, jnp.asarray(SIGMA2)
+    )
+    np.testing.assert_allclose(float(v_d), float(v_r), rtol=1e-11)
+    for a, b in zip(jax.tree.leaves(grads_d), jax.tree.leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7,
+                                   atol=1e-10)
+
+
+def test_mesh2d_distributed_se_fat(rng):
+    """Flagship kernel through the fully distributed epilogue."""
+    n, m = 200, 12
+    X = jnp.asarray(rng.standard_normal((n, 5)))
+    y = jnp.asarray(rng.standard_normal(n))
+    p = SeFat.default_params(X, m, key=jax.random.PRNGKey(3))
+    Z = SeFat.inducing_from_inputs(p, X[:m])
+    mesh = make_mesh_2d(2, 4)
+    sharded = sharded_log_evidence_2d(
+        SeFat, mesh, p, Z, 0.5, X, y, variational=True, block_size=32,
+        epilogue="distributed",
+    )
+    dense = log_evidence(SeFat, p, Z, 0.5, X, y, variational=True,
+                         factorization="chol")
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-11)
