@@ -115,6 +115,19 @@ def main(outdir="/tmp/gpr_tpu_demo"):
                      gen_data_fn(X_np[:, 0])))
     print("legend: . data   # posterior mean   - 2sd band   * true fn")
 
+    # graphical render (the display.R counterpart) when matplotlib exists
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from gpr_tpu.viz import plot_artifacts
+
+        png = os.path.join(outdir, "fit.png")
+        plot_artifacts(outdir, png)
+        print(f"plot written to {png}")
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])

@@ -44,11 +44,32 @@ def _acc_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _two_sum(hi, lo, x):
+    """Error-free accumulation (Knuth two-sum): (hi, lo) += x with the
+    rounding error of the add captured in lo.  In f32 this keeps a length-T
+    reduction accurate to ~1 ulp instead of ~sqrt(T) ulps — the TPU-native
+    substitute for the f64 accumulators the x64 path gets for free.  XLA
+    does not reassociate floating-point adds, so the cancellation survives
+    compilation."""
+    s = hi + x
+    bp = s - hi
+    err = (hi - (s - bp)) + (x - bp)
+    return s, lo + err
+
+
 def _forward_scan(family, params, z, u_inv, sigma2, xb, yb, maskb, unroll):
     """Plain forward statistics scan (same math as streaming.stream_stats's
-    body; no remat wrapper — custom_vjp detaches AD so nothing is stored)."""
+    body; no remat wrapper — custom_vjp detaches AD so nothing is stored).
+
+    When accumulators are f32 (x64 off — the TPU configuration) every carry
+    is a compensated (hi, lo) pair, folded to a single float at the end:
+    per-tile GEMM rounding is unavoidable, but the cross-tile accumulation
+    noise that set the f32 evidence/gradient noise floor (NEXT.md round-1)
+    is eliminated.
+    """
     m = z.shape[0]
     acc = _acc_dtype()
+    comp = acc == jnp.float32  # compensate exactly when f64 is unavailable
 
     def body(carry, blk):
         x_b, y_b, mask_b = blk
@@ -61,25 +82,29 @@ def _forward_scan(family, params, z, u_inv, sigma2, xb, yb, maskb, unroll):
         is_ = mask_b / s
         sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
         a = v * sqrt_is[:, None]
-        gram, u_vec, lds, yiy, isr, cnt = carry
-        gram = gram + matmul(a.T, a).astype(acc)
-        u_vec = u_vec + matmul(v.T, is_ * y_b).astype(acc)
-        lds = lds + jnp.sum(mask_b * jnp.log(s)).astype(acc)
-        yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(acc)
-        isr = isr + jnp.sum(is_ * r).astype(acc)
-        cnt = cnt + jnp.sum(mask_b).astype(acc)
-        return (gram, u_vec, lds, yiy, isr, cnt), None
+        terms = (
+            matmul(a.T, a).astype(acc),
+            matmul(v.T, is_ * y_b).astype(acc),
+            jnp.sum(mask_b * jnp.log(s)).astype(acc),
+            jnp.sum(is_ * y_b * y_b).astype(acc),
+            jnp.sum(is_ * r).astype(acc),
+            jnp.sum(mask_b).astype(acc),
+        )
+        if comp:
+            new = tuple(
+                _two_sum(hi, lo, t) for (hi, lo), t in zip(carry, terms)
+            )
+        else:
+            new = tuple((hi + t, lo) for (hi, lo), t in zip(carry, terms))
+        return new, None
 
-    init = (
-        jnp.zeros((m, m), acc),
-        jnp.zeros((m,), acc),
-        jnp.zeros((), acc),
-        jnp.zeros((), acc),
-        jnp.zeros((), acc),
-        jnp.zeros((), acc),
+    shapes = [(m, m), (m,), (), (), (), ()]
+    init = tuple(
+        (jnp.zeros(sh, acc), jnp.zeros(sh, acc)) for sh in shapes
     )
     out, _ = jax.lax.scan(body, init, (xb, yb, maskb), unroll=unroll)
-    return out
+    # fold: one final rounding instead of sqrt(n_tiles) accumulated ones
+    return tuple(hi + lo if comp else hi for hi, lo in out)
 
 
 def _forward_pallas(family, params, z, u_inv, sigma2, xb, yb, maskb,
@@ -94,10 +119,14 @@ def _forward_pallas(family, params, z, u_inv, sigma2, xb, yb, maskb,
             f"{getattr(family, 'name', family)}"
         )
     d = xb.shape[-1]
+    # VMEM ceiling: ~6 (B, m_pad) f32 intermediates + U^-1 must fit in
+    # ~16 MB; blocks beyond 2048 rows fail Mosaic allocation at m ~ 300
+    # (measured), so the kernel re-tiles internally regardless of the
+    # scan-level block size.
     return se_iso_stream_stats_fused_acc(
         params.log_ell, params.log_sf2, z, u_inv, sigma2,
         xb.reshape(-1, d), yb.reshape(-1), maskb.reshape(-1),
-        block_size=xb.shape[1], interpret=interpret,
+        block_size=min(xb.shape[1], 2048), interpret=interpret,
     )
 
 
@@ -196,24 +225,51 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             knm_bar = bmm(vbar, u_inv_t)
             p_bar_t, z_bar_t = pull((knm_bar, kd_bar))
 
-            p_c, z_c, ui_c, s2_c = carry
-            p_c = jax.tree.map(
-                lambda c, g: c + g.astype(c.dtype), p_c, p_bar_t
-            )
-            z_c = z_c + z_bar_t.astype(z_c.dtype)
-            ui_c = ui_c + bmm(knm.T, vbar).astype(ui_c.dtype)
-            s2_c = s2_c + jnp.sum(s_bar_live).astype(s2_c.dtype)
-            return (p_c, z_c, ui_c, s2_c), None
+            ui_bar_t = bmm(knm.T, vbar)
+            s2_bar_t = jnp.sum(s_bar_live)
+
+            grads_t = (p_bar_t, z_bar_t, ui_bar_t, s2_bar_t)
+            if comp:
+                # compensated gradient accumulation: cross-tile rounding is
+                # what set the f32 |grad| noise floor (NEXT.md round-1)
+                new = jax.tree.map(
+                    lambda hl, g: _two_sum(hl[0], hl[1], g.astype(acc)),
+                    carry, grads_t,
+                    is_leaf=lambda x: isinstance(x, tuple)
+                    and len(x) == 2 and not isinstance(x[0], tuple),
+                )
+            else:
+                new = jax.tree.map(
+                    lambda hl, g: (hl[0] + g.astype(acc), hl[1]),
+                    carry, grads_t,
+                    is_leaf=lambda x: isinstance(x, tuple)
+                    and len(x) == 2 and not isinstance(x[0], tuple),
+                )
+            return new, None
+
+        comp = acc == jnp.float32
+
+        def zero_pair(p):
+            sh = jnp.shape(p)
+            return (jnp.zeros(sh, acc), jnp.zeros(sh, acc))
 
         init = (
-            jax.tree.map(lambda p: jnp.zeros(jnp.shape(p), acc), params),
-            jnp.zeros(z.shape, acc),
-            jnp.zeros(u_inv.shape, acc),
-            jnp.zeros((), acc),
+            jax.tree.map(zero_pair, params),
+            zero_pair(z),
+            zero_pair(u_inv),
+            zero_pair(jnp.zeros(())),
         )
-        (p_bar, z_bar, ui_bar, s2_bar), _ = jax.lax.scan(
-            body, init, (xb, yb, maskb), unroll=unroll
-        )
+        out, _ = jax.lax.scan(body, init, (xb, yb, maskb), unroll=unroll)
+
+        def fold(hl):
+            return hl[0] + hl[1] if comp else hl[0]
+
+        is_pair = lambda x: (isinstance(x, tuple) and len(x) == 2
+                             and not isinstance(x[0], tuple))
+        p_bar = jax.tree.map(fold, out[0], is_leaf=is_pair)
+        z_bar = fold(out[1])
+        ui_bar = fold(out[2])
+        s2_bar = fold(out[3])
         p_bar = jax.tree.map(
             lambda g, p: g.astype(jnp.asarray(p).dtype), p_bar, params
         )

@@ -58,12 +58,14 @@ def _se_iso_stats_kernel(
     x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (B, 1)
     z2 = jnp.sum(z * z, axis=1).reshape(1, -1)  # (1, m)
     xz = jax.lax.dot_general(  # MXU, d axes contracted in place
-        x, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH
     )
     d2 = jnp.maximum(x2 - 2.0 * xz + z2, 0.0)
     knm = jnp.exp(log_sf2 + inv_ell2_05 * d2)  # (B, m)
 
-    v = jnp.dot(knm, uinv_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(knm, uinv_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGH)
     r = jnp.exp(log_sf2) - jnp.sum(v * v, axis=1, keepdims=True)  # (B, 1)
     mask = mask_ref[:]  # (B, 1)
     live = mask > 0.0
@@ -73,11 +75,13 @@ def _se_iso_stats_kernel(
     y = y_ref[:]  # (B, 1)
     a = v * jnp.sqrt(is_)  # whitened rows (see models/streaming.py)
     gram_ref[0] = jax.lax.dot_general(
-        a, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH
     )
     uvec_ref[0] = jax.lax.dot_general(
         is_ * y, v, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
     lds = jnp.sum(jnp.where(live, jnp.log(s), 0.0))
     yiy = jnp.sum(is_ * y * y)
@@ -109,11 +113,13 @@ def _se_iso_stats_kernel_acc(
     xz = jax.lax.dot_general(
         x, z, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
     d2 = jnp.maximum(x2 - 2.0 * xz + z2, 0.0)
     knm = jnp.exp(log_sf2 + inv_ell2_05 * d2)
 
-    v = jnp.dot(knm, uinv_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(knm, uinv_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGH)
     r = jnp.exp(log_sf2) - jnp.sum(v * v, axis=1, keepdims=True)
     mask = mask_ref[:]
     live = mask > 0.0
@@ -124,11 +130,13 @@ def _se_iso_stats_kernel_acc(
     a = v * jnp.sqrt(is_)  # whitened rows (see models/streaming.py)
     # contract the row axis of both operands: a' a without the transpose
     gram = jax.lax.dot_general(
-        a, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH
     )
     uvec = jax.lax.dot_general(
         is_ * y, v, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
     sums = jnp.stack(
         [
@@ -144,19 +152,28 @@ def _se_iso_stats_kernel_acc(
         gram_ref[:] = gram
         uvec_ref[:] = uvec.reshape(uvec_ref.shape)
         sums_ref[0] = sums
+        sums_ref[1] = jnp.zeros_like(sums)
 
     @pl.when(i > 0)
     def _():
         gram_ref[:] += gram
         uvec_ref[:] += uvec.reshape(uvec_ref.shape)
-        sums_ref[0] += sums
+        # compensated (two-sum) scalar accumulation: the plain f32 running
+        # sums drift by thousands of nats over ~500 grid steps at n = 10^6
+        # (yiy ~ 1e7 has ulp ~ 1); row 0 = hi, row 1 = lo
+        hi = sums_ref[0]
+        t = hi + sums
+        bp = t - hi
+        err = (hi - (t - bp)) + (sums - bp)
+        sums_ref[0] = t
+        sums_ref[1] = sums_ref[1] + err
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_size", "interpret")
 )
 def se_iso_stream_stats_fused_acc(
-    log_ell, log_sf2, z, u_inv, sigma2, X, y, mask=None, *, block_size=4096,
+    log_ell, log_sf2, z, u_inv, sigma2, X, y, mask=None, *, block_size=2048,
     interpret=False,
 ):
     """Single-pass fused statistics with in-VMEM accumulation.
@@ -204,12 +221,12 @@ def se_iso_stream_stats_fused_acc(
         out_specs=(
             pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((m, m), f32),
             jax.ShapeDtypeStruct((1, m), f32),
-            jax.ShapeDtypeStruct((1, 4), f32),
+            jax.ShapeDtypeStruct((2, 4), f32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -218,13 +235,14 @@ def se_iso_stream_stats_fused_acc(
             transcendentals=nb * block_size * (m + 1),
         ),
     )(xf, yf, mf, zf, uf, scal)
+    folded = sums[0].astype(_acc()) + sums[1].astype(_acc())  # hi + lo
     return (
         gram.astype(_acc()),
         uvec.reshape(m).astype(_acc()),
-        sums[0, 0].astype(_acc()),
-        sums[0, 1].astype(_acc()),
-        sums[0, 2].astype(_acc()),
-        sums[0, 3].astype(_acc()),
+        folded[0],
+        folded[1],
+        folded[2],
+        folded[3],
     )
 
 
