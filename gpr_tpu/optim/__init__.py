@@ -1,4 +1,5 @@
-from .lbfgs import LBFGSResult, minimize_lbfgs
+from .lbfgs import LBFGSHostState, LBFGSResult, minimize_lbfgs
+from .priors import field_priors, normal, soft_box
 from .lbfgs_device import LBFGSDeviceState, fit, minimize_lbfgs_device
 from .pack import HyperPack, make_pack
 from .sgd_smd import (

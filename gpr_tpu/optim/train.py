@@ -100,7 +100,7 @@ def _prepare(
 
 def make_objective(
     family, X, targets, pack, *, variational=False, factorization=None,
-    normalize=False, block_size=None,
+    normalize=False, block_size=None, log_prior=None,
 ):
     """Jitted (value, grad) of the NEGATIVE evidence over the packed vector,
     plus a jitted trained-state reconstruction for reporting.
@@ -116,8 +116,18 @@ def make_objective(
 
     ``block_size`` switches to the streaming evidence (models/streaming.py):
     Knm is never materialized, so memory stays O(block m + m^2) at any n.
+
+    ``log_prior(params, z, sigma2) -> scalar`` turns evidence maximization
+    into MAP estimation: the prior is added to the log evidence (the
+    reference has no prior mechanism; a steep prior doubles as a soft box
+    bound).  Differentiated along with everything else.
     """
     scale = 1.0 / X.shape[0] if normalize else 1.0
+
+    def _prior(params, z, sigma2):
+        if log_prior is None:
+            return 0.0
+        return log_prior(params, z, sigma2)
 
     if block_size is not None:
         from ..models.streaming import streaming_log_evidence, streaming_trained
@@ -126,10 +136,11 @@ def make_objective(
         def _neg_l_and_grad(x, X, targets):
             def f(x):
                 params, z, sigma2 = pack.unpack(x)
-                return -streaming_log_evidence(
+                l = streaming_log_evidence(
                     family, params, z, sigma2, X, targets,
                     variational=variational, block_size=block_size,
-                ) * scale
+                )
+                return -(l + _prior(params, z, sigma2)) * scale
 
             return jax.value_and_grad(f)(x)
 
@@ -154,7 +165,8 @@ def make_objective(
                 family, params, X, z, sigma2,
                 variational=variational, factorization=factorization,
             )
-            return -calc_trained(model, targets).l * scale
+            l = calc_trained(model, targets).l
+            return -(l + _prior(params, z, sigma2)) * scale
 
         return jax.value_and_grad(f)(x)
 
@@ -188,6 +200,7 @@ def train(
     variational: bool = False,
     factorization: str | None = None,
     block_size: int | None = None,
+    log_prior=None,
     step: float = 0.1,
     tol: float = 0.1,
     epsabs: float = 0.1,
@@ -226,7 +239,7 @@ def train(
     neg_l_and_grad, trained_of = make_objective(
         family, X, targets, pack,
         variational=variational, factorization=factorization,
-        block_size=block_size,
+        block_size=block_size, log_prior=log_prior,
     )
 
     init_state = None

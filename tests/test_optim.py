@@ -231,3 +231,32 @@ def test_train_se_fat_fixed_subset(rng):
     np.testing.assert_allclose(float(res.sigma2), 0.5, rtol=1e-12)
     # something else did move
     assert float(jnp.abs(res.kernel_params.log_sf2 - p0.log_sf2)) > 1e-8
+
+
+def test_map_prior_pulls_hypers(rng):
+    """MAP with a tight prior on log_ell lands near the prior mean; MLE
+    does not (optim/priors.py; log_prior= on train)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpr_tpu.datasets import gen_data
+    from gpr_tpu.kernels import SeIso
+    from gpr_tpu.optim.priors import field_priors, normal, soft_box
+    from gpr_tpu.optim.train import train
+
+    Xn, yn, _ = gen_data(1, n=300)
+    X, y = jnp.asarray(Xn), jnp.asarray(yn)
+    kw = dict(n_rand_inducing=8, max_iter=25, key=jax.random.PRNGKey(5))
+
+    mle = train(SeIso, X, y, **kw)
+    target = float(mle.kernel_params.log_ell) + 2.0
+    prior = field_priors({"log_ell": normal(target, 0.01)})
+    m_map = train(SeIso, X, y, log_prior=prior, **kw)
+    assert abs(float(m_map.kernel_params.log_ell) - target) < 0.2
+    assert abs(float(mle.kernel_params.log_ell) - target) > 1.0
+
+    # soft box acts as a bound: keep log_sf2 below -1
+    bound = field_priors({"log_sf2": soft_box(-10.0, -1.0, strength=1e4)})
+    m_b = train(SeIso, X, y, log_prior=bound, **kw)
+    assert float(m_b.kernel_params.log_sf2) < -0.9
+    assert float(mle.kernel_params.log_sf2) > -0.9  # MLE sits above it
