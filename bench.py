@@ -225,6 +225,33 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"predict: FAILED {type(e).__name__}: {e}")
 
+    # secondary: f32 convergence quality — run the supported one-dispatch
+    # training loop and record the final mean-scale gradient norm (VERDICT
+    # round-1 #9; round-1 stalled at |mean-grad| ~ 0.4, the compensated
+    # accumulators reach ~5e-3)
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        from gpr_tpu.optim import make_pack
+        from gpr_tpu.optim.lbfgs_device import fit
+
+        yf = jnp.asarray(
+            np.sin(np.asarray(X) @ (np.arange(D) * 0.3 + 0.2))
+            + 0.3 * rng.standard_normal(N),
+            dtype,
+        )
+        packf = make_pack(SeIso, params, Z, 1.0)
+        t0 = time.perf_counter()
+        _, _, s2f, st = fit(
+            SeIso, X, yf, packf, variational=True,
+            streaming_block_size=16384, max_iter=40, epsabs=1e-4,
+        )
+        log(f"f32 fit (40 iters max): iters={int(st.n_iter)} "
+            f"mean-NLL={float(st.f):.4f} |grad|={float(jnp.linalg.norm(st.g)):.2e} "
+            f"sigma2={float(s2f):.3f} ({time.perf_counter()-t0:.0f}s)")
+    except Exception as e:  # noqa: BLE001
+        log(f"f32 fit: FAILED {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "fitc_train_s_per_iter_1Mx8_m300",
         "value": round(best, 4),

@@ -1,0 +1,153 @@
+"""Online (incremental) posterior updates with fixed hyperparameters.
+
+The reference sketches an ``Online`` module but ships it commented out
+(lib/fitc_gp.ml:2022-2053 — "add_samples" over a trained model); this is
+the working TPU-native version.  The key structural fact (same one the
+streaming evidence exploits): for fixed (kernel params, inducing Z, sigma2)
+the FITC posterior and evidence depend on the data ONLY through the O(m^2)
+sufficient statistics
+
+    G  = sum (V sqrt(is))' (V sqrt(is)),   u = V' (is y),
+    sum log s,  y' is y,  sum is r,  n            (models/streaming.py)
+
+which are SUMS over rows.  Adding (or removing) a batch of b observations
+is therefore an O(b m^2) statistics update plus the O(m^3) whitened
+epilogue — no refit, no n-sized state, exact (not approximate): the online
+posterior equals the batch posterior on the concatenated data to roundoff
+(tests/test_online.py).
+
+Removal (downdate) subtracts the batch's contribution: algebraically exact;
+numerically it cancels, so keep x64 on (CPU) or expect f32 noise when the
+removed batch dominates a statistic.
+
+Hyperparameters stay fixed across updates by construction — the statistics
+are hyper-dependent, exactly why the reference's sketch also conditions on
+a trained model.  To move hypers, retrain (optim.train) from the current
+values.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..numerics.linalg import inv_tri_upper, matmul, rows_sqr_norm, solve_tri
+from ..tree import pytree_dataclass
+from .fitc import calc_inducing
+from .streaming import (
+    StreamStats,
+    _acc_dtype,
+    _whitened_factor,
+    evidence_from_stats,
+    stream_stats,
+)
+
+
+@pytree_dataclass
+class OnlineState:
+    """Inducing quantities + running sufficient statistics."""
+
+    inducing: object  # InducingState
+    u_inv: jnp.ndarray  # (m, m) upper, U^-1 (precomputed once)
+    sigma2: jnp.ndarray
+    stats: StreamStats
+
+
+def online_init(family, params, z, sigma2, *, jitter=None) -> OnlineState:
+    """Empty posterior (prior) over the given inducing representation."""
+    inducing = calc_inducing(family, params, z, jitter)
+    m = inducing.z.shape[0]
+    acc = _acc_dtype()
+    zeros = StreamStats(
+        gram=jnp.zeros((m, m), acc),
+        u_vec=jnp.zeros((m,), acc),
+        log_det_s=jnp.zeros((), acc),
+        y_is_y=jnp.zeros((), acc),
+        is_r_sum=jnp.zeros((), acc),
+        n=jnp.zeros((), acc),
+    )
+    return OnlineState(
+        inducing=inducing,
+        u_inv=inv_tri_upper(inducing.chol_km),
+        sigma2=jnp.asarray(sigma2, inducing.km.dtype),
+        stats=zeros,
+    )
+
+
+def _batch_stats(family, params, st: OnlineState, X, y) -> StreamStats:
+    """Sufficient statistics of one batch (single tile; use stream_stats for
+    huge batches)."""
+    acc = _acc_dtype()
+    knm = family.k_cross(params, X, st.inducing.z)
+    kd = family.k_diag(params, X)
+    v = matmul(knm, st.u_inv)
+    r = kd - rows_sqr_norm(v)
+    s = r + st.sigma2
+    is_ = 1.0 / s
+    a = v * jnp.sqrt(is_)[:, None]
+    return StreamStats(
+        gram=matmul(a.T, a).astype(acc),
+        u_vec=matmul(v.T, is_ * y).astype(acc),
+        log_det_s=jnp.sum(jnp.log(s)).astype(acc),
+        y_is_y=jnp.sum(is_ * y * y).astype(acc),
+        is_r_sum=jnp.sum(is_ * r).astype(acc),
+        n=jnp.asarray(X.shape[0], acc),
+    )
+
+
+def online_update(family, params, st: OnlineState, X, y, *,
+                  block_size: int | None = None) -> OnlineState:
+    """Fold a batch of observations into the posterior — O(b m^2)."""
+    if block_size is not None:
+        batch = stream_stats(
+            family, params, st.inducing, st.sigma2, X, y,
+            block_size=block_size, grad_impl="ad", remat=False,
+        )
+    else:
+        batch = _batch_stats(family, params, st, X, y)
+    new = StreamStats(
+        gram=st.stats.gram + batch.gram,
+        u_vec=st.stats.u_vec + batch.u_vec,
+        log_det_s=st.stats.log_det_s + batch.log_det_s,
+        y_is_y=st.stats.y_is_y + batch.y_is_y,
+        is_r_sum=st.stats.is_r_sum + batch.is_r_sum,
+        n=st.stats.n + batch.n,
+    )
+    return OnlineState(inducing=st.inducing, u_inv=st.u_inv,
+                       sigma2=st.sigma2, stats=new)
+
+
+def online_downdate(family, params, st: OnlineState, X, y) -> OnlineState:
+    """Remove a previously added batch (exact algebra; see module caveat)."""
+    batch = _batch_stats(family, params, st, X, y)
+    new = StreamStats(
+        gram=st.stats.gram - batch.gram,
+        u_vec=st.stats.u_vec - batch.u_vec,
+        log_det_s=st.stats.log_det_s - batch.log_det_s,
+        y_is_y=st.stats.y_is_y - batch.y_is_y,
+        is_r_sum=st.stats.is_r_sum - batch.is_r_sum,
+        n=st.stats.n - batch.n,
+    )
+    return OnlineState(inducing=st.inducing, u_inv=st.u_inv,
+                       sigma2=st.sigma2, stats=new)
+
+
+def online_log_evidence(st: OnlineState, *, variational=False) -> jnp.ndarray:
+    return evidence_from_stats(st.inducing, st.stats, variational=variational)
+
+
+def online_predictors(st: OnlineState):
+    """(MeanPredictor, CoVariancePredictor) for the current posterior —
+    plug into models.predict.* unchanged."""
+    from .predict import CoVariancePredictor, MeanPredictor
+
+    dt = st.inducing.km.dtype
+    r_tilde = _whitened_factor(st.inducing, st.stats)
+    t = solve_tri(r_tilde, st.stats.u_vec.astype(dt), trans=True)
+    coeffs = solve_tri(st.inducing.chol_km, solve_tri(r_tilde, t))
+    r_mat = matmul(r_tilde, st.inducing.chol_km)
+    return (
+        MeanPredictor(z=st.inducing.z, coeffs=coeffs),
+        CoVariancePredictor(
+            z=st.inducing.z, chol_km=st.inducing.chol_km, r_mat=r_mat
+        ),
+    )

@@ -119,14 +119,14 @@ def _forward_pallas(family, params, z, u_inv, sigma2, xb, yb, maskb,
             f"{getattr(family, 'name', family)}"
         )
     d = xb.shape[-1]
-    # VMEM ceiling: ~6 (B, m_pad) f32 intermediates + U^-1 must fit in
-    # ~16 MB; blocks beyond 2048 rows fail Mosaic allocation at m ~ 300
-    # (measured), so the kernel re-tiles internally regardless of the
-    # scan-level block size.
+    # VMEM ceiling: the (B, m_pad) f32 intermediates (+ the bf16-split
+    # copies of the 3-pass dots) + U^-1 must fit in ~16 MB; blocks beyond
+    # 1024 rows fail Mosaic allocation at m ~ 300 (measured), so the kernel
+    # re-tiles internally regardless of the scan-level block size.
     return se_iso_stream_stats_fused_acc(
         params.log_ell, params.log_sf2, z, u_inv, sigma2,
         xb.reshape(-1, d), yb.reshape(-1), maskb.reshape(-1),
-        block_size=min(xb.shape[1], 2048), interpret=interpret,
+        block_size=min(xb.shape[1], 1024), interpret=interpret,
     )
 
 
