@@ -73,6 +73,11 @@ def _forward_scan(family, params, z, u_inv, sigma2, xb, yb, maskb, unroll):
 
     def body(carry, blk):
         x_b, y_b, mask_b = blk
+        # bf16 storage mode: X/y may be stored at half width; compute in the
+        # model dtype (tiles upcast on chip, so HBM holds the narrow copy)
+        x_b = x_b.astype(z.dtype)
+        y_b = y_b.astype(z.dtype)
+        mask_b = mask_b.astype(z.dtype)
         knm = family.k_cross(params, x_b, z)
         kd = family.k_diag(params, x_b)
         v = matmul(knm, u_inv)
@@ -187,6 +192,9 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
 
         def body(carry, blk):
             x_b, y_b, mask_b = blk
+            x_b = x_b.astype(z.dtype)
+            y_b = y_b.astype(z.dtype)
+            mask_b = mask_b.astype(z.dtype)
 
             def kfun(p, zz):
                 return family.k_cross(p, x_b, zz), family.k_diag(p, x_b)

@@ -138,6 +138,9 @@ def stream_stats(
 
     def body(carry, blk):
         x_b, y_b, mask_b = blk
+        x_b = x_b.astype(inducing.z.dtype)  # bf16 storage mode upcast
+        y_b = y_b.astype(inducing.z.dtype)
+        mask_b = mask_b.astype(inducing.z.dtype)
         knm = family.k_cross(params, x_b, inducing.z)
         if save_kernel:
             # keep the cross-covariance tiles for the backward pass (costs

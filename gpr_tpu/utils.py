@@ -118,3 +118,29 @@ class JsonlLogger:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def to_bf16_stochastic(key, x):
+    """Stochastically rounded bfloat16 quantization of an f32 array.
+
+    For bf16 *storage* of very large inputs (models/streaming upcasts tiles
+    back to the compute dtype on chip — HBM holds half the bytes).
+    Stochastic rounding keeps the quantization unbiased: E[q(x)] = x, so
+    data-sum statistics see noise, not bias, unlike round-to-nearest.
+
+    Standard bit-level construction: bf16 is f32 with the low 16 mantissa
+    bits dropped, so adding uniform random low bits before truncation
+    rounds up with probability equal to the truncated fraction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    noise = jax.random.randint(
+        key, x.shape, 0, 1 << 16, dtype=jnp.uint32
+    )
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(
+        jnp.bfloat16
+    )
