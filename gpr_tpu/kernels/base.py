@@ -86,3 +86,53 @@ def choose_subset(X: jnp.ndarray, indexes) -> jnp.ndarray:
     """Row subset — reference ``Inputs.choose_subset`` / ``Utils.choose_cols``
     (lib/utils.ml:60-75; column-major there, row-major here)."""
     return X[jnp.asarray(indexes)]
+
+
+def k_upper_cols(family, params, Z, j0, m_t):
+    """Columns [j0 : j0+m_t] of ``family.k_upper(params, Z)`` without
+    forming the m x m gram — the building block of the fully distributed
+    inducing factorization (parallel/mesh2d.py ``inducing="distributed"``),
+    where every member may hold only O(m^2 / p) of any inducing-sized
+    matrix.  ``j0`` may be traced (it is a mesh axis index).
+    """
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
+    m = Z.shape[0]
+    z_c = _lax.dynamic_slice_in_dim(Z, j0, m_t, axis=0)
+    rows = _jnp.arange(m)[:, None]
+    cols = (j0 + _jnp.arange(m_t))[None, :]
+    on_diag = rows == cols
+
+    name = getattr(family, "name", None)
+    if name == "const":
+        return family.k_cross(params, Z[:, :0] if Z.ndim == 2 else Z, z_c)
+    if name in ("lin_one", "lin_ard"):
+        # linear kernels: k_upper IS the (scaled) gram — k_cross of Z rows
+        # against the column subset, but WITHOUT re-scaling the left side
+        # (the inducing representation is already scaled for lin_ard)
+        if name == "lin_ard":
+            return _jnp.matmul(Z, z_c.T)
+        return family.k_cross(params, Z, z_c)
+    if name == "se_iso":
+        k = family.k_cross(params, Z, z_c)
+        sf2 = _jnp.exp(params.log_sf2)
+        return _jnp.where(on_diag, sf2, k)
+    if name == "se_fat":
+        log_sf2 = params.log_sf2
+        if params.log_multiscales_m05 is None:
+            k = _jnp.exp(log_sf2 - 0.5 * sqdist(Z, z_c))
+            k = _jnp.where(on_diag, _jnp.exp(log_sf2), k)
+        else:
+            u = _jnp.exp(params.log_multiscales_m05) + 0.5  # (m, d)
+            u_c = _lax.dynamic_slice_in_dim(u, j0, m_t, axis=0)
+            scale = u[:, None, :] + u_c[None, :, :] - 1.0
+            diff = Z[:, None, :] - z_c[None, :, :]
+            quad = _jnp.sum(_jnp.square(diff) / scale + _jnp.log(scale), -1)
+            k = _jnp.exp(log_sf2 - 0.5 * quad)
+        if params.log_hetero_skedasticity is not None:
+            het = _jnp.exp(params.log_hetero_skedasticity)
+            het_c = _lax.dynamic_slice_in_dim(het, j0, m_t)
+            k = k + _jnp.where(on_diag, het_c[None, :], 0.0)
+        return k
+    raise NotImplementedError(f"k_upper_cols for family {name!r}")

@@ -69,6 +69,62 @@ def dist_log_det_tri(r_j: jnp.ndarray, axis: str) -> jnp.ndarray:
     return lax.psum(log_det_tri(diag_block), axis)
 
 
+def dist_solve_lower_cols(r_j: jnp.ndarray, b_own: jnp.ndarray, axis: str,
+                          p: int) -> jnp.ndarray:
+    """Y with R' Y = B (forward substitution), R upper column-sharded
+    (m, m_t); ``b_own`` (m, k) is THIS member's private right-hand-side
+    columns (each member solves its own k).  Row block k of R' is member
+    k's column block transposed, broadcast per step — total traffic m^2
+    floats, peak memory O(m^2/p)."""
+    m, m_t = r_j.shape
+    jidx = lax.axis_index(axis)
+    y = jnp.zeros_like(b_own)
+    for k in range(p):
+        rc_k = lax.psum(jnp.where(jidx == k, r_j, 0.0), axis)  # (m, m_t)
+        r_kk = lax.dynamic_slice_in_dim(rc_k, k * m_t, m_t, axis=0)
+        # partial = sum_{i<k} R_ik' Y_i: unsolved rows of y are zero, so one
+        # fresh GEMM against the full column block gives exactly that sum
+        partial = matmul(rc_k.T, y)  # (m_t, k)
+        rhs = lax.dynamic_slice_in_dim(b_own, k * m_t, m_t, axis=0) - partial
+        y_k = solve_tri(r_kk, rhs, trans=True)
+        y = lax.dynamic_update_slice_in_dim(y, y_k, k * m_t, axis=0)
+    return y
+
+
+def dist_solve_upper_cols(r_j: jnp.ndarray, b_own: jnp.ndarray, axis: str,
+                          p: int) -> jnp.ndarray:
+    """X with R X = B (back substitution), same layout conventions as
+    :func:`dist_solve_lower_cols`.  Row block k of R is gathered (each
+    member contributes its (m_t, m_t) slice)."""
+    m, m_t = r_j.shape
+    x = jnp.zeros_like(b_own)
+    for k in reversed(range(p)):
+        r_k = lax.all_gather(
+            lax.dynamic_slice_in_dim(r_j, k * m_t, m_t, axis=0),
+            axis, axis=1, tiled=True,
+        )  # (m_t, m)
+        r_kk = lax.dynamic_slice_in_dim(r_k, k * m_t, m_t, axis=1)
+        partial = matmul(r_k, x)  # only solved (higher) rows contribute
+        rhs = lax.dynamic_slice_in_dim(b_own, k * m_t, m_t, axis=0) - partial
+        x_k = solve_tri(r_kk, rhs)
+        x = lax.dynamic_update_slice_in_dim(x, x_k, k * m_t, axis=0)
+    return x
+
+
+def dist_spd_inverse_cols(a_chol_j: jnp.ndarray, axis: str,
+                          p: int) -> jnp.ndarray:
+    """Column block of A^-1 from A's distributed Cholesky factor:
+    P_j = U^-1 U^-T I_j via the two distributed solves.  The building block
+    of the fully distributed inducing factorization (Km^-1 columns)."""
+    m, m_t = a_chol_j.shape
+    jidx = lax.axis_index(axis)
+    rows = jnp.arange(m)[:, None]
+    cols = (jidx * m_t + jnp.arange(m_t))[None, :]
+    eye_j = jnp.where(rows == cols, jnp.ones((), a_chol_j.dtype), 0.0)
+    y = dist_solve_lower_cols(a_chol_j, eye_j, axis, p)
+    return dist_solve_upper_cols(a_chol_j, y, axis, p)
+
+
 def dist_solve_lower_t(r_j: jnp.ndarray, u: jnp.ndarray, axis: str,
                        p: int) -> jnp.ndarray:
     """t with R' t = u (forward substitution), R given as column blocks.

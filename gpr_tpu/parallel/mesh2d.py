@@ -86,6 +86,7 @@ def sharded_log_evidence_2d(
     block_size: int = 8192,
     jitter: float | None = None,
     epilogue: str = "replicated",
+    inducing: str = "replicated",
 ):
     """Exact evidence over a (data, model) mesh.
 
@@ -97,9 +98,20 @@ def sharded_log_evidence_2d(
     end: no all_gather, distributed block Cholesky of I + G~ and distributed
     forward substitution (parallel/dist_chol.py) — per-chip memory for the
     data Gram drops to O(m^2 / p_model).  (The inducing factor U stays
-    replicated: a one-off O(m^3) independent of n; fully distributing Km is
-    future work.)  Uses the whitened accumulation in any dtype, so the V
-    GEMM duplicates across the model axis (TP ceiling 2x, as in f32 mode).
+    replicated: a one-off O(m^3) independent of n.)  Uses the whitened
+    accumulation in any dtype, so the V GEMM duplicates across the model
+    axis (TP ceiling 2x, as in f32 mode).
+
+    ``inducing="distributed"`` removes the LAST replicated m-sized state:
+    Km is built as column blocks (kernels.base.k_upper_cols), factored by
+    the distributed block Cholesky, and the per-row FITC diagonal is
+    computed via column blocks of P = Km^-1 (rowsq(V) = rowdot(Knm, Knm P),
+    psum'd over the model axis) — NO member ever holds an m x m matrix.
+    Uses the raw (unwhitened) factorization B = Km + Knm' diag(is) Knm, so
+    run it with x64 accumulators (the f32-stable whitened form needs a
+    two-sided distributed triangular solve — future work).  Implies the
+    distributed epilogue.  This is the m >~ 3e4 regime where replicated
+    O(m^2) no longer fits one chip.
     """
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
@@ -110,6 +122,13 @@ def sharded_log_evidence_2d(
             f"m ({m}) must be divisible by the model axis ({n_model})"
         )
     m_t = m // n_model
+
+    if inducing == "distributed":
+        return _fully_distributed_evidence(
+            family, mesh, params, z, sigma2, X, y, mask,
+            variational=variational, block_size=block_size, jitter=jitter,
+            n_model=n_model, m_t=m_t,
+        )
 
     # raw-Gram TP needs f64 accumulators to survive the whitening sandwich;
     # the distributed epilogue always accumulates whitened column blocks
@@ -243,6 +262,119 @@ def sharded_log_evidence_2d(
         else:
             u_white = u_vec.astype(dt)  # accumulated as V'(is y) = U^-T u
         t = solve_tri(r_tilde, u_white, trans=True)
+        l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
+        return (l1 + l2).astype(dt)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
+
+
+def _fully_distributed_evidence(
+    family, mesh, params, z, sigma2, X, y, mask, *,
+    variational, block_size, jitter, n_model, m_t,
+):
+    """No-replicated-m^2 evidence: see sharded_log_evidence_2d docstring
+    (``inducing="distributed"``).  Raw factorization B = Km~ + G; use with
+    x64 accumulators."""
+    from ..config import config
+    from ..kernels.base import k_upper_cols
+    from .dist_chol import (
+        dist_cholesky_upper,
+        dist_log_det_tri,
+        dist_solve_lower_t,
+        dist_spd_inverse_cols,
+    )
+
+    m = z.shape[0]
+    jit = jitter if jitter is not None else config.cholesky_jitter
+
+    def shard_fn(params, z, sigma2, xs, ys, ms):
+        j = lax.axis_index(MODEL_AXIS)
+        j0 = j * m_t
+        dt = z.dtype
+        acc = _acc_dtype()
+
+        km_j = k_upper_cols(family, params, z, j0, m_t)  # (m, m_t)
+        rows = jnp.arange(m)[:, None]
+        cols = (j0 + jnp.arange(m_t))[None, :]
+        on_diag = rows == cols
+        km_jit_j = km_j + jnp.where(on_diag, jnp.asarray(jit, dt), 0.0)
+        u_j = dist_cholesky_upper(km_jit_j, MODEL_AXIS, n_model)
+        log_det_km = dist_log_det_tri(u_j, MODEL_AXIS)
+        p_j = dist_spd_inverse_cols(u_j, MODEL_AXIS, n_model)  # Km^-1 cols
+
+        n_local = xs.shape[0]
+        bs = min(block_size, n_local)
+        nb = -(-n_local // bs)
+        pad = nb * bs - n_local
+        if pad:
+            xs = jnp.concatenate([xs, jnp.zeros((pad, xs.shape[1]), xs.dtype)])
+            ys = jnp.concatenate([ys, jnp.zeros((pad,), ys.dtype)])
+            ms = jnp.concatenate([ms, jnp.zeros((pad,), ms.dtype)])
+        xb = xs.reshape(nb, bs, xs.shape[1])
+        yb = ys.reshape(nb, bs)
+        mb = ms.reshape(nb, bs)
+
+        def body(carry, blk):
+            x_b, y_b, mask_b = blk
+            knm = family.k_cross(params, x_b, z)  # (bs, m) dup over model
+            kd = family.k_diag(params, x_b)
+            knm_j = lax.dynamic_slice_in_dim(knm, j0, m_t, axis=1)
+            # rowsq(V) = rowdot(Knm, Knm Km^-1): model-sharded GEMM + psum
+            w_j = matmul(knm, p_j)  # (bs, m_t)
+            rq = lax.psum(jnp.sum(knm_j * w_j, axis=-1), MODEL_AXIS)
+            live = mask_b > 0
+            r = kd - rq
+            s = jnp.where(live, r + sigma2, 1.0)
+            is_ = mask_b / s
+            gram_j, u_vec, lds, yiy, isr, cnt = carry
+            gram_j = gram_j + matmul(knm.T, is_[:, None] * knm_j).astype(acc)
+            u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(acc)
+            lds = lds + jnp.sum(jnp.where(live, jnp.log(s), 0.0)).astype(acc)
+            yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(acc)
+            isr = isr + jnp.sum(is_ * r).astype(acc)
+            cnt = cnt + jnp.sum(mask_b).astype(acc)
+            return (gram_j, u_vec, lds, yiy, isr, cnt), None
+
+        init = (
+            jnp.zeros((m, m_t), acc),
+            jnp.zeros((m,), acc),
+            jnp.zeros((), acc),
+            jnp.zeros((), acc),
+            jnp.zeros((), acc),
+            jnp.zeros((), acc),
+        )
+        (gram_j, u_vec, lds, yiy, isr, cnt), _ = lax.scan(
+            jax.checkpoint(body), init, (xb, yb, mb)
+        )
+
+        gram_j = lax.psum(gram_j, DATA_AXIS)
+        u_vec = lax.psum(u_vec, DATA_AXIS)
+        lds = lax.psum(lds, DATA_AXIS)
+        yiy = lax.psum(yiy, DATA_AXIS)
+        isr = lax.psum(isr, DATA_AXIS)
+        cnt = lax.psum(cnt, DATA_AXIS)
+
+        # raw factorization, fully distributed: R'R = B = Km~ + G
+        b_j = km_jit_j.astype(acc) + gram_j
+        r_j = dist_cholesky_upper(b_j.astype(dt), MODEL_AXIS, n_model)
+        l1 = -0.5 * (
+            dist_log_det_tri(r_j, MODEL_AXIS).astype(acc)
+            - log_det_km.astype(acc)
+            + lds + cnt * LOG_2PI
+        )
+        if variational:
+            l1 = l1 - 0.5 * isr
+        t = dist_solve_lower_t(r_j, u_vec.astype(dt), MODEL_AXIS, n_model)
         l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
         return (l1 + l2).astype(dt)
 

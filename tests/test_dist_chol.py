@@ -123,3 +123,91 @@ def test_mesh2d_distributed_se_fat(rng):
     dense = log_evidence(SeFat, p, Z, 0.5, X, y, variational=True,
                          factorization="chol")
     np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-11)
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_dist_matrix_solves_and_inverse(rng, p):
+    m = 16
+    a = _spd(rng, m)
+    mesh = jax.make_mesh((p,), (MODEL_AXIS,), devices=jax.devices()[:p])
+    from gpr_tpu.parallel.dist_chol import (
+        dist_solve_lower_cols,
+        dist_solve_upper_cols,
+        dist_spd_inverse_cols,
+    )
+
+    b = jnp.asarray(rng.standard_normal((m, m)))  # column-shard as RHS
+
+    def shard_fn(a_j, b_j):
+        r_j = dist_cholesky_upper(a_j, MODEL_AXIS, p)
+        y_j = dist_solve_lower_cols(r_j, b_j, MODEL_AXIS, p)
+        x_j = dist_solve_upper_cols(r_j, y_j, MODEL_AXIS, p)
+        inv_j = dist_spd_inverse_cols(r_j, MODEL_AXIS, p)
+        return y_j, x_j, inv_j
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
+        out_specs=(P(None, MODEL_AXIS),) * 3, check_vma=False,
+    )
+    y, x, inv = fn(a, b)
+    r_ref = cholesky_upper(a, jitter=0.0)
+    y_ref = solve_tri(r_ref, b, trans=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-10,
+                               atol=1e-12)
+    x_ref = solve_tri(r_ref, y_ref)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(inv), np.asarray(jnp.linalg.inv(a)),
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("variational", [False, True])
+def test_fully_distributed_inducing_matches_dense(rng, shape, variational):
+    """inducing='distributed': NO member holds any m x m matrix, yet the
+    evidence equals the dense engine's."""
+    n, m, d = 320, 24, 3
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(n))
+    Z = jnp.asarray(rng.standard_normal((m, d)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+    mesh = make_mesh_2d(*shape)
+    sharded = sharded_log_evidence_2d(
+        SeIso, mesh, p, Z, SIGMA2, X, y, variational=variational,
+        block_size=64, inducing="distributed",
+    )
+    dense = log_evidence(SeIso, p, Z, SIGMA2, X, y, variational=variational,
+                         factorization="chol")
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-10)
+
+
+def test_fully_distributed_inducing_gradients_and_se_fat(rng):
+    n, m = 200, 16
+    X = jnp.asarray(rng.standard_normal((n, 4)))
+    y = jnp.asarray(rng.standard_normal(n))
+    p = SeFat.default_params(X, m, key=jax.random.PRNGKey(3))
+    Z = SeFat.inducing_from_inputs(p, X[:m])
+    mesh = make_mesh_2d(2, 4)
+
+    @jax.jit
+    def g_dist(p_, Z, s2):
+        def f(p_, Z, s2):
+            return sharded_log_evidence_2d(
+                SeFat, mesh, p_, Z, s2, X, y, variational=True,
+                block_size=64, inducing="distributed",
+            )
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(p_, Z, s2)
+
+    def f_ref(p_, Z, s2):
+        return log_evidence(SeFat, p_, Z, s2, X, y, variational=True,
+                            factorization="chol")
+
+    v_d, grads_d = g_dist(p, Z, jnp.asarray(0.5))
+    v_r, grads_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(
+        p, Z, jnp.asarray(0.5)
+    )
+    np.testing.assert_allclose(float(v_d), float(v_r), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(grads_d), jax.tree.leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-9)
