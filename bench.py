@@ -50,7 +50,7 @@ def sync(out):
         np.asarray(leaf)
 
 
-def timeit(fn, *args, iters=8, batches=3):
+def timeit(fn, *args, iters=16, batches=3):
     """Returns (throughput s/iter, latency s, first-call s, out).
 
     Throughput pipelines back-to-back dispatches and syncs once — that is

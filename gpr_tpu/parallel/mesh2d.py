@@ -389,3 +389,138 @@ def _fully_distributed_evidence(
         check_vma=False,
     )
     return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
+
+
+def fully_distributed_predict(
+    family, mesh, params, z, sigma2, X, y, Xstar, mask=None, *,
+    variational: bool = False, block_size: int = 8192,
+    jitter: float | None = None, predictive: bool = True,
+):
+    """Posterior means and variances at ``Xstar`` with NO replicated m x m
+    state — the serving side of ``inducing="distributed"``.
+
+    Trains nothing: conditions on (X, y) through the same fully distributed
+    statistics, then predicts via
+        mean  = Ktm coeffs                      (coeffs: m-vector, replicated)
+        var   = kt_diag - rowdot(Ktm, Ktm Km^-1) + rowdot(Ktm, Ktm B^-1)
+    where the two inverses live as column blocks (rowdots psum over the
+    model axis).  Xstar shards over the data axis like X.
+    """
+    from ..config import config
+    from ..kernels.base import k_upper_cols
+    from .dist_chol import (
+        dist_cholesky_upper,
+        dist_solve_lower_t,
+        dist_spd_inverse_cols,
+    )
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+    n_model = mesh.shape[MODEL_AXIS]
+    m = z.shape[0]
+    if m % n_model != 0:
+        raise ValueError(f"m ({m}) not divisible by model axis ({n_model})")
+    m_t = m // n_model
+    jit = jitter if jitter is not None else config.cholesky_jitter
+
+    def shard_fn(params, z, sigma2, xs, ys, ms, xstar):
+        j = lax.axis_index(MODEL_AXIS)
+        j0 = j * m_t
+        dt = z.dtype
+        acc = _acc_dtype()
+
+        km_j = k_upper_cols(family, params, z, j0, m_t)
+        rows = jnp.arange(m)[:, None]
+        cols = (j0 + jnp.arange(m_t))[None, :]
+        km_jit_j = km_j + jnp.where(rows == cols, jnp.asarray(jit, dt), 0.0)
+        u_j = dist_cholesky_upper(km_jit_j, MODEL_AXIS, n_model)
+        p_j = dist_spd_inverse_cols(u_j, MODEL_AXIS, n_model)
+
+        # conditioning statistics (same scan as the evidence, minus scalars)
+        n_local = xs.shape[0]
+        bs = min(block_size, n_local)
+        nb = -(-n_local // bs)
+        pad = nb * bs - n_local
+        if pad:
+            xs = jnp.concatenate([xs, jnp.zeros((pad, xs.shape[1]), xs.dtype)])
+            ys = jnp.concatenate([ys, jnp.zeros((pad,), ys.dtype)])
+            ms = jnp.concatenate([ms, jnp.zeros((pad,), ms.dtype)])
+
+        def body(carry, blk):
+            x_b, y_b, mask_b = blk
+            knm = family.k_cross(params, x_b, z)
+            kd = family.k_diag(params, x_b)
+            knm_j = lax.dynamic_slice_in_dim(knm, j0, m_t, axis=1)
+            w_j = matmul(knm, p_j)
+            rq = lax.psum(jnp.sum(knm_j * w_j, axis=-1), MODEL_AXIS)
+            live = mask_b > 0
+            s = jnp.where(live, kd - rq + sigma2, 1.0)
+            is_ = mask_b / s
+            gram_j, u_vec = carry
+            gram_j = gram_j + matmul(knm.T, is_[:, None] * knm_j).astype(acc)
+            u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(acc)
+            return (gram_j, u_vec), None
+
+        init = (jnp.zeros((m, m_t), acc), jnp.zeros((m,), acc))
+        (gram_j, u_vec), _ = lax.scan(
+            jax.checkpoint(body), init,
+            (xs.reshape(nb, bs, -1), ys.reshape(nb, bs), ms.reshape(nb, bs)),
+        )
+        gram_j = lax.psum(gram_j, DATA_AXIS)
+        u_vec = lax.psum(u_vec, DATA_AXIS)
+
+        b_j = (km_jit_j.astype(acc) + gram_j).astype(dt)
+        r_j = dist_cholesky_upper(b_j, MODEL_AXIS, n_model)
+        binv_j = dist_spd_inverse_cols(r_j, MODEL_AXIS, n_model)
+        t = dist_solve_lower_t(r_j, u_vec.astype(dt), MODEL_AXIS, n_model)
+        # coeffs = B^-1 u — second (upper) solve on the m-vector
+        from .dist_chol import dist_solve_upper_cols
+
+        coeffs = dist_solve_upper_cols(
+            r_j, jnp.broadcast_to(t[:, None], (m, 1)), MODEL_AXIS, n_model
+        )[:, 0]
+
+        # predict at xstar row blocks (local to each data member)
+        ns = xstar.shape[0]
+        bs2 = min(block_size, ns)
+        nb2 = -(-ns // bs2)
+        pad2 = nb2 * bs2 - ns
+        xsp = (jnp.concatenate(
+            [xstar, jnp.zeros((pad2, xstar.shape[1]), xstar.dtype)])
+            if pad2 else xstar)
+
+        def pblk(x_b):
+            ktm = family.k_cross(params, x_b, z)
+            kd = family.k_diag(params, x_b)
+            ktm_j = lax.dynamic_slice_in_dim(ktm, j0, m_t, axis=1)
+            mu = matmul(ktm, coeffs)
+            rq_prior = lax.psum(
+                jnp.sum(ktm_j * matmul(ktm, p_j), axis=-1), MODEL_AXIS
+            )
+            rq_post = lax.psum(
+                jnp.sum(ktm_j * matmul(ktm, binv_j), axis=-1), MODEL_AXIS
+            )
+            var = kd - rq_prior + rq_post
+            return mu, var + sigma2 if predictive else var
+
+        mus, vars_ = lax.map(pblk, xsp.reshape(nb2, bs2, -1))
+        return mus.reshape(-1)[:ns], vars_.reshape(-1)[:ns]
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    n_star = Xstar.shape[0]
+    pad = (-n_star) % mesh.shape[DATA_AXIS]
+    Xsp = (jnp.concatenate([Xstar, jnp.zeros((pad, Xstar.shape[1]),
+                                             Xstar.dtype)]) if pad else Xstar)
+    mu, var = fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask, Xsp)
+    from jax.sharding import NamedSharding
+
+    mu = jax.device_put(mu, NamedSharding(mesh, P()))[:n_star]
+    var = jax.device_put(var, NamedSharding(mesh, P()))[:n_star]
+    return mu, var

@@ -211,3 +211,37 @@ def test_fully_distributed_inducing_gradients_and_se_fat(rng):
     for a, b in zip(jax.tree.leaves(grads_d), jax.tree.leaves(grads_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-9)
+
+
+def test_fully_distributed_predict_matches_dense(rng):
+    from gpr_tpu.models import (
+        calc_model,
+        calc_trained,
+        co_variance_predictor,
+        mean_predictor,
+        predict_means,
+        predict_variances,
+    )
+    from gpr_tpu.parallel.mesh2d import fully_distributed_predict
+
+    n, m, d = 320, 16, 3
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(n))
+    Z = jnp.asarray(rng.standard_normal((m, d)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+    Xs = jnp.asarray(rng.standard_normal((53, d)))  # non-divisible count
+    mesh = make_mesh_2d(2, 4)
+
+    mu, var = fully_distributed_predict(
+        SeIso, mesh, p, Z, SIGMA2, X, y, Xs, block_size=64, predictive=True
+    )
+
+    model = calc_model(SeIso, p, X, Z, SIGMA2, factorization="chol")
+    trained = calc_trained(model, y)
+    mu_ref = predict_means(SeIso, p, mean_predictor(trained), Xs)
+    var_ref = predict_variances(SeIso, p, co_variance_predictor(model), Xs,
+                                SIGMA2, predictive=True)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-8, atol=1e-11)

@@ -30,3 +30,29 @@ def test_plot_fit_renders(tmp_path, rng):
     assert {"data", "true f", "posterior mean", "inducing",
             "posterior samples", "FIC samples", "95% (latent)",
             "95% (predictive)"} <= labels
+
+
+def test_plot_artifacts_renders(tmp_path, rng):
+    """The artifact-directory entry point (the `R -f display.R` analogue)."""
+    import os
+
+    from gpr_tpu.viz import plot_artifacts
+
+    n = 80
+    x = np.sort(rng.uniform(-5, 5, n))
+    arts = {
+        "inputs": x,
+        "targets": np.sin(x) + 0.2 * rng.standard_normal(n),
+        "means": np.sin(x),
+        "variances": 0.05 + 0.01 * rng.uniform(size=n),
+        "sigma2": np.asarray(0.04),
+        "inducing_points": np.linspace(-4, 4, 6),
+        "fitc_samples": np.stack([np.sin(x) + 0.1 * rng.standard_normal(n)
+                                  for _ in range(2)]),
+        "fic_samples": np.sin(x)[None, :],
+    }
+    for name, arr in arts.items():
+        np.savetxt(os.path.join(tmp_path, name), np.atleast_1d(arr))
+    out = tmp_path / "fit.png"
+    plot_artifacts(str(tmp_path), str(out))
+    assert out.stat().st_size > 10_000
