@@ -42,8 +42,14 @@ def save_train_checkpoint(
             best_le if best_le is not None else -st.f, np.float64
         ),
     }
-    with open(path, "wb") as fh:
+    # atomic replace: a crash mid-write must not corrupt the only copy —
+    # the checkpoint exists precisely for the crash scenario
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
+    os.replace(tmp, path)
 
 
 def load_train_checkpoint(path: str):

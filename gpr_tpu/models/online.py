@@ -30,13 +30,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..numerics.linalg import inv_tri_upper, matmul, rows_sqr_norm, solve_tri
+from ..numerics.linalg import inv_tri_upper, matmul, rows_sqr_norm
 from ..tree import pytree_dataclass
 from .fitc import calc_inducing
 from .streaming import (
     StreamStats,
     _acc_dtype,
-    _whitened_factor,
+    _dewhiten,
+    _whitened_solve,
     evidence_from_stats,
     stream_stats,
 )
@@ -116,9 +117,16 @@ def online_update(family, params, st: OnlineState, X, y, *,
                        sigma2=st.sigma2, stats=new)
 
 
-def online_downdate(family, params, st: OnlineState, X, y) -> OnlineState:
+def online_downdate(family, params, st: OnlineState, X, y, *,
+                    block_size: int | None = None) -> OnlineState:
     """Remove a previously added batch (exact algebra; see module caveat)."""
-    batch = _batch_stats(family, params, st, X, y)
+    if block_size is not None:
+        batch = stream_stats(
+            family, params, st.inducing, st.sigma2, X, y,
+            block_size=block_size, grad_impl="ad", remat=False,
+        )
+    else:
+        batch = _batch_stats(family, params, st, X, y)
     new = StreamStats(
         gram=st.stats.gram - batch.gram,
         u_vec=st.stats.u_vec - batch.u_vec,
@@ -140,11 +148,8 @@ def online_predictors(st: OnlineState):
     plug into models.predict.* unchanged."""
     from .predict import CoVariancePredictor, MeanPredictor
 
-    dt = st.inducing.km.dtype
-    r_tilde = _whitened_factor(st.inducing, st.stats)
-    t = solve_tri(r_tilde, st.stats.u_vec.astype(dt), trans=True)
-    coeffs = solve_tri(st.inducing.chol_km, solve_tri(r_tilde, t))
-    r_mat = matmul(r_tilde, st.inducing.chol_km)
+    r_tilde, t = _whitened_solve(st.inducing, st.stats)
+    coeffs, r_mat = _dewhiten(st.inducing, r_tilde, t)
     return (
         MeanPredictor(z=st.inducing.z, coeffs=coeffs),
         CoVariancePredictor(

@@ -179,7 +179,10 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
     def bwd(res, cot):
         params, z, u_inv, sigma2, xb, yb, maskb = res
         gbar, ubar, lds_bar, yiy_bar, isr_bar, _nbar = cot
-        dt = xb.dtype
+        # compute dtype — NOT xb.dtype: in bf16 storage mode the data is
+        # narrower than the model, and truncating the m x m Gram cotangent
+        # to bf16 would poison every hyper gradient
+        dt = z.dtype
         acc = _acc_dtype()
         # The statistics are sums over tiles: each tile sees the SAME
         # cotangents.  Symmetrize the Gram cotangent once, outside the scan.

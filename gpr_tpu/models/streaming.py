@@ -200,14 +200,16 @@ def _whitened_factor(inducing, stats):
     return cholesky_upper(bt.astype(dt), jitter=0.0)
 
 
-def evidence_from_stats(
-    inducing, stats: StreamStats, *, variational: bool = False
-) -> jnp.ndarray:
-    """l = l1 + l2 from the reduced statistics — pure O(m^3) epilogue,
-    identical math to fitc.calc_model/calc_trained via the whitened
-    identity log|B| - log|Km + jitter I| = log|I + G|."""
+def _whitened_solve(inducing, stats: StreamStats):
+    """(r_tilde, t): the shared core of every whitened epilogue."""
     dt = inducing.km.dtype
     r_tilde = _whitened_factor(inducing, stats)
+    t = solve_tri(r_tilde, stats.u_vec.astype(dt), trans=True)
+    return r_tilde, t
+
+
+def _evidence_terms(stats: StreamStats, r_tilde, t, *, variational):
+    """(l1, l2) in the accumulator dtype; log|B| - log|Km| = log|I + G|."""
     l1 = -0.5 * (
         log_det_tri(r_tilde).astype(_acc_dtype())
         + stats.log_det_s
@@ -215,9 +217,26 @@ def evidence_from_stats(
     )
     if variational:
         l1 = l1 - 0.5 * stats.is_r_sum
-    t = solve_tri(r_tilde, stats.u_vec.astype(dt), trans=True)
     l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()))
-    return (l1 + l2).astype(dt)
+    return l1, l2
+
+
+def _dewhiten(inducing, r_tilde, t):
+    """(coeffs, r_mat): R = R~ U, coeffs = U^-1 R~^-1 t."""
+    coeffs = solve_tri(inducing.chol_km, solve_tri(r_tilde, t))
+    r_mat = matmul(r_tilde, inducing.chol_km)
+    return coeffs, r_mat
+
+
+def evidence_from_stats(
+    inducing, stats: StreamStats, *, variational: bool = False
+) -> jnp.ndarray:
+    """l = l1 + l2 from the reduced statistics — pure O(m^3) epilogue,
+    identical math to fitc.calc_model/calc_trained via the whitened
+    identity log|B| - log|Km + jitter I| = log|I + G|."""
+    r_tilde, t = _whitened_solve(inducing, stats)
+    l1, l2 = _evidence_terms(stats, r_tilde, t, variational=variational)
+    return (l1 + l2).astype(inducing.km.dtype)
 
 
 def streaming_log_evidence(
@@ -288,18 +307,9 @@ def streaming_trained(
         family, params, inducing, sigma2, X, y, block_size=block_size
     )
     dt = inducing.km.dtype
-    r_tilde = _whitened_factor(inducing, stats)
-    l1 = -0.5 * (
-        log_det_tri(r_tilde).astype(_acc_dtype())
-        + stats.log_det_s
-        + stats.n * LOG_2PI
-    )
-    if variational:
-        l1 = l1 - 0.5 * stats.is_r_sum
-    t = solve_tri(r_tilde, stats.u_vec.astype(dt), trans=True)
-    l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()))
-    coeffs = solve_tri(inducing.chol_km, solve_tri(r_tilde, t))
-    r_mat = matmul(r_tilde, inducing.chol_km)
+    r_tilde, t = _whitened_solve(inducing, stats)
+    l1, l2 = _evidence_terms(stats, r_tilde, t, variational=variational)
+    coeffs, r_mat = _dewhiten(inducing, r_tilde, t)
     means = predict_means_blocked(
         family, params, inducing.z, coeffs, X, block_size=block_size
     )
@@ -325,14 +335,8 @@ def streaming_coeffs(family, params, z, sigma2, X, y, *, block_size=8192,
     stats = stream_stats(
         family, params, inducing, sigma2, X, y, block_size=block_size
     )
-    dt = inducing.km.dtype
-    r_tilde = _whitened_factor(inducing, stats)
-    t = solve_tri(r_tilde, stats.u_vec.astype(dt), trans=True)
-    # de-whiten: R = R~ U (upper x upper), coeffs = U^-1 R~^-1 t
-    coeffs = solve_tri(
-        inducing.chol_km, solve_tri(r_tilde, t), trans=False
-    )
-    r_mat = matmul(r_tilde, inducing.chol_km)
+    r_tilde, t = _whitened_solve(inducing, stats)
+    coeffs, r_mat = _dewhiten(inducing, r_tilde, t)
     return inducing, r_mat, coeffs
 
 

@@ -224,9 +224,9 @@ def sharded_log_evidence_2d(
                 dist_solve_lower_t,
             )
 
-            eye_j = lax.dynamic_slice_in_dim(
-                jnp.eye(m, dtype=dt), j * m_t, m_t, axis=1
-            )
+            rows = jnp.arange(m)[:, None]
+            cols = (j * m_t + jnp.arange(m_t))[None, :]
+            eye_j = jnp.where(rows == cols, jnp.ones((), dt), 0.0)
             a_j = eye_j + gram_j.astype(dt)
             r_j = dist_cholesky_upper(a_j, MODEL_AXIS, n_model)
             l1 = -0.5 * (
@@ -307,7 +307,15 @@ def _fully_distributed_evidence(
         rows = jnp.arange(m)[:, None]
         cols = (j0 + jnp.arange(m_t))[None, :]
         on_diag = rows == cols
-        km_jit_j = km_j + jnp.where(on_diag, jnp.asarray(jit, dt), 0.0)
+        jit_eff = jnp.asarray(jit, dt)
+        if jitter is None and dt == jnp.float32:
+            # same policy as numerics.linalg.cholesky_upper: in f32 the
+            # default jitter scales with the diagonal magnitude
+            diag_mean = lax.psum(
+                jnp.sum(jnp.where(on_diag, jnp.abs(km_j), 0.0)), MODEL_AXIS
+            ) / m
+            jit_eff = jnp.maximum(jit_eff, 1e-5 * diag_mean)
+        km_jit_j = km_j + jnp.where(on_diag, jit_eff, 0.0)
         u_j = dist_cholesky_upper(km_jit_j, MODEL_AXIS, n_model)
         log_det_km = dist_log_det_tri(u_j, MODEL_AXIS)
         p_j = dist_spd_inverse_cols(u_j, MODEL_AXIS, n_model)  # Km^-1 cols
@@ -432,7 +440,14 @@ def fully_distributed_predict(
         km_j = k_upper_cols(family, params, z, j0, m_t)
         rows = jnp.arange(m)[:, None]
         cols = (j0 + jnp.arange(m_t))[None, :]
-        km_jit_j = km_j + jnp.where(rows == cols, jnp.asarray(jit, dt), 0.0)
+        on_diag = rows == cols
+        jit_eff = jnp.asarray(jit, dt)
+        if jitter is None and dt == jnp.float32:
+            diag_mean = lax.psum(
+                jnp.sum(jnp.where(on_diag, jnp.abs(km_j), 0.0)), MODEL_AXIS
+            ) / m
+            jit_eff = jnp.maximum(jit_eff, 1e-5 * diag_mean)
+        km_jit_j = km_j + jnp.where(on_diag, jit_eff, 0.0)
         u_j = dist_cholesky_upper(km_jit_j, MODEL_AXIS, n_model)
         p_j = dist_spd_inverse_cols(u_j, MODEL_AXIS, n_model)
 

@@ -123,17 +123,23 @@ def plot_artifacts(artifact_dir: str, out_path: str | None = None):
 
     from .datasets import gen_data_fn
 
-    def load(name):
+    def load(name, required=False):
         p = os.path.join(artifact_dir, name)
-        return np.loadtxt(p) if os.path.exists(p) else None
+        if not os.path.exists(p):
+            if required:
+                raise FileNotFoundError(
+                    f"artifact {name!r} missing from {artifact_dir}"
+                )
+            return None
+        return np.loadtxt(p)
 
-    x = load("inputs")
+    x = load("inputs", required=True)
     ax = plot_fit(
         x if x.ndim == 1 else x[:, 0],
-        load("targets"),
-        load("means"),
-        load("variances"),
-        float(load("sigma2")),
+        load("targets", required=True),
+        load("means", required=True),
+        load("variances", required=True),
+        float(load("sigma2", required=True)),
         true_fn=gen_data_fn,
         inducing=load("inducing_points"),
         samples=load("fitc_samples"),

@@ -145,7 +145,7 @@ def test_remat_policy_save_kernel_matches(rng):
         return jax.grad(
             lambda p_: streaming_log_evidence(
                 SeIso, p_, Z, SIGMA2, X, y, block_size=64,
-                remat_policy=policy,
+                remat_policy=policy, grad_impl="ad",
             )
         )(p)
 
