@@ -27,8 +27,29 @@ from .predict import (
     predict_variances,
     variances_model_inputs,
 )
+from .multitask import (
+    batched_log_evidence,
+    batched_value_and_grad,
+    multi_start,
+)
+from .online import (
+    OnlineState,
+    online_downdate,
+    online_init,
+    online_log_evidence,
+    online_predictors,
+    online_update,
+)
 from .sample import (CovSampler, Sampler, cov_sample, cov_sampler,
                      sample, sample_fic_blocked, sampler)
 from .stats import Stats, calc_stats
+from .streaming import (
+    StreamingTrained,
+    predict_means_blocked,
+    predict_variances_blocked,
+    streaming_coeffs,
+    streaming_log_evidence,
+    streaming_trained,
+)
 
 __all__ = [n for n in dir() if not n.startswith("_")]
