@@ -245,3 +245,19 @@ def test_fully_distributed_predict_matches_dense(rng):
                                atol=1e-11)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
                                rtol=1e-8, atol=1e-11)
+
+
+def test_fully_distributed_larger_m(rng):
+    """Block-index stress at a larger m (8 blocks of 8 over the full mesh)."""
+    n, m, d = 256, 64, 2
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    Z = jnp.asarray(rng.standard_normal((m, d)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.4), log_sf2=jnp.asarray(0.0))
+    mesh = make_mesh_2d(1, 8)
+    sharded = sharded_log_evidence_2d(
+        SeIso, mesh, p, Z, SIGMA2, X, y, block_size=64,
+        inducing="distributed",
+    )
+    dense = log_evidence(SeIso, p, Z, SIGMA2, X, y, factorization="chol")
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-9)
