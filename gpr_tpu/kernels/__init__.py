@@ -2,6 +2,7 @@ from .base import KernelFamily, sqdist, weighted_eval
 from .const import Const
 from .lin_ard import LinArd
 from .lin_one import LinOne
+from .matern import Matern32, Matern52
 from .se_fat import SeFat
 from .se_iso import SeIso
 
@@ -13,6 +14,9 @@ FAMILIES = {
     LinArd.name: LinArd,
     SeIso.name: SeIso,
     SeFat.name: SeFat,
+    # extensions beyond the reference's five
+    Matern32.name: Matern32,
+    Matern52.name: Matern52,
 }
 
 __all__ = [
@@ -24,5 +28,7 @@ __all__ = [
     "LinArd",
     "SeIso",
     "SeFat",
+    "Matern32",
+    "Matern52",
     "FAMILIES",
 ]

@@ -114,7 +114,7 @@ def k_upper_cols(family, params, Z, j0, m_t):
         if name == "lin_ard":
             return _jnp.matmul(Z, z_c.T)
         return family.k_cross(params, Z, z_c)
-    if name == "se_iso":
+    if name in ("se_iso", "matern32", "matern52"):
         k = family.k_cross(params, Z, z_c)
         sf2 = _jnp.exp(params.log_sf2)
         return _jnp.where(on_diag, sf2, k)

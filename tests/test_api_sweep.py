@@ -13,7 +13,8 @@ import pytest
 
 from gpr_tpu.io import load_model, save_model
 from gpr_tpu.io.checkpoint import artifact_from_trained
-from gpr_tpu.kernels import Const, LinArd, LinOne, SeFat, SeIso
+from gpr_tpu.kernels import (Const, LinArd, LinOne, Matern32,
+                             Matern52, SeFat, SeIso)
 from gpr_tpu.models import (
     co_variance_predictor,
     calc_stats,
@@ -24,7 +25,7 @@ from gpr_tpu.models import (
 from gpr_tpu.models.predict import CoVariancePredictor, MeanPredictor
 from gpr_tpu.optim.train import train
 
-FAMILIES = [SeIso, SeFat, LinOne, LinArd, Const]
+FAMILIES = [SeIso, SeFat, LinOne, LinArd, Const, Matern32, Matern52]
 
 
 def _family_params(rng, family, X, m):
