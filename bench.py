@@ -83,9 +83,12 @@ def mxu_utilization(t_s: float, n: int, m: int, device) -> str:
 
     Large GEMMs per iteration (models/stream_grad.py): forward V and Gram,
     backward V recompute, V@Gsym, Knm-bar, U^-1-bar — 6 contractions of
-    2 n m_pad^2 flops with m zero-padded to the 128-wide MXU lane multiple;
-    matmul_precision='high' runs each f32 GEMM as 3 bf16 MXU passes.  MXU
-    busy fraction = executed-pass flops / time / chip bf16 peak.
+    2 n m^2 flops; matmul_precision='high' runs each f32 GEMM as 3 bf16 MXU
+    passes.  The busy fraction is reported as a RANGE: the lower bound
+    credits no lane padding, the upper bound credits full padding of m to
+    the 128-lane multiple (an m-sweep shows the truth is in between — time
+    grows superlinearly-but-not-quadratically from m=300 to 384, so XLA
+    recovers part of the pad).
     """
     kind = str(getattr(device, "device_kind", "")).lower()
     peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
@@ -93,12 +96,12 @@ def mxu_utilization(t_s: float, n: int, m: int, device) -> str:
     peak = next((v for k, v in peaks.items() if k in kind), 197e12)
     m_pad = -(-m // 128) * 128
     passes = 3  # matmul_precision='high'
-    gemm_flops = 6 * 2 * n * m_pad * m_pad
-    busy = gemm_flops * passes / t_s
     useful = 6 * 2 * n * m * m / t_s
-    return (f"MXU: {busy/1e12:.0f} TF/s of bf16 passes = "
-            f"{100*busy/peak:.0f}% busy of {peak/1e12:.0f} TF/s peak "
-            f"({kind or 'unknown'}); useful f32 {useful/1e12:.1f} TF/s")
+    lo = useful * passes
+    hi = 6 * 2 * n * m_pad * m_pad * passes / t_s
+    return (f"MXU: {100*lo/peak:.0f}-{100*hi/peak:.0f}% busy of "
+            f"{peak/1e12:.0f} TF/s peak ({kind or 'unknown'}); useful f32 "
+            f"{useful/1e12:.1f} TF/s in 3-pass mode")
 
 
 def main():

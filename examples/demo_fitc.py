@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# demos run on CPU: f64 parity numerics, instant compiles (the pinned TPU
+# tunnel would remote-compile every graph; override via GPR_TPU_PLATFORM)
+jax.config.update("jax_platforms", os.environ.get("GPR_TPU_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
@@ -93,16 +96,33 @@ def main(outdir="/tmp/gpr_tpu_demo"):
         key, cov_sampler(means, cov_fic, sigma2, predictive=False), n=5
     )
 
-    # the save_data.ml artifact set (test/save_data.ml:74-146)
+    # the save_data.ml artifact set (test/save_data.ml:34-146), including
+    # the inducing-point predictions and the single-point (one_*) queries
+    from gpr_tpu.models import predict_mean_one, predict_variance_one
+
+    inducing_means = predict_means(SeIso, params, mp, Z)
+    inducing_variances = predict_variances(SeIso, params, cvp, Z, sigma2,
+                                           predictive=False)
+    one_inducing = Z[0]
+    one_mean = predict_mean_one(SeIso, params, mp, one_inducing)
+    one_variance = predict_variance_one(SeIso, params, cvp, one_inducing,
+                                        sigma2, predictive=False)
+
     arts = {
         "inputs": X_np,
         "targets": y_np,
         "inducing_points": np.asarray(Z),
         "sigma2": np.asarray(sigma2),
+        "noise_sigma2": np.asarray(sigma2),
         "log_ell": np.asarray(params.log_ell),
         "log_sf2": np.asarray(params.log_sf2),
         "means": np.asarray(means),
         "variances": np.asarray(variances),
+        "inducing_means": np.asarray(inducing_means),
+        "inducing_variances": np.asarray(inducing_variances),
+        "one_inducing": np.asarray(one_inducing),
+        "one_mean": np.asarray(one_mean),
+        "one_variance": np.asarray(one_variance),
         "fitc_samples": np.asarray(samples_fitc),
         "fic_samples": np.asarray(samples_fic),
     }

@@ -75,12 +75,18 @@ def plot_fit(
         ax.plot(xs, ft + T95 * ns, color=C_TRUTH, lw=1, ls=":", zorder=3)
         ax.plot(xs, ft - T95 * ns, color=C_TRUTH, lw=1, ls=":", zorder=3)
 
+    def _rows_of_samples(arr):
+        arr = np.atleast_2d(np.asarray(arr))
+        if arr.shape[1] != len(xs) and arr.shape[0] == len(xs):
+            arr = arr.T  # accept (n, k) draws (cov_sample's layout) or (k, n)
+        return arr[:3]
+
     if samples is not None:
-        for k, s in enumerate(np.atleast_2d(np.asarray(samples))[:3]):
+        for k, s in enumerate(_rows_of_samples(samples)):
             ax.plot(xs, s[order], color=C_SAMPLE, lw=1, alpha=0.7,
                     label="posterior samples" if k == 0 else None, zorder=3)
     if fic_samples is not None:
-        for k, s in enumerate(np.atleast_2d(np.asarray(fic_samples))[:3]):
+        for k, s in enumerate(_rows_of_samples(fic_samples)):
             ax.plot(xs, s[order], color=C_FIC, lw=1, alpha=0.7,
                     label="FIC samples" if k == 0 else None, zorder=3)
 
@@ -142,6 +148,8 @@ def plot_artifacts(artifact_dir: str, out_path: str | None = None):
         float(load("sigma2", required=True)),
         true_fn=gen_data_fn,
         inducing=load("inducing_points"),
+        inducing_means=load("inducing_means"),
+        inducing_variances=load("inducing_variances"),
         samples=load("fitc_samples"),
         fic_samples=load("fic_samples"),
         title="FITC fit (reference synthetic benchmark)",
