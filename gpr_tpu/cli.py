@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train with the streaming evidence in row blocks of "
                         "this size: memory stays O(block x m) at any n "
                         "(default: dense n x m cross-covariance)")
+    p.add_argument("-checkpoint", default=None,
+                   help="persist optimizer state to this file every "
+                        "accepted iteration (enables -resume)")
+    p.add_argument("-resume", action="store_true",
+                   help="continue an interrupted -checkpoint run (requires "
+                        "the same data and flags; reproduces the "
+                        "uninterrupted trajectory)")
     p.add_argument("-verbose", action="store_true",
                    help="prints information while training")
     p.add_argument("-seed", type=int, default=None,
@@ -215,6 +222,8 @@ def cmd_train(args) -> int:
             report_trained_model=report_trained_model,
             report_gradient_norm=report_gradient_norm,
             key=jax.random.PRNGKey(seed),
+            checkpoint_path=args.checkpoint,
+            resume=args.resume,
         )
     finally:
         signal.signal(signal.SIGINT, old_handler)

@@ -146,3 +146,47 @@ def test_checkpoint_se_fat_optional_none(tmp_path, rng):
     art2, _ = load_model(path)
     assert art2.kernel_params.tproj is None
     assert art2.kernel_params.d == 4
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    """-checkpoint/-resume: an interrupted CLI run continues to the same
+    model as an uninterrupted one (fixed seed => same data pipeline)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from gpr_tpu.datasets import gen_data
+
+    X, y, _ = gen_data(5, n=120)
+    csv = "\n".join(
+        ",".join(str(v) for v in list(row) + [t]) for row, t in zip(X, y)
+    )
+
+    def run(extra, model):
+        cmd = [sys.executable, "-m", "gpr_tpu.cli", "-cmd", "train",
+               "-model", str(model), "-n-inducing", "5", "-dim-red", "1",
+               "-seed", "7"] + extra
+        env = dict(os.environ)
+        env["GPR_TPU_PLATFORM"] = "cpu"
+        res = subprocess.run(cmd, input=csv, capture_output=True, text=True,
+                             env=env, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+
+    full = tmp_path / "full.npz"
+    run(["-max-iter", "12"], full)
+
+    ckpt = str(tmp_path / "train.ckpt.npz")
+    part = tmp_path / "part.npz"
+    run(["-max-iter", "5", "-checkpoint", ckpt], part)
+    resumed = tmp_path / "resumed.npz"
+    run(["-max-iter", "12", "-checkpoint", ckpt, "-resume"], resumed)
+
+    from gpr_tpu.io import load_model
+
+    a_full, _ = load_model(str(full))
+    a_res, _ = load_model(str(resumed))
+    np.testing.assert_allclose(a_res.coeffs, a_full.coeffs, rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(a_res.inducing, a_full.inducing, rtol=1e-8,
+                               atol=1e-10)
