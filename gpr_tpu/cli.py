@@ -126,6 +126,8 @@ def cmd_train(args) -> int:
     from .models import calc_stats
     from .optim import Bailout, train
 
+    if args.resume and args.checkpoint is None:
+        raise SystemExit("-resume requires -checkpoint FILE")
     data = read_samples(sys.stdin)
     if data.shape[1] < 2:
         raise SystemExit("training data needs at least 2 columns (x..., y)")

@@ -76,9 +76,11 @@ def plot_fit(
         ax.plot(xs, ft - T95 * ns, color=C_TRUTH, lw=1, ls=":", zorder=3)
 
     def _rows_of_samples(arr):
+        # accept (n, k) draws (cov_sample's native layout) or (k, n); a
+        # square array is read as (points, draws)
         arr = np.atleast_2d(np.asarray(arr))
-        if arr.shape[1] != len(xs) and arr.shape[0] == len(xs):
-            arr = arr.T  # accept (n, k) draws (cov_sample's layout) or (k, n)
+        if arr.shape[0] == len(xs):
+            arr = arr.T
         return arr[:3]
 
     if samples is not None:

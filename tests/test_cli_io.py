@@ -164,13 +164,11 @@ def test_cli_checkpoint_resume(tmp_path):
     )
 
     def run(extra, model):
-        cmd = [sys.executable, "-m", "gpr_tpu.cli", "-cmd", "train",
-               "-model", str(model), "-n-inducing", "5", "-dim-red", "1",
-               "-seed", "7"] + extra
-        env = dict(os.environ)
-        env["GPR_TPU_PLATFORM"] = "cpu"
-        res = subprocess.run(cmd, input=csv, capture_output=True, text=True,
-                             env=env, timeout=600)
+        res = run_cli(
+            ["-cmd", "train", "-model", str(model), "-n-inducing", "5",
+             "-dim-red", "1", "-seed", "7", *extra],
+            csv, timeout=600,
+        )
         assert res.returncode == 0, res.stderr[-2000:]
 
     full = tmp_path / "full.npz"

@@ -82,3 +82,30 @@ def test_matern_k_upper_cols(rng):
         blk = k_upper_cols(family, p, Z, 3, 3)
         np.testing.assert_allclose(np.asarray(blk),
                                    np.asarray(full[:, 3:6]), rtol=1e-12)
+
+
+@pytest.mark.parametrize("family", [Matern32, Matern52])
+def test_matern_streaming_custom_vjp_grads(rng, family):
+    """The default hand-fused VJP == dense AD for Matérn, including a
+    duplicated inducing point (the _safe_r double-where under the generic
+    per-tile pullback)."""
+    X = jnp.asarray(rng.standard_normal((80, 2)))
+    y = jnp.asarray(rng.standard_normal(80))
+    Z = jnp.concatenate([X[:5], X[:1]])  # duplicate
+    p = family.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+
+    def f_stream(p, Z, s2):
+        return streaming_log_evidence(family, p, Z, s2, X, y, block_size=16)
+
+    def f_dense(p, Z, s2):
+        return log_evidence(family, p, Z, s2, X, y, factorization="chol")
+
+    v_s, g_s = jax.value_and_grad(f_stream, argnums=(0, 1, 2))(
+        p, Z, jnp.asarray(0.5))
+    v_d, g_d = jax.value_and_grad(f_dense, argnums=(0, 1, 2))(
+        p, Z, jnp.asarray(0.5))
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-11)
+    for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_s)):
+        assert np.all(np.isfinite(np.asarray(b)))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8,
+                                   atol=1e-10)
