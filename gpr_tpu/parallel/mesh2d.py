@@ -117,18 +117,26 @@ def sharded_log_evidence_2d(
         mask = jnp.ones((X.shape[0],), X.dtype)
     n_model = mesh.shape[MODEL_AXIS]
     m = z.shape[0]
-    if m % n_model != 0:
-        raise ValueError(
-            f"m ({m}) must be divisible by the model axis ({n_model})"
-        )
-    m_t = m // n_model
 
     if inducing == "distributed":
+        # any m: the linear algebra is identity-padded to a block multiple
+        # (virtual dimensions decouple exactly — zero cross-columns, unit
+        # diagonal — so evidence and gradients are unchanged)
+        m_pad = -(-m // n_model) * n_model
+        z_pad = _pad_inducing_rows(z, m_pad - m)
         return _fully_distributed_evidence(
-            family, mesh, params, z, sigma2, X, y, mask,
+            family, mesh, params, z_pad, sigma2, X, y, mask,
             variational=variational, block_size=block_size, jitter=jitter,
-            n_model=n_model, m_t=m_t,
+            n_model=n_model, m_t=m_pad // n_model, m_real=m,
         )
+
+    if m % n_model != 0:
+        raise ValueError(
+            f"m ({m}) must be divisible by the model axis ({n_model}) "
+            "for the replicated-inducing modes (inducing='distributed' "
+            "pads automatically)"
+        )
+    m_t = m // n_model
 
     # raw-Gram TP needs f64 accumulators to survive the whitening sandwich;
     # the distributed epilogue always accumulates whitened column blocks
@@ -278,9 +286,17 @@ def sharded_log_evidence_2d(
     return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
 
 
+def _pad_inducing_rows(z, pad):
+    """Append kernel-evaluable dummy rows (copies of row 0); their matrix
+    entries are masked to the identity downstream."""
+    if pad == 0:
+        return z
+    return jnp.concatenate([z, jnp.broadcast_to(z[:1], (pad,) + z.shape[1:])])
+
+
 def _fully_distributed_evidence(
     family, mesh, params, z, sigma2, X, y, mask, *,
-    variational, block_size, jitter, n_model, m_t,
+    variational, block_size, jitter, n_model, m_t, m_real,
 ):
     """No-replicated-m^2 evidence: see sharded_log_evidence_2d docstring
     (``inducing="distributed"``).  Raw factorization B = Km~ + G; use with
@@ -307,18 +323,25 @@ def _fully_distributed_evidence(
         rows = jnp.arange(m)[:, None]
         cols = (j0 + jnp.arange(m_t))[None, :]
         on_diag = rows == cols
+        # identity-pad virtual dimensions (m_real..m): unit diagonal, zero
+        # couplings — they contribute exactly nothing to the evidence
+        real = (rows < m_real) & (cols < m_real)
+        km_j = jnp.where(real, km_j,
+                         jnp.where(on_diag, jnp.ones((), dt), 0.0))
+        real_diag = on_diag & (rows < m_real)
         jit_eff = jnp.asarray(jit, dt)
         if jitter is None and dt == jnp.float32:
             # same policy as numerics.linalg.cholesky_upper: in f32 the
             # default jitter scales with the diagonal magnitude
             diag_mean = lax.psum(
-                jnp.sum(jnp.where(on_diag, jnp.abs(km_j), 0.0)), MODEL_AXIS
-            ) / m
+                jnp.sum(jnp.where(real_diag, jnp.abs(km_j), 0.0)), MODEL_AXIS
+            ) / m_real
             jit_eff = jnp.maximum(jit_eff, 1e-5 * diag_mean)
-        km_jit_j = km_j + jnp.where(on_diag, jit_eff, 0.0)
+        km_jit_j = km_j + jnp.where(real_diag, jit_eff, 0.0)
         u_j = dist_cholesky_upper(km_jit_j, MODEL_AXIS, n_model)
         log_det_km = dist_log_det_tri(u_j, MODEL_AXIS)
         p_j = dist_spd_inverse_cols(u_j, MODEL_AXIS, n_model)  # Km^-1 cols
+        col_live = (jnp.arange(m) < m_real)[None, :]
 
         n_local = xs.shape[0]
         bs = min(block_size, n_local)
@@ -335,6 +358,7 @@ def _fully_distributed_evidence(
         def body(carry, blk):
             x_b, y_b, mask_b = blk
             knm = family.k_cross(params, x_b, z)  # (bs, m) dup over model
+            knm = jnp.where(col_live, knm, 0.0)  # zero virtual columns
             kd = family.k_diag(params, x_b)
             knm_j = lax.dynamic_slice_in_dim(knm, j0, m_t, axis=1)
             # rowsq(V) = rowdot(Knm, Knm Km^-1): model-sharded GEMM + psum
@@ -425,9 +449,9 @@ def fully_distributed_predict(
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
     n_model = mesh.shape[MODEL_AXIS]
-    m = z.shape[0]
-    if m % n_model != 0:
-        raise ValueError(f"m ({m}) not divisible by model axis ({n_model})")
+    m_real = z.shape[0]
+    m = -(-m_real // n_model) * n_model  # identity-padded block multiple
+    z = _pad_inducing_rows(z, m - m_real)
     m_t = m // n_model
     jit = jitter if jitter is not None else config.cholesky_jitter
 
@@ -441,15 +465,20 @@ def fully_distributed_predict(
         rows = jnp.arange(m)[:, None]
         cols = (j0 + jnp.arange(m_t))[None, :]
         on_diag = rows == cols
+        real = (rows < m_real) & (cols < m_real)
+        km_j = jnp.where(real, km_j,
+                         jnp.where(on_diag, jnp.ones((), dt), 0.0))
+        real_diag = on_diag & (rows < m_real)
         jit_eff = jnp.asarray(jit, dt)
         if jitter is None and dt == jnp.float32:
             diag_mean = lax.psum(
-                jnp.sum(jnp.where(on_diag, jnp.abs(km_j), 0.0)), MODEL_AXIS
-            ) / m
+                jnp.sum(jnp.where(real_diag, jnp.abs(km_j), 0.0)), MODEL_AXIS
+            ) / m_real
             jit_eff = jnp.maximum(jit_eff, 1e-5 * diag_mean)
-        km_jit_j = km_j + jnp.where(on_diag, jit_eff, 0.0)
+        km_jit_j = km_j + jnp.where(real_diag, jit_eff, 0.0)
         u_j = dist_cholesky_upper(km_jit_j, MODEL_AXIS, n_model)
         p_j = dist_spd_inverse_cols(u_j, MODEL_AXIS, n_model)
+        col_live = (jnp.arange(m) < m_real)[None, :]
 
         # conditioning statistics (same scan as the evidence, minus scalars)
         n_local = xs.shape[0]
@@ -464,6 +493,7 @@ def fully_distributed_predict(
         def body(carry, blk):
             x_b, y_b, mask_b = blk
             knm = family.k_cross(params, x_b, z)
+            knm = jnp.where(col_live, knm, 0.0)
             kd = family.k_diag(params, x_b)
             knm_j = lax.dynamic_slice_in_dim(knm, j0, m_t, axis=1)
             w_j = matmul(knm, p_j)
@@ -506,6 +536,7 @@ def fully_distributed_predict(
 
         def pblk(x_b):
             ktm = family.k_cross(params, x_b, z)
+            ktm = jnp.where(col_live, ktm, 0.0)
             kd = family.k_diag(params, x_b)
             ktm_j = lax.dynamic_slice_in_dim(ktm, j0, m_t, axis=1)
             mu = matmul(ktm, coeffs)

@@ -261,3 +261,54 @@ def test_fully_distributed_larger_m(rng):
     )
     dense = log_evidence(SeIso, p, Z, SIGMA2, X, y, factorization="chol")
     np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-9)
+
+
+@pytest.mark.parametrize("m", [13, 21])
+def test_fully_distributed_non_divisible_m(rng, m):
+    """m not divisible by the model axis: the linear algebra is identity-
+    padded, exactly — evidence, gradients, and predictions unchanged."""
+    from gpr_tpu.parallel.mesh2d import fully_distributed_predict
+
+    n, d = 240, 3
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal(n))
+    Z = jnp.asarray(rng.standard_normal((m, d)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+    mesh = make_mesh_2d(2, 4)
+
+    @jax.jit
+    def g_dist(p_, Z, s2):
+        def f(p_, Z, s2):
+            return sharded_log_evidence_2d(
+                SeIso, mesh, p_, Z, s2, X, y, block_size=64,
+                inducing="distributed",
+            )
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(p_, Z, s2)
+
+    v_d, grads_d = g_dist(p, Z, jnp.asarray(SIGMA2))
+    def f_ref(p_, Z, s2):
+        return log_evidence(SeIso, p_, Z, s2, X, y, factorization="chol")
+    v_r, grads_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(
+        p, Z, jnp.asarray(SIGMA2))
+    np.testing.assert_allclose(float(v_d), float(v_r), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(grads_d), jax.tree.leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-9)
+
+    Xs = jnp.asarray(rng.standard_normal((40, d)))
+    mu, var = fully_distributed_predict(
+        SeIso, mesh, p, Z, SIGMA2, X, y, Xs, block_size=64)
+    from gpr_tpu.models import (calc_model, calc_trained,
+                                co_variance_predictor, mean_predictor,
+                                predict_means, predict_variances)
+    model = calc_model(SeIso, p, X, Z, SIGMA2, factorization="chol")
+    trained = calc_trained(model, y)
+    np.testing.assert_allclose(
+        np.asarray(mu),
+        np.asarray(predict_means(SeIso, p, mean_predictor(trained), Xs)),
+        rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(var),
+        np.asarray(predict_variances(SeIso, p, co_variance_predictor(model),
+                                     Xs, SIGMA2)),
+        rtol=1e-7, atol=1e-10)
