@@ -125,6 +125,64 @@ def dist_spd_inverse_cols(a_chol_j: jnp.ndarray, axis: str,
     return dist_solve_upper_cols(a_chol_j, y, axis, p)
 
 
+def dist_transpose_cols(w_j: jnp.ndarray, axis: str, p: int) -> jnp.ndarray:
+    """Column blocks of W -> column blocks of W' via a p-step ppermute ring.
+
+    Member j holds W[:, cols_j] (m, m_t) and needs W'[:, cols_j] = the row
+    slab W[rows_j, :] transposed; chunk (rows_j, cols_k) lives on member k.
+    Step t: member ``src`` sends its chunk ``rows_{(src+t) % p}`` to member
+    ``(src+t) % p``, which files it under column block ``(j-t) % p`` — p-1
+    shifts of one (m_t, m_t) tile each, m^2/p floats total per member (the
+    same traffic as one all_to_all, which would do this in one collective —
+    but ``lax.all_to_all``'s reverse mode mis-tags the cotangent's device
+    variance under ``check_vma=False`` in current jax, while the ring's
+    transpose is simply the inverted ring).
+    """
+    m, m_t = w_j.shape
+    j = lax.axis_index(axis)
+    zero = jnp.zeros((), j.dtype)
+    slab = jnp.zeros((m_t, m), w_j.dtype)
+    for t in range(p):
+        send_row = ((j + t) % p) * m_t
+        chunk = lax.dynamic_slice(w_j, (send_row, zero), (m_t, m_t))
+        if t:
+            perm = [(src, (src + t) % p) for src in range(p)]
+            chunk = lax.ppermute(chunk, axis, perm)
+        recv_col = ((j - t) % p) * m_t
+        slab = lax.dynamic_update_slice(slab, chunk, (zero, recv_col))
+    return slab.T
+
+
+def dist_whiten_cols(u_j: jnp.ndarray, g_j: jnp.ndarray, axis: str,
+                     p: int) -> jnp.ndarray:
+    """Column blocks of the two-sided whitening U^-T G U^-1 (G symmetric,
+    U upper with U'U = Km) from column blocks of U and G.
+
+    Two distributed forward substitutions around one distributed transpose,
+    exploiting symmetry: with W = U^-T G,
+
+        U^-T W' = (W U^-1)' = (U^-T G U^-1)' = U^-T G U^-1.
+
+    This is what makes the raw (unwhitened) Gram usable where no member may
+    hold an m x m matrix: accumulate G as column blocks, whiten here, factor
+    I + G~ with :func:`dist_cholesky_upper` — O(m^2/p) per-chip memory end
+    to end (NEXT.md round-2: previously 'structurally blocked').
+    """
+    w_j = dist_solve_lower_cols(u_j, g_j, axis, p)
+    t_j = dist_transpose_cols(w_j, axis, p)
+    return dist_solve_lower_cols(u_j, t_j, axis, p)
+
+
+def whiten_cols_replicated(chol_km: jnp.ndarray, g_j: jnp.ndarray, axis: str,
+                           p: int) -> jnp.ndarray:
+    """Column blocks of U^-T G U^-1 when the inducing factor U = chol_km is
+    replicated (mesh2d's ``inducing="replicated"``): the two triangular
+    solves are local; only the transpose moves data."""
+    w_j = solve_tri(chol_km, g_j, trans=True)
+    t_j = dist_transpose_cols(w_j, axis, p)
+    return solve_tri(chol_km, t_j, trans=True)
+
+
 def dist_solve_lower_t(r_j: jnp.ndarray, u: jnp.ndarray, axis: str,
                        p: int) -> jnp.ndarray:
     """t with R' t = u (forward substitution), R given as column blocks.

@@ -87,6 +87,7 @@ def sharded_log_evidence_2d(
     jitter: float | None = None,
     epilogue: str = "replicated",
     inducing: str = "replicated",
+    factorization: str | None = None,
 ):
     """Exact evidence over a (data, model) mesh.
 
@@ -98,20 +99,32 @@ def sharded_log_evidence_2d(
     end: no all_gather, distributed block Cholesky of I + G~ and distributed
     forward substitution (parallel/dist_chol.py) — per-chip memory for the
     data Gram drops to O(m^2 / p_model).  (The inducing factor U stays
-    replicated: a one-off O(m^3) independent of n.)  Uses the whitened
-    accumulation in any dtype, so the V GEMM duplicates across the model
-    axis (TP ceiling 2x, as in f32 mode).
+    replicated: a one-off O(m^3) independent of n.)  With f64 accumulators
+    the raw Gram is accumulated (BOTH O(n m^2) GEMMs shard — full TP) and
+    whitened in place by the distributed two-sided whitening
+    (dist_chol.whiten_cols_replicated: two local triangular solves around a
+    ppermute-ring block transpose, never materializing m x m); with f32
+    accumulators the whitened Gram is accumulated directly (PSD by
+    construction; the V GEMM duplicates, TP ceiling 2x, as in the
+    replicated-epilogue f32 mode).
 
     ``inducing="distributed"`` removes the LAST replicated m-sized state:
     Km is built as column blocks (kernels.base.k_upper_cols), factored by
     the distributed block Cholesky, and the per-row FITC diagonal is
     computed via column blocks of P = Km^-1 (rowsq(V) = rowdot(Knm, Knm P),
     psum'd over the model axis) — NO member ever holds an m x m matrix.
-    Uses the raw (unwhitened) factorization B = Km + Knm' diag(is) Knm, so
-    run it with x64 accumulators (the f32-stable whitened form needs a
-    two-sided distributed triangular solve — future work).  Implies the
-    distributed epilogue.  This is the m >~ 3e4 regime where replicated
-    O(m^2) no longer fits one chip.
+    Implies the distributed epilogue.  This is the m >~ 3e4 regime where
+    replicated O(m^2) no longer fits one chip.
+
+    The raw Gram column blocks B = Km + Knm' diag(is) Knm are factored
+    directly with f64 accumulators (``factorization="raw"``); with f32
+    accumulators the default switches to ``"whitened"``: compensated
+    (two-sum) f32 accumulation of the raw blocks, then the distributed
+    two-sided whitening G~ = U^-T G U^-1 (dist_chol.dist_whiten_cols — two
+    distributed forward substitutions around a ppermute-ring block
+    transpose) and a factorization of I + G~, whose identity margin absorbs
+    the f32 rounding that makes the raw sandwich lose definiteness.  Pass
+    ``factorization=`` to override the dtype-based default.
     """
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
@@ -128,6 +141,7 @@ def sharded_log_evidence_2d(
             family, mesh, params, z_pad, sigma2, X, y, mask,
             variational=variational, block_size=block_size, jitter=jitter,
             n_model=n_model, m_t=m_pad // n_model, m_real=m,
+            factorization=factorization,
         )
 
     if m % n_model != 0:
@@ -138,9 +152,9 @@ def sharded_log_evidence_2d(
         )
     m_t = m // n_model
 
-    # raw-Gram TP needs f64 accumulators to survive the whitening sandwich;
-    # the distributed epilogue always accumulates whitened column blocks
-    raw_gram = _acc_dtype() == jnp.float64 and epilogue != "distributed"
+    # raw-Gram TP needs f64 accumulators to survive the whitening sandwich
+    # (the f32 modes accumulate the whitened Gram directly instead)
+    raw_gram = _acc_dtype() == jnp.float64
 
     def shard_fn(params, z, sigma2, xs, ys, ms):
         j = lax.axis_index(MODEL_AXIS)
@@ -225,17 +239,30 @@ def sharded_log_evidence_2d(
 
         dt = inducing.km.dtype
         if epilogue == "distributed":
-            # whitened column blocks stay sharded: distributed factorization
+            # Gram column blocks stay sharded: distributed factorization.
+            # raw_gram (f64): whiten the raw blocks in place first — two
+            # local triangular solves around a ppermute-ring transpose.
             from .dist_chol import (
                 dist_cholesky_upper,
                 dist_log_det_tri,
                 dist_solve_lower_t,
+                whiten_cols_replicated,
             )
 
+            if raw_gram:
+                gw_j = whiten_cols_replicated(
+                    inducing.chol_km.astype(acc), gram_j, MODEL_AXIS, n_model
+                ).astype(dt)
+                u_white = solve_tri(
+                    inducing.chol_km, u_vec.astype(dt), trans=True
+                )
+            else:
+                gw_j = gram_j.astype(dt)
+                u_white = u_vec.astype(dt)  # accumulated as V'(is y) = U^-T u
             rows = jnp.arange(m)[:, None]
             cols = (j * m_t + jnp.arange(m_t))[None, :]
             eye_j = jnp.where(rows == cols, jnp.ones((), dt), 0.0)
-            a_j = eye_j + gram_j.astype(dt)
+            a_j = eye_j + gw_j
             r_j = dist_cholesky_upper(a_j, MODEL_AXIS, n_model)
             l1 = -0.5 * (
                 dist_log_det_tri(r_j, MODEL_AXIS).astype(acc)
@@ -243,7 +270,7 @@ def sharded_log_evidence_2d(
             )
             if variational:
                 l1 = l1 - 0.5 * isr
-            t = dist_solve_lower_t(r_j, u_vec.astype(dt), MODEL_AXIS, n_model)
+            t = dist_solve_lower_t(r_j, u_white, MODEL_AXIS, n_model)
             l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
             return (l1 + l2).astype(dt)
 
@@ -297,21 +324,29 @@ def _pad_inducing_rows(z, pad):
 def _fully_distributed_evidence(
     family, mesh, params, z, sigma2, X, y, mask, *,
     variational, block_size, jitter, n_model, m_t, m_real,
+    factorization=None,
 ):
     """No-replicated-m^2 evidence: see sharded_log_evidence_2d docstring
-    (``inducing="distributed"``).  Raw factorization B = Km~ + G; use with
-    x64 accumulators."""
+    (``inducing="distributed"``)."""
     from ..config import config
     from ..kernels.base import k_upper_cols
+    from ..models.stream_grad import _two_sum
     from .dist_chol import (
         dist_cholesky_upper,
         dist_log_det_tri,
         dist_solve_lower_t,
         dist_spd_inverse_cols,
+        dist_whiten_cols,
     )
 
     m = z.shape[0]
     jit = jitter if jitter is not None else config.cholesky_jitter
+    if factorization is None:
+        factorization = (
+            "raw" if _acc_dtype() == jnp.float64 else "whitened"
+        )
+    if factorization not in ("raw", "whitened"):
+        raise ValueError(f"unknown factorization {factorization!r}")
 
     def shard_fn(params, z, sigma2, xs, ys, ms):
         j = lax.axis_index(MODEL_AXIS)
@@ -355,6 +390,8 @@ def _fully_distributed_evidence(
         yb = ys.reshape(nb, bs)
         mb = ms.reshape(nb, bs)
 
+        comp = acc == jnp.float32  # compensate when f64 is unavailable
+
         def body(carry, blk):
             x_b, y_b, mask_b = blk
             knm = family.k_cross(params, x_b, z)  # (bs, m) dup over model
@@ -368,45 +405,58 @@ def _fully_distributed_evidence(
             r = kd - rq
             s = jnp.where(live, r + sigma2, 1.0)
             is_ = mask_b / s
-            gram_j, u_vec, lds, yiy, isr, cnt = carry
-            gram_j = gram_j + matmul(knm.T, is_[:, None] * knm_j).astype(acc)
-            u_vec = u_vec + matmul(knm.T, is_ * y_b).astype(acc)
-            lds = lds + jnp.sum(jnp.where(live, jnp.log(s), 0.0)).astype(acc)
-            yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(acc)
-            isr = isr + jnp.sum(is_ * r).astype(acc)
-            cnt = cnt + jnp.sum(mask_b).astype(acc)
-            return (gram_j, u_vec, lds, yiy, isr, cnt), None
+            terms = (
+                matmul(knm.T, is_[:, None] * knm_j).astype(acc),
+                matmul(knm.T, is_ * y_b).astype(acc),
+                jnp.sum(jnp.where(live, jnp.log(s), 0.0)).astype(acc),
+                jnp.sum(is_ * y_b * y_b).astype(acc),
+                jnp.sum(is_ * r).astype(acc),
+                jnp.sum(mask_b).astype(acc),
+            )
+            if comp:
+                # two-sum pairs: cross-tile f32 accumulation error on the
+                # raw Gram is what the downstream whitening amplifies
+                new = tuple(
+                    _two_sum(hi, lo, t) for (hi, lo), t in zip(carry, terms)
+                )
+            else:
+                new = tuple(
+                    (hi + t, lo) for (hi, lo), t in zip(carry, terms)
+                )
+            return new, None
 
-        init = (
-            jnp.zeros((m, m_t), acc),
-            jnp.zeros((m,), acc),
-            jnp.zeros((), acc),
-            jnp.zeros((), acc),
-            jnp.zeros((), acc),
-            jnp.zeros((), acc),
-        )
-        (gram_j, u_vec, lds, yiy, isr, cnt), _ = lax.scan(
-            jax.checkpoint(body), init, (xb, yb, mb)
+        shapes = [(m, m_t), (m,), (), (), (), ()]
+        init = tuple((jnp.zeros(sh, acc), jnp.zeros(sh, acc)) for sh in shapes)
+        out, _ = lax.scan(jax.checkpoint(body), init, (xb, yb, mb))
+        # fold pairs, then reduce over data (p_data-1 extra roundings only)
+        gram_j, u_vec, lds, yiy, isr, cnt = (
+            lax.psum(hi + lo if comp else hi, DATA_AXIS) for hi, lo in out
         )
 
-        gram_j = lax.psum(gram_j, DATA_AXIS)
-        u_vec = lax.psum(u_vec, DATA_AXIS)
-        lds = lax.psum(lds, DATA_AXIS)
-        yiy = lax.psum(yiy, DATA_AXIS)
-        isr = lax.psum(isr, DATA_AXIS)
-        cnt = lax.psum(cnt, DATA_AXIS)
-
-        # raw factorization, fully distributed: R'R = B = Km~ + G
-        b_j = km_jit_j.astype(acc) + gram_j
-        r_j = dist_cholesky_upper(b_j.astype(dt), MODEL_AXIS, n_model)
-        l1 = -0.5 * (
-            dist_log_det_tri(r_j, MODEL_AXIS).astype(acc)
-            - log_det_km.astype(acc)
-            + lds + cnt * LOG_2PI
-        )
+        if factorization == "raw":
+            # fully distributed: R'R = B = Km~ + G
+            b_j = km_jit_j.astype(acc) + gram_j
+            r_j = dist_cholesky_upper(b_j.astype(dt), MODEL_AXIS, n_model)
+            log_det_ratio = (
+                dist_log_det_tri(r_j, MODEL_AXIS).astype(acc)
+                - log_det_km.astype(acc)
+            )
+            t = dist_solve_lower_t(r_j, u_vec.astype(dt), MODEL_AXIS, n_model)
+        else:
+            # whitened: G~ = U^-T G U^-1 via the distributed two-sided
+            # whitening; I + G~'s identity margin absorbs f32 rounding
+            gw_j = dist_whiten_cols(u_j, gram_j.astype(dt), MODEL_AXIS,
+                                    n_model)
+            eye_j = jnp.where(on_diag, jnp.ones((), dt), 0.0)
+            rt_j = dist_cholesky_upper(eye_j + gw_j, MODEL_AXIS, n_model)
+            # log det B - log det Km = log det (I + G~)
+            log_det_ratio = dist_log_det_tri(rt_j, MODEL_AXIS).astype(acc)
+            # R = R~ U: R' t = u  =>  U' w = u, then R~' t = w
+            w = dist_solve_lower_t(u_j, u_vec.astype(dt), MODEL_AXIS, n_model)
+            t = dist_solve_lower_t(rt_j, w, MODEL_AXIS, n_model)
+        l1 = -0.5 * (log_det_ratio + lds + cnt * LOG_2PI)
         if variational:
             l1 = l1 - 0.5 * isr
-        t = dist_solve_lower_t(r_j, u_vec.astype(dt), MODEL_AXIS, n_model)
         l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
         return (l1 + l2).astype(dt)
 

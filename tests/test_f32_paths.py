@@ -72,6 +72,17 @@ mesh2 = make_mesh_2d(4, 2)
 out["mesh2d_f32"] = float(sharded_log_evidence_2d(
     SeIso, mesh2, p, Z, s2, X, y, variational=True, block_size=64))
 
+# 3b. distributed epilogue (f32: whitened column-block accumulation) and the
+# fully distributed mode (f32 default: compensated raw-Gram accumulation +
+# distributed two-sided whitening — the route that was "structurally
+# blocked" before dist_chol.dist_whiten_cols)
+out["mesh2d_dist_epi_f32"] = float(sharded_log_evidence_2d(
+    SeIso, mesh2, p, Z, s2, X, y, variational=True, block_size=64,
+    epilogue="distributed"))
+out["fulldist_f32"] = float(sharded_log_evidence_2d(
+    SeIso, mesh2, p, Z, s2, X, y, variational=True, block_size=64,
+    inducing="distributed"))
+
 # 4. f32 diag-scaled jitter keeps a degenerate gram factorizable
 z_dup = jnp.concatenate([Z[:4], Z[:4]])  # duplicated inducing points
 km = SeIso.k_upper(p, z_dup)
@@ -120,6 +131,8 @@ def test_f32_paths_match_f64(rng):
     assert abs(out["stream_f32"] - v64) < 5e-5 * abs(v64)
     assert abs(out["sharded_f32"] - v64) < 5e-5 * abs(v64)
     assert abs(out["mesh2d_f32"] - v64) < 5e-5 * abs(v64)
+    assert abs(out["mesh2d_dist_epi_f32"] - v64) < 5e-5 * abs(v64)
+    assert abs(out["fulldist_f32"] - v64) < 5e-5 * abs(v64)
     gz64 = np.asarray(g64[1])
     gz32 = np.asarray(out["grad_z_f32"])
     scale = np.abs(gz64).max()
