@@ -64,10 +64,46 @@ def sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     (one GEMM) instead of the reference's scalar triple loop
     (lib/cov_se_iso.ml:56-72,128-144).  Clamped at zero against rounding.
     """
+    from ..numerics.linalg import matmul
+
     a2 = jnp.sum(jnp.square(a), axis=-1)
     b2 = jnp.sum(jnp.square(b), axis=-1)
-    d2 = a2[:, None] - 2.0 * jnp.matmul(a, b.T) + b2[None, :]
+    # configured precision, NOT the backend default: on TPU the default
+    # lowers f32 dots to one bf16 pass, and a bf16 d2 feeds exp() — measured
+    # as the dominant term of the f32 evidence bias at n=1e6 (NEXT.md)
+    d2 = a2[:, None] - 2.0 * matmul(a, b.T) + b2[None, :]
     return jnp.maximum(d2, 0.0)
+
+
+def sqdist_cotangent_reduce(c, X, Z):
+    """(z_bar, c_dot_d2, c_sum) for a (bs, m) cotangent ``c`` of
+    ``sqdist(X, Z)``.
+
+    Every reduction rides ONE (m, bs) x (bs, d+2) GEMM against the augmented
+    [X | 1 | xx] (xx = row square norms): cols :d give c'X, col d the column
+    sums, col d+1 c'xx.  Then
+
+        z_bar    = 2 (colsum(c)[:, None] * Z - c'X)
+        c_dot_d2 = sum(c . d2) = sum(c'xx) + colsum(c).zz - 2 sum((c'X) . Z)
+
+    Shared by the hand-fused kernel pullbacks (k_cross_vjp): one elementwise
+    pass over the tile plus this GEMM replaces the several (bs, m)
+    intermediates the AD pullback materializes (~4 ms/iter saved at 1M x 8,
+    m=300 on v5e).
+    """
+    from ..numerics.linalg import matmul
+
+    xx = jnp.sum(X * X, axis=1)
+    aug = jnp.concatenate(
+        [X, jnp.ones_like(xx)[:, None], xx[:, None]], axis=1
+    )
+    caug = matmul(c.T, aug)  # (m, d + 2)
+    d = X.shape[1]
+    cX, cs, cxx = caug[:, :d], caug[:, d], caug[:, d + 1]
+    zz = jnp.sum(Z * Z, axis=1)
+    c_dot_d2 = jnp.sum(cxx) + jnp.dot(cs, zz) - 2.0 * jnp.sum(cX * Z)
+    z_bar = 2.0 * (cs[:, None] * Z - cX)
+    return z_bar, c_dot_d2, jnp.sum(cs)
 
 
 def weighted_eval(family, params, X, Z, coeffs) -> jnp.ndarray:

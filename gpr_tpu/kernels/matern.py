@@ -75,6 +75,36 @@ class _MaternBase:
         return cls._k_of_d2(params, sqdist(X, Z))
 
     @classmethod
+    def k_cross_vjp(cls, params, X, Z, knm, knm_bar, kd_bar):
+        """Hand-fused pullback of (k_cross, k_diag) -> (params_bar, z_bar).
+
+        dk/d d2 is analytic and finite at coincident points (the 1/r of the
+        sqrt chain cancels against the kernel's r factor):
+
+          M32: dk/dd2 = -sf2 a^2 e^{-ar} / 2
+          M52: dk/dd2 = -sf2 a^2 (1 + ar) e^{-ar} / 6
+
+        and dk/dlog_ell = -2 d2 dk/dd2, so both hyper gradients and z_bar
+        reduce through base.sqdist_cotangent_reduce's single augmented GEMM
+        on c2 = knm_bar * dk/dd2.  log_sf2: k and k_diag are proportional
+        to sf2.
+        """
+        from .base import sqdist_cotangent_reduce
+
+        a = cls._NU_A * jnp.exp(-params.log_ell)
+        sf2 = jnp.exp(params.log_sf2)
+        d2 = sqdist(X, Z)
+        ar = a * _safe_r(d2)
+        e = jnp.exp(-ar)
+        c2 = knm_bar * cls._dk_dd2(sf2, a, ar, e)
+        z_bar, c_dot_d2, _ = sqdist_cotangent_reduce(c2, X, Z)
+        p_bar = Params(
+            log_ell=-2.0 * c_dot_d2,
+            log_sf2=jnp.sum(knm_bar * knm) + sf2 * jnp.sum(kd_bar),
+        )
+        return p_bar, z_bar
+
+    @classmethod
     def k_upper_inputs(cls, params, X):
         return cls.k_upper(params, X)
 
@@ -85,6 +115,7 @@ class _MaternBase:
 
 class Matern52(_MaternBase):
     name = "matern52"
+    _NU_A = math.sqrt(5.0)
 
     @staticmethod
     def _k_of_d2(params, d2):
@@ -92,10 +123,19 @@ class Matern52(_MaternBase):
             math.sqrt(5.0), lambda ar: 1.0 + ar + ar * ar / 3.0, params, d2
         )
 
+    @staticmethod
+    def _dk_dd2(sf2, a, ar, e):
+        return (-sf2 / 6.0) * a * a * (1.0 + ar) * e
+
 
 class Matern32(_MaternBase):
     name = "matern32"
+    _NU_A = math.sqrt(3.0)
 
     @staticmethod
     def _k_of_d2(params, d2):
         return _matern(math.sqrt(3.0), lambda ar: 1.0 + ar, params, d2)
+
+    @staticmethod
+    def _dk_dd2(sf2, a, ar, e):
+        return (-0.5 * sf2) * a * a * e

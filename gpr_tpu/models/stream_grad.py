@@ -136,7 +136,8 @@ def _forward_pallas(family, params, z, u_inv, sigma2, xb, yb, maskb,
 
 
 def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
-                         fwd_impl: str = "scan", interpret: bool = False):
+                         fwd_impl: str = "scan", interpret: bool = False,
+                         bwd_variant: str | None = None):
     """custom_vjp'd (params, z, u_inv, sigma2, xb, yb, maskb) -> 6 stats.
 
     Cached per (family, unroll, bwd_precision); xb/yb/maskb are pre-blocked
@@ -150,8 +151,22 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
     ~3x the GEMM throughput for ~1e-3 relative gradient error, which a
     noise-tolerant line search absorbs (the evidence VALUE keeps full
     precision either way).  None inherits the global matmul precision.
+
+    ``bwd_variant`` restructures the backward tile (same math, different
+    schedules; default via GPR_TPU_BWD_VARIANT for TPU probing):
+      * "base"  — v = knm U^-1 then vg = v (G-bar+G-bar') (chained GEMMs)
+      * "ug"    — vg = knm (U^-1 (G-bar+G-bar')): both GEMMs read knm, no
+                  serial dependency
+      * "stack" — one (B, m) x (m, 2m) GEMM against [U^-1 | U^-1 gsym]:
+                  fewer, larger MXU calls and one shared knm read
+      * "nok"   — TIMING PROBE ONLY: skips the kernel pullback (returns
+                  zero params/z cotangents) to attribute its cost share
     """
-    key = (family, unroll, bwd_precision, fwd_impl, interpret)
+    if bwd_variant is None:
+        import os
+
+        bwd_variant = os.environ.get("GPR_TPU_BWD_VARIANT", "base")
+    key = (family, unroll, bwd_precision, fwd_impl, interpret, bwd_variant)
     if key in _CACHE:
         return _CACHE[key]
 
@@ -192,6 +207,13 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
         yiy_c = yiy_bar.astype(dt)
         isr_c = isr_bar.astype(dt)
         u_inv_t = u_inv.T
+        # variant precomputes (m x m, once per backward — amortized over all
+        # tiles): U^-1 gsym lets vg contract straight from knm
+        ug = bmm(u_inv, gsym) if bwd_variant in ("ug", "stack") else None
+        u_stack = (
+            jnp.concatenate([u_inv, ug], axis=1)
+            if bwd_variant == "stack" else None
+        )
 
         def body(carry, blk):
             x_b, y_b, mask_b = blk
@@ -202,19 +224,45 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             def kfun(p, zz):
                 return family.k_cross(p, x_b, zz), family.k_diag(p, x_b)
 
-            (knm, kd), pull = jax.vjp(kfun, params, z)
-            v = matmul(knm, u_inv)
-            r = kd - rows_sqr_norm(v)
-            live = mask_b > 0
-            s = jnp.where(live, r + sigma2, 1.0)
-            is_ = mask_b / s
-
+            hand_pull = getattr(family, "k_cross_vjp", None)
+            if bwd_variant == "nok":
+                knm = family.k_cross(params, x_b, z)
+                kd = family.k_diag(params, x_b)
+                pull = lambda cots: (  # noqa: E731 - probe-only stub
+                    jax.tree.map(jnp.zeros_like, params),
+                    jnp.zeros_like(z),
+                )
+            elif hand_pull is not None:
+                # family supplies the fused pullback (one elementwise pass +
+                # one (m, d) GEMM); knm is shared with the V GEMM below
+                knm = family.k_cross(params, x_b, z)
+                kd = family.k_diag(params, x_b)
+                pull = lambda cots: hand_pull(  # noqa: E731
+                    params, x_b, z, knm, cots[0], cots[1]
+                )
+            else:
+                (knm, kd), pull = jax.vjp(kfun, params, z)
             # gram = sum (V sqrt(is))' (V sqrt(is)): with vg = V (G-bar +
             # G-bar'), the whitened-row cotangent collapses to
             #   V-bar += is * vg          (the two sqrt(is) scalings fuse)
             #   is-bar += 1/2 rowdot(vg, V)   (sqrt chain cancels exactly)
             # so the backward needs no sqrt and no whitened tile at all.
-            vg = bmm(v, gsym)
+            if bwd_variant == "stack":
+                m = z.shape[0]
+                vw = bmm(knm, u_stack)
+                v, vg = vw[:, :m], vw[:, m:]
+            elif bwd_variant == "ug":
+                v = matmul(knm, u_inv)
+                vg = bmm(knm, ug)
+            else:
+                v = matmul(knm, u_inv)
+            r = kd - rows_sqr_norm(v)
+            live = mask_b > 0
+            s = jnp.where(live, r + sigma2, 1.0)
+            is_ = mask_b / s
+
+            if bwd_variant not in ("ug", "stack"):
+                vg = bmm(v, gsym)
             # u_vec = sum V'(is y): V-bar += outer(is y, u-bar),
             #                       is-bar += y * (V u-bar)
             isy = is_ * y_b
