@@ -142,6 +142,64 @@ class SeFat:
         return jnp.exp(log_sf2 - 0.5 * quad)
 
     @staticmethod
+    def k_cross_vjp(params, X, Z, knm, knm_bar, kd_bar):
+        """Hand-fused pullback of (k_cross, k_diag) -> (params_bar, z_bar).
+
+        With quad[n,c] = sum_i (p_ni - z_ci)^2 iu_ci + sum_i log u_ci
+        (iu = 1/u; u = 1 when multiscales are off) and qbar = -1/2
+        knm_bar*knm, every cotangent reduces through TWO small GEMMs:
+
+          qbar'[P | P^2 | 1]    -> B1 = qbar'P, B2 = qbar'P^2, cs (col sums)
+          qbar [iu | Z*iu]      -> row-side projection pullback
+
+          z_bar     = -2 iu (B1 - Z cs)
+          P_bar     =  2 (P (qbar iu) - qbar (Z iu));  tproj_bar = X' P_bar
+          u_bar     = iu cs - iu^2 (B2 - 2 Z B1 + Z^2 cs);
+                      log_ms_bar = u_bar (u - 1/2)
+          log_sf2_bar = sum(knm_bar knm) + sf2 sum(kd_bar)
+
+        Hetero noise enters k_upper only — its k_cross cotangent is zero.
+        Same role as se_iso.k_cross_vjp: replaces the AD pullback's several
+        (bs, m) intermediates with one elementwise pass.
+        """
+        sf2 = jnp.exp(params.log_sf2)
+        c = knm_bar * knm
+        qbar = -0.5 * c
+        p = SeFat.project(params, X)
+        d = Z.shape[1]
+        ms = params.log_multiscales_m05
+        u = None if ms is None else _multiscales(params)
+        iu = jnp.ones_like(Z) if u is None else 1.0 / u
+        aug = jnp.concatenate(
+            [p, jnp.square(p), jnp.ones((p.shape[0], 1), p.dtype)], axis=1
+        )
+        g = matmul(qbar.T, aug)  # (m, 2d + 1)
+        b1, b2, cs = g[:, :d], g[:, d:2 * d], g[:, 2 * d]
+        z_bar = -2.0 * iu * (b1 - Z * cs[:, None])
+        a2 = matmul(qbar, jnp.concatenate([iu, Z * iu], axis=1))  # (bs, 2d)
+        if params.tproj is None:
+            tproj_bar = None
+        else:
+            p_rows_bar = 2.0 * (p * a2[:, :d] - a2[:, d:])
+            tproj_bar = matmul(X.T, p_rows_bar)
+        if u is None:
+            ms_bar = None
+        else:
+            sq = b2 - 2.0 * Z * b1 + jnp.square(Z) * cs[:, None]
+            u_bar = iu * cs[:, None] - jnp.square(iu) * sq
+            ms_bar = u_bar * (u - 0.5)
+        het = params.log_hetero_skedasticity
+        return Params(
+            d=params.d,
+            log_sf2=-2.0 * jnp.sum(cs) + sf2 * jnp.sum(kd_bar),
+            tproj=tproj_bar,
+            log_hetero_skedasticity=(
+                None if het is None else jnp.zeros_like(het)
+            ),
+            log_multiscales_m05=ms_bar,
+        ), z_bar
+
+    @staticmethod
     def k_upper_inputs(params, X):
         # Vanilla SE on projections; multiscales/hetero deliberately ignored
         # to match lib/cov_se_fat.ml:221.
