@@ -105,11 +105,20 @@ def training_state_from_arrays(extra: dict) -> LBFGSDeviceState:
 def resume_minimize(fg, st: LBFGSDeviceState, **kw):
     """Continue a device L-BFGS run from a restored state.
 
-    Restarts at st.x; the curvature history rebuilds within ``history``
-    iterations (restarting L-BFGS from the incumbent is standard and loses
-    only a few line searches).  The cumulative iteration count is preserved
-    for reporting."""
+    The FULL state resumes — incumbent x, gradient, and the curvature
+    history (minimize_lbfgs_device's ``init_state``), so no line searches
+    are lost.  The cumulative iteration count carries through ``st.n_iter``;
+    callers passing ``max_iter`` mean it as a TOTAL across the original run
+    and the resume.  ``history`` is taken from the saved buffers (a
+    mismatched override would scramble the circular-buffer indexing)."""
     from ..optim.lbfgs_device import minimize_lbfgs_device
 
-    out = minimize_lbfgs_device(fg, st.x, **kw)
-    return out._replace(n_iter=out.n_iter + st.n_iter)
+    kw.setdefault("history", int(st.s_hist.shape[0]))
+    if kw["history"] != int(st.s_hist.shape[0]):
+        raise ValueError(
+            f"history={kw['history']} does not match the checkpointed "
+            f"curvature buffers ({int(st.s_hist.shape[0])})"
+        )
+    return minimize_lbfgs_device(
+        fg, st.x, init_state=st._replace(failed=jnp.asarray(False)), **kw
+    )

@@ -109,7 +109,9 @@ def sqdist_cotangent_reduce(c, X, Z):
 def weighted_eval(family, params, X, Z, coeffs) -> jnp.ndarray:
     """K(X, Z) @ coeffs — reference ``Inputs.weighted_eval``
     (lib/interfaces.ml:193-198)."""
-    return jnp.matmul(family.k_cross(params, X, Z), coeffs)
+    from ..numerics.linalg import matmul
+
+    return matmul(family.k_cross(params, X, Z), coeffs)
 
 
 def weighted_eval_one(family, params, x, Z, coeffs) -> jnp.ndarray:
@@ -148,7 +150,9 @@ def k_upper_cols(family, params, Z, j0, m_t):
         # against the column subset, but WITHOUT re-scaling the left side
         # (the inducing representation is already scaled for lin_ard)
         if name == "lin_ard":
-            return _jnp.matmul(Z, z_c.T)
+            from ..numerics.linalg import matmul as _mm
+
+            return _mm(Z, z_c.T)
         return family.k_cross(params, Z, z_c)
     if name in ("se_iso", "matern32", "matern52"):
         k = family.k_cross(params, Z, z_c)

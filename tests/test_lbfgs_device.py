@@ -64,6 +64,56 @@ def test_device_lbfgs_trains_gp(rng):
     assert abs(l_dev - l_host) < 0.05 * abs(l_host) + 5.0
 
 
+def test_dispatch_chunking_matches_single_dispatch():
+    """Chunked dispatches (init_state + dispatch_iters) walk the SAME
+    trajectory as one long dispatch — the curvature history carries whole."""
+    a = jnp.asarray(np.diag([1.0, 4.0, 25.0, 100.0]))
+    b = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+
+    def fg(x):
+        return 0.5 * x @ a @ x - b @ x, a @ x - b
+
+    x0 = jnp.asarray([2.0, -1.0, 1.5, -0.5])
+    full = minimize_lbfgs_device(fg, x0, epsabs=1e-10, max_iter=40)
+
+    st = minimize_lbfgs_device(
+        fg, x0, epsabs=1e-10, max_iter=40, dispatch_iters=7
+    )
+    while (
+        int(st.n_iter) < 40
+        and not bool(st.failed)
+        and float(jnp.linalg.norm(st.g)) >= 1e-10
+    ):
+        st = minimize_lbfgs_device(
+            fg, x0, epsabs=1e-10, max_iter=40, dispatch_iters=7,
+            init_state=st,
+        )
+
+    assert int(st.n_iter) == int(full.n_iter)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(float(st.f), float(full.f), rtol=1e-12)
+
+
+def test_fit_chunked_equals_unchunked(rng):
+    """fit()'s automatic chunk loop lands where a single dispatch lands."""
+    from gpr_tpu.optim.lbfgs_device import fit
+
+    n, m = 200, 6
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(n))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    pack = make_pack(SeIso, p0, X[:m], 1.0)
+
+    kw = dict(epsabs=1e-3, max_iter=60, step=0.1, tol=0.1)
+    _, _, _, st_one = fit(SeIso, X, y, pack, dispatch_iters=1000, **kw)
+    _, _, _, st_chunk = fit(SeIso, X, y, pack, dispatch_iters=9, **kw)
+    assert int(st_chunk.n_iter) == int(st_one.n_iter)
+    np.testing.assert_allclose(float(st_chunk.f), float(st_one.f), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_chunk.x), np.asarray(st_one.x),
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_device_lbfgs_survives_nan_region():
     """Objective NaNs for x < 0; line search must shrink and converge to the
     minimum at x = 1 from a start that tempts overshoot."""

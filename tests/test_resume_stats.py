@@ -84,11 +84,14 @@ def test_resume_roundtrip(tmp_path, rng):
                                np.asarray(half.s_hist))
     resumed = resume_minimize(fg, restored, epsabs=0.5, max_iter=20)
 
-    # resume mechanics: cumulative iteration count, and the continued run
-    # never regresses the objective it restarted from (where it finally
-    # lands in the nonconvex landscape is not this test's business)
-    assert int(resumed.n_iter) >= 8
-    assert float(resumed.f) <= float(half.f) + 1e-9
+    # full-state resume: the curvature history round-trips through the
+    # checkpoint, so interrupt-at-8 + resume-to-20 reproduces the
+    # UNINTERRUPTED 20-iteration trajectory (not merely "doesn't regress")
+    full = minimize_lbfgs_device(fg, pack.x0, epsabs=0.5, max_iter=20)
+    assert int(resumed.n_iter) == int(full.n_iter)
+    np.testing.assert_allclose(float(resumed.f), float(full.f), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-8, atol=1e-10)
 
 
 def test_host_train_resume_reproduces_trajectory(tmp_path, rng):
