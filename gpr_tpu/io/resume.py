@@ -84,6 +84,7 @@ def training_state_arrays(st: LBFGSDeviceState) -> dict[str, np.ndarray]:
         "lbfgs_rho": np.asarray(st.rho),
         "lbfgs_head": np.asarray(st.head),
         "lbfgs_n_iter": np.asarray(st.n_iter),
+        "lbfgs_n_evals": np.asarray(st.n_evals),
     }
 
 
@@ -99,6 +100,8 @@ def training_state_from_arrays(extra: dict) -> LBFGSDeviceState:
         head=jnp.asarray(extra["lbfgs_head"], jnp.int32),
         n_iter=jnp.asarray(extra["lbfgs_n_iter"], jnp.int32),
         failed=jnp.asarray(False),
+        # absent in pre-eval-counter checkpoints
+        n_evals=jnp.asarray(extra.get("lbfgs_n_evals", 0), jnp.int32),
     )
 
 
