@@ -1,6 +1,11 @@
 from .lbfgs import LBFGSHostState, LBFGSResult, minimize_lbfgs
 from .priors import field_priors, normal, soft_box
-from .lbfgs_device import LBFGSDeviceState, fit, minimize_lbfgs_device
+from .lbfgs_device import (
+    LBFGSDeviceState,
+    fit,
+    fit_restarts,
+    minimize_lbfgs_device,
+)
 from .pack import HyperPack, make_pack
 from .sgd_smd import (
     SGDState,

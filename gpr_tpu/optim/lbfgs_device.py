@@ -372,6 +372,7 @@ def fit(
     streaming_block_size: int | None = None,
     f_noise: float | None = None,
     dispatch_iters: int = 50,
+    log_prior=None,
 ):
     """Train a sparse GP on device, in chunks of ``dispatch_iters``
     iterations per dispatch.
@@ -390,6 +391,14 @@ def fit(
     remote-tunnel TPU runtime kills single executions past ~2 minutes
     (measured), and chunking costs only one scalar round trip per chunk —
     the full curvature history carries across chunks unchanged.
+
+    ``log_prior(params, z, sigma2) -> scalar`` turns the objective into MAP
+    estimation (same contract as optim.train; build with optim.priors).
+    Strongly recommended for large-n f32 training: the unregularized
+    landscape has a pure-noise basin (lengthscale -> infinity, kernel
+    constant) whose f32 gradients are conditioning noise, and trajectories
+    measurably fall into it from generic inits — a mild normal() prior on
+    the lengthscale keeps the optimizer in the well-conditioned region.
     """
     from ..models.fitc import calc_model, calc_trained
     from ..models.streaming import streaming_log_evidence
@@ -413,6 +422,8 @@ def fit(
                     variational=variational, factorization="chol",
                 )
                 l = calc_trained(model, y).l
+            if log_prior is not None:
+                l = l + log_prior(params, z, sigma2)
             return -l * scale
 
         return jax.value_and_grad(f)(x)
@@ -432,11 +443,17 @@ def fit(
             dispatch_iters=dispatch_iters,
         )
 
-    dt = pack.x0.dtype
-    k = pack.x0.shape[0]
-    f0, g0 = _init(pack.x0, X, y)
-    st = LBFGSDeviceState(
-        x=pack.x0, f=f0, g=g0,
+    st = _fresh_state(pack.x0, *_init(pack.x0, X, y), history)
+    st = _chunk_loop(_chunk, st, X, y, max_iter, epsabs, f_noise)
+    params, z, sigma2 = pack.unpack(st.x)
+    return params, z, sigma2, st
+
+
+def _fresh_state(x0, f0, g0, history):
+    dt = x0.dtype
+    k = x0.shape[0]
+    return LBFGSDeviceState(
+        x=x0, f=f0, g=g0,
         s_hist=jnp.zeros((history, k), dt),
         y_hist=jnp.zeros((history, k), dt),
         rho=jnp.zeros((history,), dt),
@@ -445,16 +462,20 @@ def fit(
         failed=jnp.asarray(False),
         n_evals=jnp.asarray(1, jnp.int32),
     )
-    # chunk loop with noise-floor stall detection: in f32 at degenerate-Km
-    # hyper regions the gradient is conditioning noise (|g| ~ eps cond(Km))
-    # while f is flat — net chunk progress below a few noise amplitudes
-    # means further grinding cannot help (measured: such a run burns
-    # max_ls_evals objective calls per iteration to the max_iter ceiling).
-    # Chunk-level detection is robust where a per-iteration counter is not:
-    # L-BFGS legitimately plateaus for a few iterations mid-run.
+
+
+def _chunk_loop(chunk, st, X, y, max_iter, epsabs, f_noise):
+    """Drive chunked dispatches with noise-floor stall detection: in f32 at
+    degenerate-Km hyper regions the gradient is conditioning noise
+    (|g| ~ eps cond(Km)) while f is flat — net chunk progress below a few
+    noise amplitudes means further grinding cannot help (measured: such a
+    run burns max_ls_evals objective calls per iteration to the max_iter
+    ceiling).  Chunk-level detection is robust where a per-iteration
+    counter is not: L-BFGS legitimately plateaus for a few iterations
+    while rebuilding history, then accelerates."""
     f_prev = float(st.f)
     while True:
-        st = _chunk(st, X, y)
+        st = chunk(st, X, y)
         if (
             int(st.n_iter) >= max_iter
             or bool(st.failed)
@@ -466,5 +487,105 @@ def fit(
         if f_prev - f_now <= 10.0 * f_noise:
             break  # noise-floor stall: no chunk-level progress
         f_prev = f_now
+    return st
+
+
+def fit_restarts(
+    family,
+    X,
+    y,
+    pack,
+    x0s,
+    *,
+    probe_iters: int = 15,
+    variational: bool = False,
+    step: float = 0.1,
+    tol: float = 0.1,
+    epsabs: float = 0.1,
+    max_iter: int = 100,
+    history: int = 10,
+    normalize: bool = True,
+    streaming_block_size: int | None = None,
+    f_noise: float | None = None,
+    dispatch_iters: int = 50,
+    log_prior=None,
+):
+    """Multi-start device training: a short L-BFGS probe (``probe_iters``
+    iterations) from each packed start in ``x0s``, then the best probe
+    (lowest objective) continues to ``max_iter`` total iterations with its
+    curvature history intact.
+
+    This is the classical remedy for the measured init sensitivity of
+    large-n f32 training: from a too-broad lengthscale the single-start
+    trajectory lands in the pure-noise basin (kernel ~ constant, gradients
+    = f32 conditioning noise) and never escapes — while a probe started
+    near the right scale descends cleanly at ~3 objective evals/iteration.
+    Probes share one compiled program, so S starts cost S short runs plus
+    two compilations (probe + continuation), not S + 1.
+
+    ``x0s``: iterable of packed vectors (build variants of ``pack.x0`` by
+    packing different Params, e.g. a log-lengthscale ladder).  Returns
+    (params, z, sigma2, final_state, probe_objectives).
+    """
+    from ..models.fitc import calc_model, calc_trained
+    from ..models.streaming import streaming_log_evidence
+
+    scale = 1.0 / X.shape[0] if normalize else 1.0
+    if f_noise is None:
+        f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
+
+    def _fg_of(x, X, y):
+        def f(x):
+            params, z, sigma2 = pack.unpack(x)
+            if streaming_block_size is not None:
+                l = streaming_log_evidence(
+                    family, params, z, sigma2, X, y,
+                    variational=variational,
+                    block_size=streaming_block_size,
+                )
+            else:
+                model = calc_model(
+                    family, params, X, z, sigma2,
+                    variational=variational, factorization="chol",
+                )
+                l = calc_trained(model, y).l
+            if log_prior is not None:
+                l = l + log_prior(params, z, sigma2)
+            return -l * scale
+
+        return jax.value_and_grad(f)(x)
+
+    @jax.jit
+    def _init(x0, X, y):
+        return _fg_of(x0, X, y)
+
+    @jax.jit
+    def _probe_chunk(st, X, y):
+        return minimize_lbfgs_device(
+            lambda x: _fg_of(x, X, y), st.x, step=step, tol=tol,
+            epsabs=epsabs, max_iter=probe_iters, history=history,
+            f_noise=f_noise, init_state=st,
+        )
+
+    @jax.jit
+    def _chunk(st, X, y):
+        return minimize_lbfgs_device(
+            lambda x: _fg_of(x, X, y), st.x, step=step, tol=tol,
+            epsabs=epsabs, max_iter=max_iter, history=history,
+            f_noise=f_noise, init_state=st, dispatch_iters=dispatch_iters,
+        )
+
+    best = None
+    probe_fs = []
+    for x0 in x0s:
+        x0 = jnp.asarray(x0, pack.x0.dtype)
+        st = _fresh_state(x0, *_init(x0, X, y), history)
+        st = _probe_chunk(st, X, y)
+        probe_fs.append(float(st.f))
+        if best is None or float(st.f) < float(best.f):
+            best = st
+    if best is None:
+        raise ValueError("x0s is empty")
+    st = _chunk_loop(_chunk, best, X, y, max_iter, epsabs, f_noise)
     params, z, sigma2 = pack.unpack(st.x)
-    return params, z, sigma2, st
+    return params, z, sigma2, st, probe_fs

@@ -114,6 +114,67 @@ def test_fit_chunked_equals_unchunked(rng):
                                rtol=1e-8, atol=1e-10)
 
 
+def test_fit_restarts_picks_best_start(rng):
+    """fit_restarts probes every start and continues the best: the winner
+    must match (or beat) the best single-start run, and the probe
+    objectives must be reported per start."""
+    from gpr_tpu.optim.lbfgs_device import fit, fit_restarts
+
+    n, m = 200, 6
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(3.0 * np.asarray(X).sum(1))
+                    + 0.1 * rng.standard_normal(n))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    pack = make_pack(SeIso, p0, X[:m], 1.0)
+
+    # a log-lengthscale ladder of packed starts: pack Params variants with
+    # the same options so the vectors share pack's layout
+    x0s = [
+        make_pack(
+            SeIso,
+            SeIso.Params(log_ell=jnp.asarray(le), log_sf2=jnp.asarray(0.0)),
+            X[:m], 1.0,
+        ).x0
+        for le in (-1.5, 0.0, 1.5)
+    ]
+
+    kw = dict(epsabs=1e-3, max_iter=50)
+    p_r, z_r, s2_r, st_r, probe_fs = fit_restarts(
+        SeIso, X, y, pack, x0s, probe_iters=10, **kw
+    )
+    assert len(probe_fs) == 3 and all(np.isfinite(probe_fs))
+
+    singles = []
+    import dataclasses as dc
+
+    for x0 in x0s:
+        _, _, _, st = fit(SeIso, X, y, dc.replace(pack, x0=jnp.asarray(x0)),
+                          **kw)
+        singles.append(float(st.f))
+    assert float(st_r.f) <= min(singles) + 1e-3
+
+
+def test_fit_map_prior_pulls_hyper(rng):
+    """fit(log_prior=) does MAP like train(log_prior=): a steep prior on
+    log_ell pulls the trained value to its mean."""
+    from gpr_tpu.optim.lbfgs_device import fit
+    from gpr_tpu.optim.priors import field_priors, normal
+
+    n, m = 200, 6
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(n))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    pack = make_pack(SeIso, p0, X[:m], 1.0)
+    kw = dict(epsabs=1e-3, max_iter=40)
+
+    p_ml, _, _, _ = fit(SeIso, X, y, pack, **kw)
+    target = float(p_ml.log_ell) + 2.0
+    prior = field_priors({"log_ell": normal(target, 0.01)})
+    p_map, _, _, _ = fit(SeIso, X, y, pack, log_prior=prior, **kw)
+    assert abs(float(p_map.log_ell) - target) < 0.15
+    assert abs(float(p_map.log_ell) - float(p_ml.log_ell)) > 1.0
+
+
 def test_device_lbfgs_survives_nan_region():
     """Objective NaNs for x < 0; line search must shrink and converge to the
     minimum at x = 1 from a start that tempts overshoot."""
