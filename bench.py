@@ -228,15 +228,15 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"predict: FAILED {type(e).__name__}: {e}")
 
-    # secondary: f32 convergence quality — run the supported one-dispatch
-    # training loop and record the final mean-scale gradient norm (VERDICT
-    # round-1 #9; round-1 stalled at |mean-grad| ~ 0.4, the compensated
-    # accumulators reach ~5e-3)
+    # secondary: f32 convergence quality — the landscape is multi-modal and
+    # init-sensitive (MANUAL section 7), so train via the multi-start ladder
+    # and record the best basin's objective, gradient norm, and line-search
+    # cost (VERDICT round-1 #9; round-1 stalled at |mean-grad| ~ 0.4)
     try:
         if over_budget():
             raise TimeoutError("over budget")
         from gpr_tpu.optim import make_pack
-        from gpr_tpu.optim.lbfgs_device import fit
+        from gpr_tpu.optim.lbfgs_device import fit_restarts
 
         yf = jnp.asarray(
             np.sin(np.asarray(X) @ (np.arange(D) * 0.3 + 0.2))
@@ -244,13 +244,26 @@ def main():
             dtype,
         )
         packf = make_pack(SeIso, params, Z, 1.0)
+        ladder = (-1.5, -0.5, 0.5, 1.5)
+        x0s = [
+            make_pack(
+                SeIso,
+                SeIso.Params(log_ell=jnp.asarray(le, dtype),
+                             log_sf2=jnp.asarray(0.0, dtype)),
+                Z, 1.0,
+            ).x0
+            for le in ladder
+        ]
         t0 = time.perf_counter()
-        _, _, s2f, st = fit(
-            SeIso, X, yf, packf, variational=True,
-            streaming_block_size=16384, max_iter=40, epsabs=1e-4,
+        _, _, s2f, st, probe_fs = fit_restarts(
+            SeIso, X, yf, packf, x0s, probe_iters=12, variational=True,
+            streaming_block_size=16384, max_iter=60, epsabs=1e-4,
         )
-        log(f"f32 fit (40 iters max): iters={int(st.n_iter)} "
-            f"mean-NLL={float(st.f):.4f} |grad|={float(jnp.linalg.norm(st.g)):.2e} "
+        log(f"f32 fit_restarts (ladder {ladder}, 60 iters total): "
+            f"probes={[round(f, 4) for f in probe_fs]} "
+            f"iters={int(st.n_iter)} evals={int(st.n_evals)} "
+            f"mean-NLL={float(st.f):.4f} "
+            f"|grad|={float(jnp.linalg.norm(st.g)):.2e} "
             f"sigma2={float(s2f):.3f} ({time.perf_counter()-t0:.0f}s)")
     except Exception as e:  # noqa: BLE001
         log(f"f32 fit: FAILED {type(e).__name__}: {e}")

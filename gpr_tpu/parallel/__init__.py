@@ -8,6 +8,7 @@ from .sharded import (
     make_sharded_objective,
     pad_to_shards,
     shard_batch,
+    fit_sharded,
     sharded_log_evidence,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "make_sharded_objective",
     "pad_to_shards",
     "shard_batch",
+    "fit_sharded",
     "sharded_log_evidence",
 ]

@@ -286,3 +286,83 @@ def make_sharded_objective(
         return jax.value_and_grad(f)(xvec)
 
     return lambda xvec: _neg_l_and_grad(xvec, X, y, mask)
+
+
+def fit_sharded(
+    family,
+    mesh: Mesh,
+    X,
+    y,
+    pack,
+    *,
+    variational: bool = False,
+    block_size: int = 8192,
+    normalize: bool = True,
+    step: float = 0.1,
+    tol: float = 0.1,
+    epsabs: float = 0.1,
+    max_iter: int = 100,
+    history: int = 10,
+    f_noise: float | None = None,
+    dispatch_iters: int = 50,
+    log_prior=None,
+):
+    """Multi-chip training without host round trips: the chunked device
+    L-BFGS (optim.lbfgs_device) over the n-sharded evidence.  Every
+    line-search probe runs the distributed evidence+gradient (one psum of
+    ~m^2 accumulators over ICI) with the optimizer state resident on
+    device; the host sees one scalar check per ``dispatch_iters``
+    iterations.
+
+    Semantics match optim.lbfgs_device.fit (normalize/log_prior/f_noise/
+    chunking); the gradient of the shard_map-based objective is taken
+    INSIDE jit, as required (CLAUDE.md).  Returns
+    (params, z, sigma2, LBFGSDeviceState).
+    """
+    from ..optim.lbfgs_device import (
+        _chunk_loop,
+        _fresh_state,
+        minimize_lbfgs_device,
+    )
+
+    scale = 1.0 / X.shape[0] if normalize else 1.0
+    if f_noise is None:
+        f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
+    Xp, yp, mask = pad_to_shards(mesh, X, y)
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    Xp = jax.device_put(Xp, NamedSharding(mesh, P(DATA_AXIS, None)))
+    yp = jax.device_put(yp, row)
+    mask = jax.device_put(mask, row)
+
+    def _fg_of(x, X, y, mask):
+        def f(x):
+            params, z, sigma2 = pack.unpack(x)
+            l = sharded_log_evidence(
+                family, mesh, params, z, sigma2, X, y, mask,
+                variational=variational, block_size=block_size,
+            )
+            if log_prior is not None:
+                l = l + log_prior(params, z, sigma2)
+            return -l * scale
+
+        return jax.value_and_grad(f)(x)
+
+    @jax.jit
+    def _init(x0, X, y, mask):
+        return _fg_of(x0, X, y, mask)
+
+    @jax.jit
+    def _chunk(st, X, y, mask):
+        return minimize_lbfgs_device(
+            lambda x: _fg_of(x, X, y, mask), st.x, step=step, tol=tol,
+            epsabs=epsabs, max_iter=max_iter, history=history,
+            f_noise=f_noise, init_state=st, dispatch_iters=dispatch_iters,
+        )
+
+    st = _fresh_state(pack.x0, *_init(pack.x0, Xp, yp, mask), history)
+    st = _chunk_loop(
+        lambda s, _x, _y: _chunk(s, Xp, yp, mask), st, Xp, yp,
+        max_iter, epsabs, f_noise,
+    )
+    params, z, sigma2 = pack.unpack(st.x)
+    return params, z, sigma2, st

@@ -191,3 +191,37 @@ def test_train_with_streaming_objective(rng):
                     jax.tree.leaves(dense.kernel_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-9)
+
+
+def test_fit_sharded_matches_single_device(rng):
+    """The chunked device L-BFGS over the 8-device sharded objective lands
+    where the single-device fit lands (sharded evidence is exact, so the
+    trajectories agree to accumulated roundoff)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpr_tpu.kernels import SeIso
+    from gpr_tpu.optim import make_pack
+    from gpr_tpu.optim.lbfgs_device import fit
+    from gpr_tpu.parallel import fit_sharded
+
+    n, m = 333, 7  # deliberately not a multiple of 8 (padding path)
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1))
+                    + 0.1 * rng.standard_normal(n))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    pack = make_pack(SeIso, p0, X[:m], 1.0)
+    kw = dict(epsabs=1e-3, max_iter=30, dispatch_iters=8)
+
+    mesh = make_mesh(8)
+    p_sh, z_sh, s2_sh, st_sh = fit_sharded(
+        SeIso, mesh, X, y, pack, block_size=64, **kw
+    )
+    _, _, _, st_one = fit(
+        SeIso, X, y, pack, streaming_block_size=64, **kw
+    )
+
+    assert not bool(st_sh.failed)
+    np.testing.assert_allclose(float(st_sh.f), float(st_one.f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_sh.x), np.asarray(st_one.x),
+                               rtol=1e-4, atol=1e-6)
