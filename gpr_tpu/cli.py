@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train with the streaming evidence in row blocks of "
                         "this size: memory stays O(block x m) at any n "
                         "(default: dense n x m cross-covariance)")
+    p.add_argument("-restarts", type=int, default=1,
+                   help="random restarts: retrain from fresh random "
+                        "inducing/projection draws (seed+r) and keep the "
+                        "best final log evidence — the hyper landscape is "
+                        "multi-modal (docs/MANUAL.md section 7)")
     p.add_argument("-checkpoint", default=None,
                    help="persist optimizer state to this file every "
                         "accepted iteration (enables -resume)")
@@ -149,28 +154,36 @@ def cmd_train(args) -> int:
 
     n_inducing = min(args.n_inducing, n)
     seed = args.seed if args.seed is not None else int(time.time_ns() % (2**31))
-    rng = np.random.default_rng(seed)
+    if args.restarts > 1 and (args.checkpoint or args.resume):
+        raise SystemExit("-restarts > 1 is incompatible with "
+                         "-checkpoint/-resume (single-trajectory state)")
 
     log_sf2 = 2.0 * math.log(args.amplitude)
-    if args.dim_red is not None:
-        d = min(big_dim, args.dim_red)
-        tproj = rng.uniform(-1.0, 1.0, (big_dim, d)) / big_dim
-    else:
-        d = big_dim
-        tproj = None
-    params = SeFat.Params(
-        d=d,
-        log_sf2=jnp.asarray(log_sf2),
-        tproj=None if tproj is None else jnp.asarray(tproj),
-        log_hetero_skedasticity=(
-            jnp.full((n_inducing,), args.log_het_sked)
-            if args.log_het_sked is not None
-            else None
-        ),
-        log_multiscales_m05=(
-            jnp.zeros((n_inducing, d)) if args.multiscale else None
-        ),
-    )
+
+    def build_params(rng):
+        """Per-restart kernel params: the projection draw is the random
+        part (reference init, bin/ocaml_gpr.ml:272-300)."""
+        if args.dim_red is not None:
+            d = min(big_dim, args.dim_red)
+            tproj = jnp.asarray(
+                rng.uniform(-1.0, 1.0, (big_dim, d)) / big_dim
+            )
+        else:
+            d = big_dim
+            tproj = None
+        return SeFat.Params(
+            d=d,
+            log_sf2=jnp.asarray(log_sf2),
+            tproj=tproj,
+            log_hetero_skedasticity=(
+                jnp.full((n_inducing,), args.log_het_sked)
+                if args.log_het_sked is not None
+                else None
+            ),
+            log_multiscales_m05=(
+                jnp.zeros((n_inducing, d)) if args.multiscale else None
+            ),
+        )
 
     X = jnp.asarray(inputs)
     y = jnp.asarray(targets)
@@ -212,21 +225,31 @@ def cmd_train(args) -> int:
                   flush=True)
 
     try:
-        trained = train(
-            SeFat, X, y,
-            kernel_params=params,
-            sigma2=args.sigma2,
-            n_rand_inducing=n_inducing,
-            variational=True,  # Variational_FIC, like the CLI
-            block_size=args.block_size,
-            step=args.step, tol=args.tol, epsabs=args.eps,
-            max_iter=args.max_iter,
-            report_trained_model=report_trained_model,
-            report_gradient_norm=report_gradient_norm,
-            key=jax.random.PRNGKey(seed),
-            checkpoint_path=args.checkpoint,
-            resume=args.resume,
-        )
+        trained = None
+        for r in range(max(1, args.restarts)):
+            seed_r = seed + r
+            cand = train(
+                SeFat, X, y,
+                kernel_params=build_params(np.random.default_rng(seed_r)),
+                sigma2=args.sigma2,
+                n_rand_inducing=n_inducing,
+                variational=True,  # Variational_FIC, like the CLI
+                block_size=args.block_size,
+                step=args.step, tol=args.tol, epsabs=args.eps,
+                max_iter=args.max_iter,
+                report_trained_model=report_trained_model,
+                report_gradient_norm=report_gradient_norm,
+                key=jax.random.PRNGKey(seed_r),
+                checkpoint_path=args.checkpoint,
+                resume=args.resume,
+            )
+            if trained is None or float(cand.l) > float(trained.l):
+                trained = cand
+            if args.verbose and args.restarts > 1:
+                print(f"restart {r}: log evidence {float(cand.l):.3f}"
+                      f" (best {float(trained.l):.3f})", file=sys.stderr)
+            if got_signal["flag"]:
+                break  # SIGINT: keep the best model found so far
     finally:
         signal.signal(signal.SIGINT, old_handler)
 

@@ -188,3 +188,27 @@ def test_cli_checkpoint_resume(tmp_path):
                                atol=1e-10)
     np.testing.assert_allclose(a_res.inducing, a_full.inducing, rtol=1e-8,
                                atol=1e-10)
+
+
+@pytest.mark.slow
+def test_cli_restarts(tmp_path, rng):
+    """-restarts N trains N times from varied seeds and keeps the best
+    final evidence; incompatible with -checkpoint."""
+    model_file = str(tmp_path / "model.npz")
+    csv, _, _ = make_csv(rng)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "6",
+         "-max-iter", "8", "-seed", "3", "-restarts", "2", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "restart 1: log evidence" in res.stderr
+    assert os.path.exists(model_file)
+
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-restarts", "2",
+         "-checkpoint", str(tmp_path / "c.npz")],
+        csv,
+    )
+    assert res.returncode != 0
+    assert "incompatible" in res.stderr
