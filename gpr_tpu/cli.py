@@ -243,7 +243,13 @@ def cmd_train(args) -> int:
                 checkpoint_path=args.checkpoint,
                 resume=args.resume,
             )
-            if trained is None or float(cand.l) > float(trained.l):
+            # NaN-safe best: a diverged draw (NaN evidence) must never beat
+            # a finite one — every float comparison against NaN is False
+            def _key(t):
+                l = float(t.l)
+                return (math.isfinite(l), l if math.isfinite(l) else 0.0)
+
+            if trained is None or _key(cand) > _key(trained):
                 trained = cand
             if args.verbose and args.restarts > 1:
                 print(f"restart {r}: log evidence {float(cand.l):.3f}"

@@ -74,9 +74,8 @@ def _two_loop(g, s_hist, y_hist, rho, head, history):
     return -q
 
 
-def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0,
-                zoom_evals=None):
-    """Weak-Wolfe line search in lax control flow.
+def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0):
+    """Strong-Wolfe line search in lax control flow.
 
     Phase 1 brackets by doubling; phase 2 zooms with a secant step on the
     line derivative (bisection safeguard) — interpolation reaches the
@@ -98,9 +97,8 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0,
 
     # stage 0 = bracketing (doubling), 1 = zooming (secant/bisect).
     # Zoom invariant: a_lo passed Armijo with dphi_lo < c2*dphi0 (still
-    # descending), a_hi failed Armijo — with one-sided curvature the
-    # "positive slope at an Armijo-passing point" case is an accept, so
-    # the bracket never flips.
+    # descending), a_hi failed Armijo or overshot — so the minimum stays
+    # bracketed and the bracket never flips.
     def cond(c):
         return (~c["done"]) & (c["evals"] < max_evals)
 
@@ -159,18 +157,14 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0,
             new_stage == 0, 2.0 * a, jnp.where(use_secant, secant, mid)
         )
 
-        # zoom budget: None (default) lets the shrink ladder run to
-        # max_evals — in f32 trouble regions it must reach the machine-
-        # floor step (f(x + a p) == f(x)) whose sufficient-decrease
-        # fallback keeps the outer loop alive through gradient-noise
-        # cliffs; budgets of 8 and 20 were both measured to convert a
-        # recoverable rough patch into a terminal line-search failure.
-        # The common-case cost is unaffected: weak Wolfe accepts in 1-3
-        # evals, so the ladder only runs on the rare pathological step.
-        new_z = c["z_evals"] + jnp.where(zooming | to_zoom, 1, 0)
-        done = accept if zoom_evals is None else (
-            accept | (new_z >= zoom_evals)
-        )
+        # no zoom budget short of max_evals: in f32 trouble regions the
+        # shrink ladder must reach the machine-floor step
+        # (f(x + a p) == f(x)) whose sufficient-decrease fallback keeps
+        # the outer loop alive through gradient-noise cliffs; budgets of
+        # 8 and 20 were both measured to convert a recoverable rough
+        # patch into a terminal line-search failure, while the common
+        # case accepts in 1-3 evals regardless.
+        done = accept
         return {
             "stage": new_stage,
             "a_lo": new_a_lo,
@@ -183,7 +177,6 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0,
             "g_a": g_a,
             "dphi_a": dphi_a,
             "evals": c["evals"] + 1,
-            "z_evals": new_z,
             "done": done,
             "ok": accept,
             "best_a": jnp.where(accept | (f_a < c["best_f"]), a, c["best_a"]),
@@ -205,7 +198,6 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0,
         "g_a": g0,
         "dphi_a": dphi0,
         "evals": jnp.asarray(0, jnp.int32),
-        "z_evals": jnp.asarray(0, jnp.int32),
         "done": jnp.asarray(False),
         "ok": jnp.asarray(False),
         "best_a": jnp.asarray(alpha0, dt),
@@ -213,9 +205,9 @@ def _wolfe_zoom(fg, x, f0, g0, p, alpha0, c1, c2, max_evals, f_noise=0.0,
     }
     out = lax.while_loop(cond, body, init)
 
-    # If the loop stopped without Wolfe acceptance (evals or zoom budget
-    # exhausted), fall back to the best finite point seen
-    # (sufficient-decrease-only), else fail.
+    # If the loop stopped without Wolfe acceptance (evals exhausted), fall
+    # back to the best finite point seen (sufficient-decrease-only), else
+    # fail.
     fallback_ok = (out["best_f"] < f0 + f_noise) & jnp.isfinite(out["best_f"])
     a_final = jnp.where(out["ok"], out["a"], out["best_a"])
     use = out["ok"] | fallback_ok
@@ -269,22 +261,8 @@ def minimize_lbfgs_device(
     is a robust signal (a per-iteration counter proved too eager: L-BFGS
     plateaus for a few iterations while rebuilding history, then
     accelerates — measured on the bench trajectory)."""
-    dt = x0.dtype
-    k = x0.shape[0]
     if init_state is None:
-        f0, g0 = fg(x0)
-        init = LBFGSDeviceState(
-            x=x0,
-            f=f0,
-            g=g0,
-            s_hist=jnp.zeros((history, k), dt),
-            y_hist=jnp.zeros((history, k), dt),
-            rho=jnp.zeros((history,), dt),
-            head=jnp.asarray(0, jnp.int32),
-            n_iter=jnp.asarray(0, jnp.int32),
-            failed=jnp.asarray(False),
-            n_evals=jnp.asarray(1, jnp.int32),
-        )
+        init = _fresh_state(x0, *fg(x0), history)
     else:
         init = init_state
     start = init.n_iter
@@ -400,12 +378,40 @@ def fit(
     measurably fall into it from generic inits — a mild normal() prior on
     the lengthscale keeps the optimizer in the well-conditioned region.
     """
-    from ..models.fitc import calc_model, calc_trained
-    from ..models.streaming import streaming_log_evidence
-
     scale = 1.0 / X.shape[0] if normalize else 1.0
     if f_noise is None:
         f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
+    _fg_of = _make_fg(family, pack, variational, streaming_block_size,
+                      scale, log_prior)
+
+    @jax.jit
+    def _init(x0, X, y):
+        return _fg_of(x0, X, y)
+
+    @jax.jit
+    def _chunk(st, X, y):
+        def fg(x):
+            return _fg_of(x, X, y)
+
+        return minimize_lbfgs_device(
+            fg, st.x, step=step, tol=tol, epsabs=epsabs, max_iter=max_iter,
+            history=history, f_noise=f_noise, init_state=st,
+            dispatch_iters=dispatch_iters,
+        )
+
+    st = _fresh_state(pack.x0, *_init(pack.x0, X, y), history)
+    st = _chunk_loop(_chunk, st, X, y, max_iter, epsabs, f_noise)
+    params, z, sigma2 = pack.unpack(st.x)
+    return params, z, sigma2, st
+
+
+def _make_fg(family, pack, variational, streaming_block_size, scale,
+             log_prior):
+    """(x, X, y) -> (f, grad) of the packed scaled negative evidence (+
+    optional prior) — the one objective builder shared by fit and
+    fit_restarts."""
+    from ..models.fitc import calc_model, calc_trained
+    from ..models.streaming import streaming_log_evidence
 
     def _fg_of(x, X, y):
         def f(x):
@@ -428,25 +434,7 @@ def fit(
 
         return jax.value_and_grad(f)(x)
 
-    @jax.jit
-    def _init(x0, X, y):
-        return _fg_of(x0, X, y)
-
-    @jax.jit
-    def _chunk(st, X, y):
-        def fg(x):
-            return _fg_of(x, X, y)
-
-        return minimize_lbfgs_device(
-            fg, st.x, step=step, tol=tol, epsabs=epsabs, max_iter=max_iter,
-            history=history, f_noise=f_noise, init_state=st,
-            dispatch_iters=dispatch_iters,
-        )
-
-    st = _fresh_state(pack.x0, *_init(pack.x0, X, y), history)
-    st = _chunk_loop(_chunk, st, X, y, max_iter, epsabs, f_noise)
-    params, z, sigma2 = pack.unpack(st.x)
-    return params, z, sigma2, st
+    return _fg_of
 
 
 def _fresh_state(x0, f0, g0, history):
@@ -527,33 +515,13 @@ def fit_restarts(
     packing different Params, e.g. a log-lengthscale ladder).  Returns
     (params, z, sigma2, final_state, probe_objectives).
     """
-    from ..models.fitc import calc_model, calc_trained
-    from ..models.streaming import streaming_log_evidence
+    import math
 
     scale = 1.0 / X.shape[0] if normalize else 1.0
     if f_noise is None:
         f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
-
-    def _fg_of(x, X, y):
-        def f(x):
-            params, z, sigma2 = pack.unpack(x)
-            if streaming_block_size is not None:
-                l = streaming_log_evidence(
-                    family, params, z, sigma2, X, y,
-                    variational=variational,
-                    block_size=streaming_block_size,
-                )
-            else:
-                model = calc_model(
-                    family, params, X, z, sigma2,
-                    variational=variational, factorization="chol",
-                )
-                l = calc_trained(model, y).l
-            if log_prior is not None:
-                l = l + log_prior(params, z, sigma2)
-            return -l * scale
-
-        return jax.value_and_grad(f)(x)
+    _fg_of = _make_fg(family, pack, variational, streaming_block_size,
+                      scale, log_prior)
 
     @jax.jit
     def _init(x0, X, y):
@@ -565,6 +533,7 @@ def fit_restarts(
             lambda x: _fg_of(x, X, y), st.x, step=step, tol=tol,
             epsabs=epsabs, max_iter=probe_iters, history=history,
             f_noise=f_noise, init_state=st,
+            dispatch_iters=min(dispatch_iters, probe_iters),
         )
 
     @jax.jit
@@ -575,17 +544,30 @@ def fit_restarts(
             f_noise=f_noise, init_state=st, dispatch_iters=dispatch_iters,
         )
 
+    def _rank(st):
+        # healthy (finite, line search alive) probes before failed ones
+        # before diverged ones; NaN objectives must never win a "<" against
+        # a finite probe, so the class is compared first
+        f = float(st.f)
+        bad = 2 if not math.isfinite(f) else (1 if bool(st.failed) else 0)
+        return (bad, f if math.isfinite(f) else math.inf)
+
     best = None
     probe_fs = []
     for x0 in x0s:
         x0 = jnp.asarray(x0, pack.x0.dtype)
         st = _fresh_state(x0, *_init(x0, X, y), history)
-        st = _probe_chunk(st, X, y)
+        st = _chunk_loop(_probe_chunk, st, X, y, probe_iters, epsabs,
+                         f_noise)
         probe_fs.append(float(st.f))
-        if best is None or float(st.f) < float(best.f):
+        if best is None or _rank(st) < _rank(best):
             best = st
     if best is None:
         raise ValueError("x0s is empty")
+    # a cleared failed flag lets a probe that ended in a line-search
+    # failure retry from steepest descent in the continuation (same reset
+    # resume_minimize applies)
+    best = best._replace(failed=jnp.asarray(False))
     st = _chunk_loop(_chunk, best, X, y, max_iter, epsabs, f_noise)
     params, z, sigma2 = pack.unpack(st.x)
     return params, z, sigma2, st, probe_fs

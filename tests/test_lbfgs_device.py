@@ -154,6 +154,28 @@ def test_fit_restarts_picks_best_start(rng):
     assert float(st_r.f) <= min(singles) + 1e-3
 
 
+def test_fit_restarts_nan_start_never_wins(rng):
+    """A diverged start (NaN objective) must lose to any finite probe —
+    float comparisons against NaN are always False, so naive best-keeping
+    would keep the NaN."""
+    from gpr_tpu.optim.lbfgs_device import fit_restarts
+
+    n, m = 120, 5
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.1 * rng.standard_normal(n))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    pack = make_pack(SeIso, p0, X[:m], 1.0)
+
+    bad = np.asarray(pack.x0).copy()
+    bad[:] = 1e30  # overflows the kernel exponentials -> NaN objective
+    _, _, _, st, probe_fs = fit_restarts(
+        SeIso, X, y, pack, [bad, pack.x0], probe_iters=5, max_iter=15,
+        epsabs=1e-3,
+    )
+    assert not np.isfinite(probe_fs[0]) or probe_fs[0] > probe_fs[1]
+    assert np.isfinite(float(st.f))
+
+
 def test_fit_map_prior_pulls_hyper(rng):
     """fit(log_prior=) does MAP like train(log_prior=): a steep prior on
     log_ell pulls the trained value to its mean."""
