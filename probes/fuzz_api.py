@@ -1,0 +1,124 @@
+"""API fuzz: random (family, options, shapes, trainer, predictor) workflows
+end to end through the public API.  Any exception or non-finite result is a
+failure.  CPU/f64; run from the repo root:  python probes/fuzz_api.py [N]
+"""
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpr_tpu.kernels import Const, LinArd, LinOne, Matern32, Matern52, SeFat, SeIso
+from gpr_tpu.models import calc_model, calc_trained, calc_stats, log_evidence
+from gpr_tpu.models.predict import (
+    co_variance_predictor, mean_predictor, predict_means, predict_variances,
+)
+from gpr_tpu.models.predict import covariances_fitc
+from gpr_tpu.models.sample import cov_sample, cov_sampler
+from gpr_tpu.optim import make_pack, train
+from gpr_tpu.optim.lbfgs_device import fit, fit_restarts
+
+FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, SeFat]
+
+
+def one(rng, i):
+    fam = FAMILIES[rng.integers(len(FAMILIES))]
+    n = int(rng.integers(20, 200))
+    d = int(rng.integers(1, 5))
+    m = int(rng.integers(1, min(n, 12) + 1))
+    variational = bool(rng.integers(2))
+    factorization = ["chol", "qr"][rng.integers(2)]
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.2 * rng.standard_normal(n))
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+
+    params = fam.default_params(X, m, key)
+    if fam is SeFat and rng.integers(2):
+        # fat options on
+        import dataclasses as dc
+        params = dc.replace(
+            params,
+            log_hetero_skedasticity=jnp.full((m,), -3.0),
+            log_multiscales_m05=jnp.zeros((m, params.d)),
+        )
+    Z = fam.inducing_from_inputs(params, X[:m])
+    sigma2 = float(rng.uniform(0.05, 2.0))
+
+    # evidence + grad
+    def f(params, z, s2):
+        return log_evidence(fam, params, z, s2, X, y,
+                            variational=variational,
+                            factorization=factorization)
+
+    l, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(
+        params, Z, jnp.asarray(sigma2))
+    assert np.isfinite(float(l)), f"evidence not finite ({fam.name})"
+    for leaf in jax.tree.leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(leaf))), f"grad NaN ({fam.name})"
+
+    # model + stats + prediction + sampling
+    model = calc_model(fam, params, X, Z, sigma2, variational=variational,
+                       factorization=factorization)
+    trained = calc_trained(model, y)
+    st = calc_stats(trained)
+    assert np.isfinite(float(st.msll)) and np.isfinite(float(st.smse))
+    mp = mean_predictor(trained)
+    cvp = co_variance_predictor(model)
+    Xt = jnp.asarray(rng.standard_normal((7, d)))
+    mu = predict_means(fam, params, mp, Xt)
+    var = predict_variances(fam, params, cvp, Xt, model.sigma2)
+    assert bool(jnp.all(jnp.isfinite(mu)))
+    assert bool(jnp.all(var > -1e-9))
+    cov = covariances_fitc(fam, params, cvp, Xt, model.sigma2)
+    mu_t = predict_means(fam, params, mp, Xt)
+    cs = cov_sampler(mu_t, cov, model.sigma2)
+    s = cov_sample(key, cs, 3)
+    assert bool(jnp.all(jnp.isfinite(s)))
+
+    # a short trainer run on a random path
+    mode = rng.integers(3)
+    if mode == 0:
+        res = train(fam, X, y, kernel_params=params, inducing=Z,
+                    sigma2=sigma2, variational=variational, max_iter=4,
+                    epsabs=1e-8, key=key)
+        assert np.isfinite(float(res.l))
+    elif mode == 1:
+        pack = make_pack(fam, params, Z, sigma2)
+        _, _, _, stt = fit(fam, X, y, pack, variational=variational,
+                           max_iter=4, epsabs=1e-8)
+        assert np.isfinite(float(stt.f))
+    else:
+        pack = make_pack(fam, params, Z, sigma2)
+        _, _, _, stt, _ = fit_restarts(
+            fam, X, y, pack, [pack.x0], probe_iters=2, max_iter=4,
+            epsabs=1e-8)
+        assert np.isfinite(float(stt.f))
+    return fam.name, n, d, m, variational, factorization, mode
+
+
+def main():
+    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    rng = np.random.default_rng(0)
+    fails = 0
+    for i in range(n_iters):
+        try:
+            desc = one(rng, i)
+            print(f"ok  {i:3d}: {desc}", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL {i:3d}:", flush=True)
+            traceback.print_exc()
+    print(f"\n{n_iters - fails}/{n_iters} passed", flush=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
