@@ -497,6 +497,8 @@ def fit_restarts(
     f_noise: float | None = None,
     dispatch_iters: int = 50,
     log_prior=None,
+    probe_subsample: int | None = None,
+    probe_seed: int = 0,
 ):
     """Multi-start device training: a short L-BFGS probe (``probe_iters``
     iterations) from each packed start in ``x0s``, then the best probe
@@ -514,6 +516,16 @@ def fit_restarts(
     ``x0s``: iterable of packed vectors (build variants of ``pack.x0`` by
     packing different Params, e.g. a log-lengthscale ladder).  Returns
     (params, z, sigma2, final_state, probe_objectives).
+
+    ``probe_subsample``: run the probes on a random row subsample of this
+    size (seeded by ``probe_seed``) instead of the full data — with
+    ``normalize`` on, the subsample mean-NLL estimates the full objective,
+    so basin ranking transfers while each probe iteration costs n_sub/n of
+    a full one.  The winner restarts on the full data from its probed x
+    with FRESH curvature history (pairs measured against the subsample
+    objective do not carry); ``max_iter`` then bounds the full-data
+    iterations alone, and the returned probe objectives are subsample
+    mean-NLLs.
     """
     import math
 
@@ -523,14 +535,37 @@ def fit_restarts(
     _fg_of = _make_fg(family, pack, variational, streaming_block_size,
                       scale, log_prior)
 
+    subsampled = (
+        probe_subsample is not None and probe_subsample < X.shape[0]
+    )
+    if subsampled:
+        import numpy as _np
+
+        idx = jnp.asarray(_np.random.default_rng(probe_seed).choice(
+            X.shape[0], probe_subsample, replace=False))
+        Xp_, yp_ = X[idx], y[idx]
+        _fg_probe = _make_fg(
+            family, pack, variational,
+            None if streaming_block_size is None
+            else min(streaming_block_size, probe_subsample),
+            1.0 / probe_subsample if normalize else 1.0, log_prior,
+        )
+    else:
+        Xp_, yp_ = X, y
+        _fg_probe = _fg_of
+
     @jax.jit
     def _init(x0, X, y):
         return _fg_of(x0, X, y)
 
     @jax.jit
+    def _init_probe(x0, X, y):
+        return _fg_probe(x0, X, y)
+
+    @jax.jit
     def _probe_chunk(st, X, y):
         return minimize_lbfgs_device(
-            lambda x: _fg_of(x, X, y), st.x, step=step, tol=tol,
+            lambda x: _fg_probe(x, X, y), st.x, step=step, tol=tol,
             epsabs=epsabs, max_iter=probe_iters, history=history,
             f_noise=f_noise, init_state=st,
             dispatch_iters=min(dispatch_iters, probe_iters),
@@ -556,18 +591,23 @@ def fit_restarts(
     probe_fs = []
     for x0 in x0s:
         x0 = jnp.asarray(x0, pack.x0.dtype)
-        st = _fresh_state(x0, *_init(x0, X, y), history)
-        st = _chunk_loop(_probe_chunk, st, X, y, probe_iters, epsabs,
+        st = _fresh_state(x0, *_init_probe(x0, Xp_, yp_), history)
+        st = _chunk_loop(_probe_chunk, st, Xp_, yp_, probe_iters, epsabs,
                          f_noise)
         probe_fs.append(float(st.f))
         if best is None or _rank(st) < _rank(best):
             best = st
     if best is None:
         raise ValueError("x0s is empty")
-    # a cleared failed flag lets a probe that ended in a line-search
-    # failure retry from steepest descent in the continuation (same reset
-    # resume_minimize applies)
-    best = best._replace(failed=jnp.asarray(False))
+    if subsampled:
+        # the subsample objective's curvature pairs and (f, g) do not carry
+        # to the full objective: restart from the probed x
+        best = _fresh_state(best.x, *_init(best.x, X, y), history)
+    else:
+        # a cleared failed flag lets a probe that ended in a line-search
+        # failure retry from steepest descent in the continuation (same
+        # reset resume_minimize applies)
+        best = best._replace(failed=jnp.asarray(False))
     st = _chunk_loop(_chunk, best, X, y, max_iter, epsabs, f_noise)
     params, z, sigma2 = pack.unpack(st.x)
     return params, z, sigma2, st, probe_fs

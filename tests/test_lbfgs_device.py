@@ -154,6 +154,38 @@ def test_fit_restarts_picks_best_start(rng):
     assert float(st_r.f) <= min(singles) + 1e-3
 
 
+def test_fit_restarts_subsample_probes(rng):
+    """Subsampled probes rank basins on cheap data, then the winner
+    retrains on the full set — the result must be competitive with
+    full-data probing on the same ladder."""
+    from gpr_tpu.optim.lbfgs_device import fit_restarts
+
+    n, m = 400, 6
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(3.0 * np.asarray(X).sum(1))
+                    + 0.1 * rng.standard_normal(n))
+    p0 = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    pack = make_pack(SeIso, p0, X[:m], 1.0)
+    x0s = [
+        make_pack(
+            SeIso,
+            SeIso.Params(log_ell=jnp.asarray(le), log_sf2=jnp.asarray(0.0)),
+            X[:m], 1.0,
+        ).x0
+        for le in (-1.5, 0.0, 1.5)
+    ]
+    kw = dict(probe_iters=8, epsabs=1e-3, max_iter=40)
+    _, _, _, st_full, _ = fit_restarts(SeIso, X, y, pack, x0s, **kw)
+    _, _, _, st_sub, probe_fs = fit_restarts(
+        SeIso, X, y, pack, x0s, probe_subsample=120, **kw
+    )
+    assert len(probe_fs) == 3 and all(np.isfinite(probe_fs))
+    assert np.isfinite(float(st_sub.f))
+    # same ladder, same data: the subsample-probed run must land within a
+    # modest margin of the full-probed optimum (same basin or better)
+    assert float(st_sub.f) <= float(st_full.f) + 0.05 * abs(float(st_full.f))
+
+
 def test_fit_restarts_nan_start_never_wins(rng):
     """A diverged start (NaN objective) must lose to any finite probe —
     float comparisons against NaN are always False, so naive best-keeping
