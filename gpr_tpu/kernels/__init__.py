@@ -3,6 +3,7 @@ from .const import Const
 from .lin_ard import LinArd
 from .lin_one import LinOne
 from .matern import Matern32, Matern52
+from .rq import RatQuad
 from .se_fat import SeFat
 from .se_iso import SeIso
 
@@ -17,6 +18,7 @@ FAMILIES = {
     # extensions beyond the reference's five
     Matern32.name: Matern32,
     Matern52.name: Matern52,
+    RatQuad.name: RatQuad,
 }
 
 __all__ = [
@@ -30,5 +32,6 @@ __all__ = [
     "SeFat",
     "Matern32",
     "Matern52",
+    "RatQuad",
     "FAMILIES",
 ]

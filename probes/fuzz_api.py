@@ -16,7 +16,9 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
-from gpr_tpu.kernels import Const, LinArd, LinOne, Matern32, Matern52, SeFat, SeIso
+from gpr_tpu.kernels import (
+    Const, LinArd, LinOne, Matern32, Matern52, RatQuad, SeFat, SeIso,
+)
 from gpr_tpu.models import calc_model, calc_trained, calc_stats, log_evidence
 from gpr_tpu.models.predict import (
     co_variance_predictor, mean_predictor, predict_means, predict_variances,
@@ -26,7 +28,8 @@ from gpr_tpu.models.sample import cov_sample, cov_sampler
 from gpr_tpu.optim import make_pack, train
 from gpr_tpu.optim.lbfgs_device import fit, fit_restarts
 
-FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, SeFat]
+FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, RatQuad,
+            SeFat]
 
 
 def one(rng, i):
