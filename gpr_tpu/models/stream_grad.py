@@ -137,7 +137,7 @@ def _forward_pallas(family, params, z, u_inv, sigma2, xb, yb, maskb,
 
 def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
                          fwd_impl: str = "scan", interpret: bool = False,
-                         bwd_variant: str | None = None):
+                         bwd_variant: str = "base"):
     """custom_vjp'd (params, z, u_inv, sigma2, xb, yb, maskb) -> 6 stats.
 
     Cached per (family, unroll, bwd_precision); xb/yb/maskb are pre-blocked
@@ -153,7 +153,8 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
     precision either way).  None inherits the global matmul precision.
 
     ``bwd_variant`` restructures the backward tile (same math, different
-    schedules; default via GPR_TPU_BWD_VARIANT for TPU probing):
+    schedules; an explicit argument only — probes pass it through
+    stream_stats(grad_variant=), nothing env-sensitive):
       * "base"  — v = knm U^-1 then vg = v (G-bar+G-bar') (chained GEMMs)
       * "ug"    — vg = knm (U^-1 (G-bar+G-bar')): both GEMMs read knm, no
                   serial dependency
@@ -162,10 +163,6 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
       * "nok"   — TIMING PROBE ONLY: skips the kernel pullback (returns
                   zero params/z cotangents) to attribute its cost share
     """
-    if bwd_variant is None:
-        import os
-
-        bwd_variant = os.environ.get("GPR_TPU_BWD_VARIANT", "base")
     key = (family, unroll, bwd_precision, fwd_impl, interpret, bwd_variant)
     if key in _CACHE:
         return _CACHE[key]

@@ -83,7 +83,7 @@ def stream_stats(
     family, params, inducing, sigma2, X, y, *, block_size: int = 8192,
     remat: bool = True, mask=None, unroll: int = 1,
     remat_policy: str = "recompute_all", grad_impl: str = "custom",
-    grad_precision=None, impl: str = "scan",
+    grad_precision=None, impl: str = "scan", grad_variant: str = "base",
 ) -> StreamStats:
     """One scan over row blocks accumulating StreamStats.
 
@@ -125,7 +125,9 @@ def stream_stats(
     if grad_impl == "custom":
         from .stream_grad import make_stream_stats_cv
 
-        core = make_stream_stats_cv(family, unroll, grad_precision)
+        core = make_stream_stats_cv(
+            family, unroll, grad_precision, bwd_variant=grad_variant
+        )
         gram, u_vec, lds, yiy, isr, cnt = core(
             params, inducing.z, u_inv, sigma2, xb, yb, maskb
         )
@@ -255,6 +257,7 @@ def streaming_log_evidence(
     grad_impl: str = "custom",
     grad_precision=None,
     impl: str = "scan",
+    grad_variant: str = "base",
 ) -> jnp.ndarray:
     """Drop-in replacement for models.fitc.log_evidence at large n.
 
@@ -266,7 +269,7 @@ def streaming_log_evidence(
     stats = stream_stats(
         family, params, inducing, sigma2, X, y, block_size=block_size,
         unroll=unroll, remat_policy=remat_policy, grad_impl=grad_impl,
-        grad_precision=grad_precision, impl=impl,
+        grad_precision=grad_precision, impl=impl, grad_variant=grad_variant,
     )
     return evidence_from_stats(inducing, stats, variational=variational)
 
