@@ -61,6 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train with the streaming evidence in row blocks of "
                         "this size: memory stays O(block x m) at any n "
                         "(default: dense n x m cross-covariance)")
+    p.add_argument("-trainer", choices=["host", "device", "sharded"],
+                   default="host",
+                   help="host (default): callback-rich host L-BFGS loop; "
+                        "device: device-resident chunked L-BFGS "
+                        "(optim.lbfgs_device.fit — production throughput, "
+                        "mean-NLL objective so -eps applies per point); "
+                        "sharded: multi-chip data-parallel training over "
+                        "a device mesh (parallel.fit_sharded)")
+    p.add_argument("-devices", type=int, default=None,
+                   help="mesh size for -trainer sharded (default: all "
+                        "visible devices)")
     p.add_argument("-restarts", type=int, default=1,
                    help="random restarts: retrain from fresh random "
                         "inducing/projection draws (seed+r) and keep the "
@@ -126,7 +137,6 @@ def cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from .io.checkpoint import ModelArtifact, save_model
     from .kernels import SeFat
     from .models import calc_stats
     from .optim import Bailout, train
@@ -157,6 +167,11 @@ def cmd_train(args) -> int:
     if args.restarts > 1 and (args.checkpoint or args.resume):
         raise SystemExit("-restarts > 1 is incompatible with "
                          "-checkpoint/-resume (single-trajectory state)")
+    if args.resume and args.trainer == "sharded":
+        raise SystemExit("-resume is not supported with -trainer sharded "
+                         "(device-sharded state is mesh-layout dependent)")
+    if args.devices is not None and args.trainer != "sharded":
+        raise SystemExit("-devices requires -trainer sharded")
 
     log_sf2 = 2.0 * math.log(args.amplitude)
 
@@ -224,6 +239,15 @@ def cmd_train(args) -> int:
             print(f"iter {iter:4d}: |gradient|={norm:.5f}", file=sys.stderr,
                   flush=True)
 
+    if args.trainer != "host":
+        trained = _train_on_device(args, X, y, n_inducing, seed,
+                                   build_params, got_signal, old_handler)
+        if args.verbose:
+            print(f"result: {stats_line(trained)}", file=sys.stderr)
+        _write_artifact(args, trained, target_mean, input_means,
+                        input_stddevs)
+        return 0
+
     try:
         trained = None
         for r in range(max(1, args.restarts)):
@@ -262,6 +286,14 @@ def cmd_train(args) -> int:
     if args.verbose:
         print(f"result: {stats_line(trained)}", file=sys.stderr)
 
+    _write_artifact(args, trained, target_mean, input_means, input_stddevs)
+    return 0
+
+
+def _write_artifact(args, trained, target_mean, input_means, input_stddevs):
+    from .io.checkpoint import ModelArtifact, save_model
+    from .kernels import SeFat
+
     art = ModelArtifact(
         family_name=SeFat.name,
         kernel_params=trained.kernel_params,
@@ -275,7 +307,151 @@ def cmd_train(args) -> int:
         input_stddevs=input_stddevs,
     )
     save_model(args.model, art)
-    return 0
+
+
+def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
+                     old_handler):
+    """-trainer device|sharded: the TPU-native training paths at the CLI
+    surface (VERDICT round-2 #3).  Same model (se_fat variational FIC),
+    same artifact schema as the host loop; the optimizer runs device-
+    resident (optim.lbfgs_device.fit / parallel.fit_sharded) with the
+    mean-NLL objective.  -eps keeps the host trainer's TOTAL-gradient
+    meaning: mean |g| < eps/n  <=>  total |g| < eps, so the same flag value
+    stops both trainers at the same point.
+    SIGINT stops after the in-flight chunk and keeps the incumbent (the
+    device L-BFGS is monotone, so the incumbent IS the best model so far).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .kernels import SeFat
+    from .models.fitc import (
+        calc_model,
+        calc_trained,
+        choose_n_random_inputs,
+    )
+    from .optim import Bailout, make_pack
+    from .optim.lbfgs_device import fit, fit_restarts
+    from .optim.train import TrainResult
+
+    max_iter = args.max_iter if args.max_iter is not None else 100
+
+    def start(r):
+        rng = np.random.default_rng(seed + r)
+        params = build_params(rng)
+        key = jax.random.PRNGKey(seed + r)
+        z = choose_n_random_inputs(key, SeFat, params, X, n_inducing)
+        return params, z
+
+    params0, z0 = start(0)
+    pack = make_pack(SeFat, params0, z0, args.sigma2)
+
+    common = dict(
+        variational=True, step=args.step, tol=args.tol,
+        epsabs=args.eps / X.shape[0], max_iter=max_iter,
+    )
+
+    last_state = {"st": None}
+
+    def on_chunk(st):
+        last_state["st"] = st
+        if args.checkpoint is not None:
+            from .io.resume import save_device_checkpoint
+
+            save_device_checkpoint(args.checkpoint, st)
+        if args.verbose:
+            print(
+                f"iter {int(st.n_iter):4d}: f={float(st.f):.6f} "
+                f"|gradient|={float(jnp.linalg.norm(st.g)):.5f} "
+                f"evals={int(st.n_evals)}", file=sys.stderr, flush=True,
+            )
+        if got_signal["flag"]:
+            raise Bailout
+
+    try:
+        if args.trainer == "device":
+            if args.restarts > 1:
+                x0s = [pack.x0] + [
+                    make_pack(SeFat, *start(r), args.sigma2).x0
+                    for r in range(1, args.restarts)
+                ]
+                p_f, z_f, s2_f, st, probe_fs = fit_restarts(
+                    SeFat, X, y, pack, x0s,
+                    streaming_block_size=args.block_size, **common,
+                )
+                if args.verbose:
+                    print(f"restart probes: "
+                          f"{[round(float(f), 4) for f in probe_fs]}",
+                          file=sys.stderr)
+            else:
+                init_state = None
+                if args.resume:
+                    import os
+
+                    if os.path.exists(args.checkpoint):
+                        from .io.resume import load_device_checkpoint
+
+                        init_state = load_device_checkpoint(args.checkpoint)
+                        if init_state.x.shape != pack.x0.shape:
+                            raise SystemExit(
+                                "checkpoint hyper vector does not match this "
+                                "configuration — resume requires the same "
+                                "model/data setup"
+                            )
+                try:
+                    p_f, z_f, s2_f, st = fit(
+                        SeFat, X, y, pack,
+                        streaming_block_size=args.block_size,
+                        init_state=init_state, state_callback=on_chunk,
+                        **common,
+                    )
+                except Bailout:
+                    st = last_state["st"]
+                    p_f, z_f, s2_f = pack.unpack(st.x)
+        else:  # sharded
+            from .parallel import make_mesh
+            from .parallel.sharded import fit_sharded
+
+            mesh = make_mesh(args.devices)
+            best = None
+            for r in range(max(1, args.restarts)):
+                pack_r = (pack if r == 0
+                          else make_pack(SeFat, *start(r), args.sigma2))
+                try:
+                    cand = fit_sharded(
+                        SeFat, mesh, X, y, pack_r,
+                        block_size=args.block_size or 8192,
+                        state_callback=on_chunk, **common,
+                    )
+                except Bailout:
+                    st_b = last_state["st"]
+                    cand = (*pack_r.unpack(st_b.x), st_b)
+                f_c = float(cand[3].f)
+                if best is None or (
+                    math.isfinite(f_c) and not math.isfinite(float(best[3].f))
+                ) or (math.isfinite(f_c) and f_c < float(best[3].f)):
+                    best = cand
+                if args.verbose and args.restarts > 1:
+                    print(f"restart {r}: mean-NLL {f_c:.4f} "
+                          f"(best {float(best[3].f):.4f})", file=sys.stderr)
+                if got_signal["flag"]:
+                    break
+            p_f, z_f, s2_f, st = best
+    finally:
+        signal.signal(signal.SIGINT, old_handler)
+
+    if args.block_size is not None or args.trainer == "sharded":
+        from .models.streaming import streaming_trained
+
+        trained = streaming_trained(
+            SeFat, p_f, z_f, s2_f, X, y, variational=True,
+            block_size=args.block_size or 8192,
+        )
+    else:
+        model = calc_model(SeFat, p_f, X, z_f, s2_f, variational=True,
+                           factorization="chol")
+        trained = calc_trained(model, y)
+    return TrainResult(trained, p_f, z_f, s2_f)
 
 
 def cmd_test(args) -> int:
@@ -351,6 +527,16 @@ def main(argv=None) -> int:
         raise SystemExit(
             f"training failed: {e} (check inputs for NaN/inf values)"
         )
+    except BrokenPipeError:
+        # downstream closed the pipe (e.g. | head) — exit quietly, the
+        # POSIX-tool convention
+        import os
+
+        try:
+            sys.stdout.close()
+        except Exception:  # noqa: BLE001
+            pass
+        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,24 @@ def training_state_from_arrays(extra: dict) -> LBFGSDeviceState:
     )
 
 
+def save_device_checkpoint(path: str, st: LBFGSDeviceState):
+    """Persist a device L-BFGS state as a standalone npz (atomic replace —
+    same crash-safety contract as :func:`save_train_checkpoint`).  Used by
+    fit(checkpoint via state_callback) and the CLI's -trainer device."""
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **training_state_arrays(st))
+    os.replace(tmp, path)
+
+
+def load_device_checkpoint(path: str) -> LBFGSDeviceState:
+    """Rebuild the state saved by :func:`save_device_checkpoint`."""
+    with np.load(path) as z:
+        return training_state_from_arrays({k: z[k] for k in z.files})
+
+
 def resume_minimize(fg, st: LBFGSDeviceState, **kw):
     """Continue a device L-BFGS run from a restored state.
 

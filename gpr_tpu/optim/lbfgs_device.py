@@ -351,6 +351,8 @@ def fit(
     f_noise: float | None = None,
     dispatch_iters: int = 50,
     log_prior=None,
+    init_state: "LBFGSDeviceState | None" = None,
+    state_callback=None,
 ):
     """Train a sparse GP on device, in chunks of ``dispatch_iters``
     iterations per dispatch.
@@ -377,6 +379,12 @@ def fit(
     constant) whose f32 gradients are conditioning noise, and trajectories
     measurably fall into it from generic inits — a mild normal() prior on
     the lengthscale keeps the optimizer in the well-conditioned region.
+
+    ``init_state`` resumes a previous run's FULL optimizer state
+    (io.resume.load_device_checkpoint); ``max_iter`` then counts TOTAL
+    iterations including the original run's.  ``state_callback(st)`` fires
+    after every dispatched chunk — persist with
+    io.resume.save_device_checkpoint for crash-safe training.
     """
     scale = 1.0 / X.shape[0] if normalize else 1.0
     if f_noise is None:
@@ -399,8 +407,17 @@ def fit(
             dispatch_iters=dispatch_iters,
         )
 
-    st = _fresh_state(pack.x0, *_init(pack.x0, X, y), history)
-    st = _chunk_loop(_chunk, st, X, y, max_iter, epsabs, f_noise)
+    if init_state is not None:
+        if int(init_state.s_hist.shape[0]) != history:
+            raise ValueError(
+                f"history={history} does not match the checkpointed "
+                f"curvature buffers ({int(init_state.s_hist.shape[0])})"
+            )
+        st = init_state._replace(failed=jnp.asarray(False))
+    else:
+        st = _fresh_state(pack.x0, *_init(pack.x0, X, y), history)
+    st = _chunk_loop(_chunk, st, X, y, max_iter, epsabs, f_noise,
+                     state_callback=state_callback)
     params, z, sigma2 = pack.unpack(st.x)
     return params, z, sigma2, st
 
@@ -452,7 +469,8 @@ def _fresh_state(x0, f0, g0, history):
     )
 
 
-def _chunk_loop(chunk, st, X, y, max_iter, epsabs, f_noise):
+def _chunk_loop(chunk, st, X, y, max_iter, epsabs, f_noise,
+                state_callback=None):
     """Drive chunked dispatches with noise-floor stall detection: in f32 at
     degenerate-Km hyper regions the gradient is conditioning noise
     (|g| ~ eps cond(Km)) while f is flat — net chunk progress below a few
@@ -464,6 +482,8 @@ def _chunk_loop(chunk, st, X, y, max_iter, epsabs, f_noise):
     f_prev = float(st.f)
     while True:
         st = chunk(st, X, y)
+        if state_callback is not None:
+            state_callback(st)
         if (
             int(st.n_iter) >= max_iter
             or bool(st.failed)
@@ -476,6 +496,21 @@ def _chunk_loop(chunk, st, X, y, max_iter, epsabs, f_noise):
             break  # noise-floor stall: no chunk-level progress
         f_prev = f_now
     return st
+
+
+class ProbeReport(list):
+    """Probe objectives (a plain list, for compatibility) plus per-phase
+    line-search counters so the probe-vs-continuation cost split is visible
+    (VERDICT round-2 #5): ``probe_evals``/``probe_iters`` sum over ALL
+    starts, ``cont_evals``/``cont_iters`` cover the continuation alone —
+    evals/iter per phase is the line-search efficiency figure."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.probe_evals = 0
+        self.probe_iters = 0
+        self.cont_evals = 0
+        self.cont_iters = 0
 
 
 def fit_restarts(
@@ -588,13 +623,15 @@ def fit_restarts(
         return (bad, f if math.isfinite(f) else math.inf)
 
     best = None
-    probe_fs = []
+    probe_fs = ProbeReport()
     for x0 in x0s:
         x0 = jnp.asarray(x0, pack.x0.dtype)
         st = _fresh_state(x0, *_init_probe(x0, Xp_, yp_), history)
         st = _chunk_loop(_probe_chunk, st, Xp_, yp_, probe_iters, epsabs,
                          f_noise)
         probe_fs.append(float(st.f))
+        probe_fs.probe_evals += int(st.n_evals)
+        probe_fs.probe_iters += int(st.n_iter)
         if best is None or _rank(st) < _rank(best):
             best = st
     if best is None:
@@ -608,6 +645,9 @@ def fit_restarts(
         # failure retry from steepest descent in the continuation (same
         # reset resume_minimize applies)
         best = best._replace(failed=jnp.asarray(False))
+    evals0, iters0 = int(best.n_evals), int(best.n_iter)
     st = _chunk_loop(_chunk, best, X, y, max_iter, epsabs, f_noise)
+    probe_fs.cont_evals = int(st.n_evals) - evals0
+    probe_fs.cont_iters = int(st.n_iter) - iters0
     params, z, sigma2 = pack.unpack(st.x)
     return params, z, sigma2, st, probe_fs

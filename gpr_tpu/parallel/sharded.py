@@ -306,6 +306,8 @@ def fit_sharded(
     f_noise: float | None = None,
     dispatch_iters: int = 50,
     log_prior=None,
+    init_state=None,
+    state_callback=None,
 ):
     """Multi-chip training without host round trips: the chunked device
     L-BFGS (optim.lbfgs_device) over the n-sharded evidence.  Every
@@ -359,10 +361,18 @@ def fit_sharded(
             f_noise=f_noise, init_state=st, dispatch_iters=dispatch_iters,
         )
 
-    st = _fresh_state(pack.x0, *_init(pack.x0, Xp, yp, mask), history)
+    if init_state is not None:
+        if int(init_state.s_hist.shape[0]) != history:
+            raise ValueError(
+                f"history={history} does not match the checkpointed "
+                f"curvature buffers ({int(init_state.s_hist.shape[0])})"
+            )
+        st = init_state._replace(failed=jnp.asarray(False))
+    else:
+        st = _fresh_state(pack.x0, *_init(pack.x0, Xp, yp, mask), history)
     st = _chunk_loop(
         lambda s, _x, _y: _chunk(s, Xp, yp, mask), st, Xp, yp,
-        max_iter, epsabs, f_noise,
+        max_iter, epsabs, f_noise, state_callback=state_callback,
     )
     params, z, sigma2 = pack.unpack(st.x)
     return params, z, sigma2, st

@@ -191,6 +191,61 @@ def test_cli_checkpoint_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_trainer_paths(tmp_path, rng):
+    """-trainer device|sharded: the TPU-native training paths at the CLI
+    surface round-trip through the SAME artifact schema as the host loop
+    (VERDICT round-2 #3).  Sharded runs on the suite's 8-virtual-device CPU
+    mesh (conftest XLA_FLAGS); the device path also exercises -checkpoint
+    followed by -resume."""
+    import numpy as np
+
+    csv, _, _ = make_csv(rng, n=96, d=2)
+    test_csv, _, _ = make_csv(rng, n=8, d=2, with_target=False)
+    ckpt = str(tmp_path / "dev.ckpt.npz")
+    models = {}
+
+    common = ["-cmd", "train", "-n-inducing", "6", "-max-iter", "8",
+              "-dim-red", "1", "-seed", "5"]
+    res = run_cli(common + ["-model", str(tmp_path / "dev.npz"),
+                            "-trainer", "device", "-checkpoint", ckpt], csv)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(ckpt)
+    models["device"] = tmp_path / "dev.npz"
+
+    res = run_cli(common + ["-model", str(tmp_path / "dev2.npz"),
+                            "-trainer", "device", "-checkpoint", ckpt,
+                            "-resume", "-max-iter", "12"], csv)
+    # -max-iter appears twice; argparse keeps the last (12 > the 8 in common)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    res = run_cli(common + ["-model", str(tmp_path / "sh.npz"),
+                            "-trainer", "sharded", "-devices", "8"], csv)
+    assert res.returncode == 0, res.stderr[-2000:]
+    models["sharded"] = tmp_path / "sh.npz"
+
+    from gpr_tpu.io import load_model
+    from gpr_tpu.kernels import SeFat
+
+    keysets = {}
+    for name, path in models.items():
+        art, _ = load_model(str(path))
+        assert art.family is SeFat
+        assert np.isfinite(art.coeffs).all() and np.isfinite(art.r_mat).all()
+        with np.load(str(path)) as z:
+            keysets[name] = set(z.files)
+        res = run_cli(["-cmd", "test", "-model", str(path), "-with-stddev"],
+                      test_csv)
+        assert res.returncode == 0, res.stderr[-2000:]
+        lines = res.stdout.strip().splitlines()
+        assert len(lines) == 8
+        for line in lines:
+            mean, sd = map(float, line.split(","))
+            assert np.isfinite(mean) and sd >= 0
+    # identical artifact schema across trainers
+    assert keysets["device"] == keysets["sharded"]
+
+
+@pytest.mark.slow
 def test_cli_restarts(tmp_path, rng):
     """-restarts N trains N times from varied seeds and keeps the best
     final evidence; incompatible with -checkpoint."""
