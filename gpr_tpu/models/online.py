@@ -16,9 +16,12 @@ epilogue — no refit, no n-sized state, exact (not approximate): the online
 posterior equals the batch posterior on the concatenated data to roundoff
 (tests/test_online.py).
 
-Removal (downdate) subtracts the batch's contribution: algebraically exact;
-numerically it cancels, so keep x64 on (CPU) or expect f32 noise when the
-removed batch dominates a statistic.
+Removal (downdate) subtracts the batch's contribution: algebraically exact,
+and the state carries Knuth two-sum compensation terms (``stats_lo``) so the
+add-then-remove round trip cancels to ~1 ulp of the SURVIVING data even in
+f32 — the rounding error of every add/subtract is captured instead of
+accumulating.  The irreducible f32 error left is the per-batch GEMM rounding
+of the statistics themselves (tests/test_online.py bounds it).
 
 Hyperparameters stay fixed across updates by construction — the statistics
 are hyper-dependent, exactly why the reference's sketch also conditions on
@@ -28,11 +31,13 @@ values.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..numerics.linalg import inv_tri_upper, matmul, rows_sqr_norm
 from ..tree import pytree_dataclass
 from .fitc import calc_inducing
+from .stream_grad import _two_sum
 from .streaming import (
     StreamStats,
     _acc_dtype,
@@ -45,20 +50,22 @@ from .streaming import (
 
 @pytree_dataclass
 class OnlineState:
-    """Inducing quantities + running sufficient statistics."""
+    """Inducing quantities + running sufficient statistics.
+
+    ``stats`` is the running (hi) sum; ``stats_lo`` holds the two-sum
+    compensation of every update/downdate so the pair represents each
+    statistic to roughly double working precision (what makes f32
+    downdates usable — see module docstring)."""
 
     inducing: object  # InducingState
     u_inv: jnp.ndarray  # (m, m) upper, U^-1 (precomputed once)
     sigma2: jnp.ndarray
     stats: StreamStats
+    stats_lo: StreamStats
 
 
-def online_init(family, params, z, sigma2, *, jitter=None) -> OnlineState:
-    """Empty posterior (prior) over the given inducing representation."""
-    inducing = calc_inducing(family, params, z, jitter)
-    m = inducing.z.shape[0]
-    acc = _acc_dtype()
-    zeros = StreamStats(
+def _zero_stats(m, acc):
+    return StreamStats(
         gram=jnp.zeros((m, m), acc),
         u_vec=jnp.zeros((m,), acc),
         log_det_s=jnp.zeros((), acc),
@@ -66,12 +73,25 @@ def online_init(family, params, z, sigma2, *, jitter=None) -> OnlineState:
         is_r_sum=jnp.zeros((), acc),
         n=jnp.zeros((), acc),
     )
+
+
+def online_init(family, params, z, sigma2, *, jitter=None) -> OnlineState:
+    """Empty posterior (prior) over the given inducing representation."""
+    inducing = calc_inducing(family, params, z, jitter)
+    m = inducing.z.shape[0]
+    acc = _acc_dtype()
     return OnlineState(
         inducing=inducing,
         u_inv=inv_tri_upper(inducing.chol_km),
         sigma2=jnp.asarray(sigma2, inducing.km.dtype),
-        stats=zeros,
+        stats=_zero_stats(m, acc),
+        stats_lo=_zero_stats(m, acc),
     )
+
+
+def _folded_stats(st: OnlineState) -> StreamStats:
+    """hi + lo: one final rounding instead of one per update."""
+    return jax.tree.map(lambda h, l: h + l, st.stats, st.stats_lo)
 
 
 def _batch_stats(family, params, st: OnlineState, X, y) -> StreamStats:
@@ -95,6 +115,25 @@ def _batch_stats(family, params, st: OnlineState, X, y) -> StreamStats:
     )
 
 
+def _apply_batch(st: OnlineState, batch: StreamStats, sign) -> OnlineState:
+    """Compensated (hi, lo) += sign * batch, leafwise over the statistics.
+    The two-sum captures the rounding error of every add AND subtract, so
+    downdates do not catastrophically cancel in f32 (the subtraction's error
+    lands in stats_lo instead of being lost)."""
+
+    def step(hi, lo, b):
+        h2, l2 = _two_sum(hi, lo, sign * b)
+        return h2, l2
+
+    pairs = jax.tree.map(step, st.stats, st.stats_lo, batch)
+    new_hi = jax.tree.map(lambda p: p[0], pairs,
+                          is_leaf=lambda x: isinstance(x, tuple))
+    new_lo = jax.tree.map(lambda p: p[1], pairs,
+                          is_leaf=lambda x: isinstance(x, tuple))
+    return OnlineState(inducing=st.inducing, u_inv=st.u_inv,
+                       sigma2=st.sigma2, stats=new_hi, stats_lo=new_lo)
+
+
 def online_update(family, params, st: OnlineState, X, y, *,
                   block_size: int | None = None) -> OnlineState:
     """Fold a batch of observations into the posterior — O(b m^2)."""
@@ -105,21 +144,13 @@ def online_update(family, params, st: OnlineState, X, y, *,
         )
     else:
         batch = _batch_stats(family, params, st, X, y)
-    new = StreamStats(
-        gram=st.stats.gram + batch.gram,
-        u_vec=st.stats.u_vec + batch.u_vec,
-        log_det_s=st.stats.log_det_s + batch.log_det_s,
-        y_is_y=st.stats.y_is_y + batch.y_is_y,
-        is_r_sum=st.stats.is_r_sum + batch.is_r_sum,
-        n=st.stats.n + batch.n,
-    )
-    return OnlineState(inducing=st.inducing, u_inv=st.u_inv,
-                       sigma2=st.sigma2, stats=new)
+    return _apply_batch(st, batch, 1.0)
 
 
 def online_downdate(family, params, st: OnlineState, X, y, *,
                     block_size: int | None = None) -> OnlineState:
-    """Remove a previously added batch (exact algebra; see module caveat)."""
+    """Remove a previously added batch (exact algebra; compensated — see
+    module docstring for the f32 error class)."""
     if block_size is not None:
         batch = stream_stats(
             family, params, st.inducing, st.sigma2, X, y,
@@ -127,20 +158,12 @@ def online_downdate(family, params, st: OnlineState, X, y, *,
         )
     else:
         batch = _batch_stats(family, params, st, X, y)
-    new = StreamStats(
-        gram=st.stats.gram - batch.gram,
-        u_vec=st.stats.u_vec - batch.u_vec,
-        log_det_s=st.stats.log_det_s - batch.log_det_s,
-        y_is_y=st.stats.y_is_y - batch.y_is_y,
-        is_r_sum=st.stats.is_r_sum - batch.is_r_sum,
-        n=st.stats.n - batch.n,
-    )
-    return OnlineState(inducing=st.inducing, u_inv=st.u_inv,
-                       sigma2=st.sigma2, stats=new)
+    return _apply_batch(st, batch, -1.0)
 
 
 def online_log_evidence(st: OnlineState, *, variational=False) -> jnp.ndarray:
-    return evidence_from_stats(st.inducing, st.stats, variational=variational)
+    return evidence_from_stats(st.inducing, _folded_stats(st),
+                               variational=variational)
 
 
 def online_predictors(st: OnlineState):
@@ -148,7 +171,7 @@ def online_predictors(st: OnlineState):
     plug into models.predict.* unchanged."""
     from .predict import CoVariancePredictor, MeanPredictor
 
-    r_tilde, t = _whitened_solve(st.inducing, st.stats)
+    r_tilde, t = _whitened_solve(st.inducing, _folded_stats(st))
     coeffs, r_mat = _dewhiten(st.inducing, r_tilde, t)
     return (
         MeanPredictor(z=st.inducing.z, coeffs=coeffs),

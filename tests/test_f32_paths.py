@@ -83,7 +83,29 @@ out["fulldist_f32"] = float(sharded_log_evidence_2d(
     SeIso, mesh2, p, Z, s2, X, y, variational=True, block_size=64,
     inducing="distributed"))
 
-# 4. f32 diag-scaled jitter keeps a degenerate gram factorizable
+# 4. online add-then-remove round trip in f32: a dominant batch (100x the
+# target scale, 40x the rows) is added and removed; compensated (two-sum)
+# downdates make the round trip error-free on the running statistics, so
+# the surviving 50 rows' evidence must match a direct f32 computation.
+# Without compensation the subtraction loses ~ulp(big)/small relative
+# accuracy (~1e-2 here) — this asserts 5e-4.
+from gpr_tpu.models import log_evidence
+from gpr_tpu.models.online import (
+    online_downdate, online_init, online_log_evidence, online_update,
+)
+st = online_init(SeIso, p, Z, s2)
+Xa, ya = X[:50], y[:50]
+Xb = jnp.asarray(rng.standard_normal((2000, d)), jnp.float32)
+yb = jnp.asarray(100.0 * rng.standard_normal(2000), jnp.float32)
+st = online_update(SeIso, p, st, Xa, ya)
+st = online_update(SeIso, p, st, Xb, yb, block_size=256)
+st = online_downdate(SeIso, p, st, Xb, yb, block_size=256)
+out["online_rt_f32"] = float(online_log_evidence(st))
+out["online_rt_n"] = float(st.stats.n + st.stats_lo.n)
+out["online_direct_f32"] = float(
+    log_evidence(SeIso, p, Z, s2, Xa, ya, factorization="chol"))
+
+# 5. f32 diag-scaled jitter keeps a degenerate gram factorizable
 z_dup = jnp.concatenate([Z[:4], Z[:4]])  # duplicated inducing points
 km = SeIso.k_upper(p, z_dup)
 u = cholesky_upper(km)  # default jitter policy: diag-scaled in f32
@@ -146,3 +168,9 @@ def test_f32_paths_match_f64(rng):
     )
 
     assert out["jitter_finite"] is True
+
+    # compensated online downdate: add-then-remove of a dominant batch
+    # leaves the survivors' evidence at direct-f32 accuracy
+    direct = out["online_direct_f32"]
+    assert abs(out["online_rt_f32"] - direct) < 5e-4 * abs(direct)
+    assert out["online_rt_n"] == 50.0
