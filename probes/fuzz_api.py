@@ -32,9 +32,12 @@ FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, RatQuad,
             SeFat]
 
 
-def one(rng, i):
-    fam = FAMILIES[rng.integers(len(FAMILIES))]
-    n = int(rng.integers(20, 200))
+def one(rng, i, fam=None, n_max=200):
+    if fam is None:
+        fam = FAMILIES[rng.integers(len(FAMILIES))]
+    else:
+        rng.integers(len(FAMILIES))  # keep the stream aligned
+    n = int(rng.integers(20, n_max))
     d = int(rng.integers(1, 5))
     m = int(rng.integers(1, min(n, 12) + 1))
     variational = bool(rng.integers(2))
