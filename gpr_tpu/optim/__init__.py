@@ -7,6 +7,7 @@ from .lbfgs_device import (
     minimize_lbfgs_device,
 )
 from .pack import HyperPack, make_pack
+from .polish import PolishReport, polish
 from .sgd_smd import (
     SGDState,
     SMDState,
