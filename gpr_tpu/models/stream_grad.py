@@ -162,10 +162,18 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
                   fewer, larger MXU calls and one shared knm read
       * "nok"   — TIMING PROBE ONLY: skips the kernel pullback (returns
                   zero params/z cotangents) to attribute its cost share
+      * "pallas" — fused backward tile (ops/fused_stats.py, se_iso only):
+                  the whole reverse chain per tile in VMEM, no (B, m) HBM
+                  round trips; interpret mode off-TPU
     """
     key = (family, unroll, bwd_precision, fwd_impl, interpret, bwd_variant)
     if key in _CACHE:
         return _CACHE[key]
+    if bwd_variant == "pallas" and getattr(family, "name", None) != "se_iso":
+        raise ValueError(
+            f"bwd_variant='pallas' supports the se_iso kernel only, got "
+            f"{getattr(family, 'name', family)}"
+        )
 
     def fwd_stats(params, z, u_inv, sigma2, xb, yb, maskb):
         if fwd_impl == "pallas":
@@ -191,6 +199,33 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
     def bwd(res, cot):
         params, z, u_inv, sigma2, xb, yb, maskb = res
         gbar, ubar, lds_bar, yiy_bar, isr_bar, _nbar = cot
+        if bwd_variant == "pallas":
+            # fused backward tile (ops/fused_stats.py): the whole per-tile
+            # reverse chain in VMEM — no (B, m) HBM round trips.  se_iso
+            # only (guarded at construction).
+            from ..ops.fused_stats import se_iso_stream_bwd_fused
+
+            d = xb.shape[-1]
+            lel_b, lsf_b, z_b, ui_b, s2_b = se_iso_stream_bwd_fused(
+                params.log_ell, params.log_sf2, z, u_inv, sigma2,
+                xb.reshape(-1, d), yb.reshape(-1), maskb.reshape(-1),
+                gbar, ubar, lds_bar, yiy_bar, isr_bar,
+                block_size=min(xb.shape[1], 1024),
+                interpret=interpret or jax.default_backend() != "tpu",
+            )
+            p_bar = type(params)(
+                log_ell=lel_b.astype(jnp.asarray(params.log_ell).dtype),
+                log_sf2=lsf_b.astype(jnp.asarray(params.log_sf2).dtype),
+            )
+            return (
+                p_bar,
+                z_b.astype(z.dtype),
+                ui_b.astype(u_inv.dtype),
+                s2_b.astype(jnp.asarray(sigma2).dtype),
+                jnp.zeros_like(xb),
+                jnp.zeros_like(yb),
+                jnp.zeros_like(maskb),
+            )
         # compute dtype — NOT xb.dtype: in bf16 storage mode the data is
         # narrower than the model, and truncating the m x m Gram cotangent
         # to bf16 would poison every hyper gradient

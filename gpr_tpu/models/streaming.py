@@ -113,6 +113,7 @@ def stream_stats(
         core = make_stream_stats_cv(
             family, unroll, grad_precision, fwd_impl="pallas",
             interpret=jax.default_backend() != "tpu",
+            bwd_variant=grad_variant,
         )
         gram, u_vec, lds, yiy, isr, cnt = core(
             params, inducing.z, u_inv, sigma2, xb, yb, maskb

@@ -326,3 +326,208 @@ def se_iso_stream_stats_fused(
     u_vec = jnp.sum(uvec_p.astype(_acc()), axis=0).reshape(m)
     sums = jnp.sum(sums_p.astype(_acc()), axis=0).reshape(4)
     return gram, u_vec, sums[0], sums[1], sums[2], sums[3]
+
+
+def _se_iso_bwd_kernel_acc(
+    precise,  # static: exact dots (interpreter) vs 3-pass bf16 (TPU)
+    x_ref,  # (B, d) row tile
+    y_ref,  # (B, 1)
+    mask_ref,  # (B, 1)
+    z_ref,  # (m, d)
+    uinv_ref,  # (m, m) U^-1
+    ug_ref,  # (m, m) U^-1 (G-bar + G-bar')   (precomputed once)
+    ubar_ref,  # (1, m) u_vec cotangent
+    scal_ref,  # (1, 7) SMEM: [inv_ell2_05, log_sf2, sigma2,
+    #                          lds_bar, yiy_bar, isr_bar, inv_ell2]
+    zbar_ref,  # out (m, d) accum hi
+    zbarlo_ref,  # out (m, d) accum lo
+    uibar_ref,  # out (m, m) accum hi
+    uibarlo_ref,  # out (m, m) accum lo
+    scalout_ref,  # out (2, 4) [log_ell_bar, log_sf2_bar, s2_bar, 0] hi/lo
+):
+    """Fused backward tile: the entire per-tile reverse pass of the
+    streaming statistics (models/stream_grad.py body) in VMEM.
+
+    Motivation (measured, probes/r3_roofline_probe.py): at m = 300 the
+    unfused backward's GEMM chain is HBM-traffic-bound on v5e — every
+    (B, m) intermediate (knm, v, vg, vbar, knm_bar, c) round-trips HBM
+    between XLA ops, ~3x the traffic of the operands the math actually
+    needs.  Here the whole chain lives in VMEM; HBM sees only the x/y tile
+    in and the O(m^2) accumulators (constant index map, resident across
+    the sequential grid).
+
+    Accumulation is compensated (two-sum) for every output — the same
+    cross-tile f32 drift logic as the scan path's compensated carries.
+    """
+    i = pl.program_id(0)
+
+    inv_ell2_05 = scal_ref[0, 0]
+    log_sf2 = scal_ref[0, 1]
+    sigma2 = scal_ref[0, 2]
+    lds_bar = scal_ref[0, 3]
+    yiy_bar = scal_ref[0, 4]
+    isr_bar = scal_ref[0, 5]
+    inv_ell2 = scal_ref[0, 6]
+
+    x = x_ref[:]  # (B, d)
+    z = z_ref[:]  # (m, d)
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (B, 1)
+    z2 = jnp.sum(z * z, axis=1).reshape(1, -1)  # (1, m)
+    xz = _dot3(x, z, (((1,), (1,)), ((), ())), precise)
+    d2 = jnp.maximum(x2 - 2.0 * xz + z2, 0.0)
+    knm = jnp.exp(log_sf2 + inv_ell2_05 * d2)  # (B, m)
+
+    v = _dot3(knm, uinv_ref[:], (((1,), (0,)), ((), ())), precise)
+    vg = _dot3(knm, ug_ref[:], (((1,), (0,)), ((), ())), precise)
+
+    sf2 = jnp.exp(log_sf2)
+    r = sf2 - jnp.sum(v * v, axis=1, keepdims=True)  # (B, 1)
+    mask = mask_ref[:]
+    live = mask > 0.0
+    s = jnp.where(live, r + sigma2, 1.0)
+    is_ = mask / s
+    y = y_ref[:]
+
+    ubar = ubar_ref[:]  # (1, m)
+    vu = jnp.sum(v * ubar, axis=1, keepdims=True)  # (B, 1)
+    is_bar = (
+        y * vu
+        + 0.5 * jnp.sum(vg * v, axis=1, keepdims=True)
+        + yiy_bar * y * y
+        + isr_bar * r
+    )
+    s_bar = (lds_bar * mask - is_bar * is_) / s
+    s_bar_live = jnp.where(live, s_bar, 0.0)
+    r_bar = s_bar_live + isr_bar * is_
+
+    vbar = is_ * vg + (is_ * y) * ubar - 2.0 * v * r_bar  # (B, m)
+    # knm_bar = vbar @ U^-T: contract the m axis of U^-1's SECOND dim
+    knm_bar = _dot3(vbar, uinv_ref[:], (((1,), (1,)), ((), ())), precise)
+    ui_bar_t = _dot3(knm, vbar, (((0,), (0,)), ((), ())), precise)  # (m, m)
+    s2_bar_t = jnp.sum(s_bar_live)
+
+    # se_iso pullback (kernels/se_iso.py k_cross_vjp, in-VMEM):
+    c = knm_bar * knm
+    cs = jnp.sum(c, axis=0).reshape(-1, 1)  # (m, 1)
+    cX = _dot3(c, x, (((0,), (0,)), ((), ())), precise)  # (m, d)
+    zbar_t = (2.0 * inv_ell2_05) * (z * cs - cX)
+    log_ell_bar_t = inv_ell2 * jnp.sum(c * d2)
+    # kd = sf2 per row; kd_bar = r_bar
+    log_sf2_bar_t = jnp.sum(c) + sf2 * jnp.sum(r_bar)
+    scal_t = jnp.stack(
+        [log_ell_bar_t, log_sf2_bar_t, s2_bar_t, jnp.zeros_like(s2_bar_t)]
+    )
+
+    @pl.when(i == 0)
+    def _():
+        zbar_ref[:] = zbar_t
+        zbarlo_ref[:] = jnp.zeros_like(zbar_t)
+        uibar_ref[:] = ui_bar_t
+        uibarlo_ref[:] = jnp.zeros_like(ui_bar_t)
+        scalout_ref[0] = scal_t
+        scalout_ref[1] = jnp.zeros_like(scal_t)
+
+    @pl.when(i > 0)
+    def _():
+        def two_sum_acc(hi_ref, lo_ref, t):
+            hi = hi_ref[:]
+            new = hi + t
+            bp = new - hi
+            err = (hi - (new - bp)) + (t - bp)
+            hi_ref[:] = new
+            lo_ref[:] = lo_ref[:] + err
+
+        two_sum_acc(zbar_ref, zbarlo_ref, zbar_t)
+        two_sum_acc(uibar_ref, uibarlo_ref, ui_bar_t)
+        hi = scalout_ref[0]
+        new = hi + scal_t
+        bp = new - hi
+        err = (hi - (new - bp)) + (scal_t - bp)
+        scalout_ref[0] = new
+        scalout_ref[1] = scalout_ref[1] + err
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "interpret")
+)
+def se_iso_stream_bwd_fused(
+    log_ell, log_sf2, z, u_inv, sigma2, X, y, mask,
+    gbar, ubar, lds_bar, yiy_bar, isr_bar,
+    *, block_size=1024, interpret=False,
+):
+    """Fused backward pass over pre-flattened data.
+
+    Returns (log_ell_bar, log_sf2_bar, z_bar, ui_bar, s2_bar) in f32 —
+    the cotangents of (params, z, u_inv, sigma2) given the statistic
+    cotangents.  Compensated accumulation folded on exit.
+    """
+    n, d = X.shape
+    m = z.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    f32 = jnp.float32
+    if mask is None:
+        mask = jnp.ones((n,), f32)
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+
+    xf = X.astype(f32)
+    yf = y.astype(f32).reshape(nb * block_size, 1)
+    mf = mask.astype(f32).reshape(nb * block_size, 1)
+    zf = z.astype(f32)
+    uf = u_inv.astype(f32)
+    gsym = (gbar + gbar.T).astype(f32)
+    ug = jnp.matmul(uf, gsym, precision=jax.lax.Precision.HIGHEST)
+    ubar_f = ubar.astype(f32).reshape(1, m)
+    inv_ell2 = jnp.exp(-2.0 * log_ell)
+    scal = jnp.stack([
+        (-0.5 * inv_ell2).astype(f32), jnp.asarray(log_sf2, f32),
+        jnp.asarray(sigma2, f32), jnp.asarray(lds_bar, f32),
+        jnp.asarray(yiy_bar, f32), jnp.asarray(isr_bar, f32),
+        inv_ell2.astype(f32),
+    ]).reshape(1, 7)
+
+    zb_hi, zb_lo, ui_hi, ui_lo, scals = pl.pallas_call(
+        functools.partial(_se_iso_bwd_kernel_acc, interpret),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_size, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, d), f32),
+            jax.ShapeDtypeStruct((m, d), f32),
+            jax.ShapeDtypeStruct((m, m), f32),
+            jax.ShapeDtypeStruct((m, m), f32),
+            jax.ShapeDtypeStruct((2, 4), f32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * block_size * m * (2 * d + 4 * m),
+            bytes_accessed=nb * block_size * (d + 2) * 4 + 4 * m * m * 4,
+            transcendentals=nb * block_size * m,
+        ),
+    )(xf, yf, mf, zf, uf, ug, ubar_f, scal)
+
+    z_bar = zb_hi + zb_lo
+    ui_bar = ui_hi + ui_lo
+    sc = scals[0] + scals[1]
+    return sc[0], sc[1], z_bar, ui_bar, sc[2]

@@ -110,3 +110,47 @@ def test_impl_pallas_rejects_other_families(rng):
     with pytest.raises(ValueError, match="se_iso"):
         streaming_log_evidence(LinOne, p, Z, 0.5, X, y, impl="pallas",
                                block_size=16)
+
+
+@pytest.mark.parametrize("variational", [False, True])
+def test_bwd_pallas_matches_scan(rng, variational):
+    """grad_variant='pallas' (fused backward tile) == the scan backward.
+
+    f32-class tolerances: the kernel computes in f32 by design while the
+    scan reference here runs the suite's f64.
+    """
+    p, Z, X, y, sigma2 = _setup(rng, n=300, d=3, m=9)
+    p = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), p)
+    Z, X = Z.astype(jnp.float32), X.astype(jnp.float32)
+    y, sigma2 = y.astype(jnp.float32), sigma2.astype(jnp.float32)
+
+    def make(variant):
+        def obj(p, z, s2):
+            return streaming_log_evidence(
+                SeIso, p, z, s2, X, y, variational=variational,
+                block_size=64, grad_variant=variant,
+            )
+        return jax.jit(jax.value_and_grad(obj, argnums=(0, 1, 2)))
+
+    v_ref, g_ref = make("base")(p, Z, sigma2)
+    v_pl, g_pl = make("pallas")(p, Z, sigma2)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=1e-4)
+
+
+def test_bwd_pallas_rejects_other_families(rng):
+    from gpr_tpu.kernels import SeFat
+
+    X = jnp.asarray(rng.standard_normal((40, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(40), jnp.float32)
+    p = SeFat.default_params(X, 4)
+    Z = SeFat.inducing_from_inputs(p, X[:4])
+    with pytest.raises(ValueError, match="se_iso"):
+        jax.grad(
+            lambda pp: streaming_log_evidence(
+                SeFat, pp, Z, 0.5, X, y, block_size=16,
+                grad_variant="pallas",
+            )
+        )(p)
