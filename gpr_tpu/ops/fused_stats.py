@@ -1,4 +1,14 @@
-"""Pallas TPU kernel: fused FITC evidence statistics for the SE-iso kernel.
+"""Pallas TPU kernels: fused FITC evidence statistics for the SE-iso kernel.
+
+MEASURED STATUS (round 3, v5e, 1M x 8 m=300, probes/r3_fused_timing.py):
+both the fused forward and the fused backward tile are correct to f32
+tolerance but SLOWER than the XLA lax.scan path (fwd 18.6 vs 13.0 ms; bwd
+52.3 vs 42.2 ms same-session) — Mosaic's 3-pass bf16 f32 emulation
+(_dot3) plus the tighter VMEM tiling (512-row backward tiles) loses to
+XLA's native f32-HIGH GEMM handling at these shapes.  The scan is the
+production path; these kernels are kept as tested reference
+implementations (selectable via impl='pallas' / grad_variant='pallas')
+to re-evaluate when Mosaic gains native multi-pass f32 dots.
 
 One grid step processes one row-tile of inputs entirely in VMEM:
 form the Knm tile from (X-tile, Z) on the MXU, immediately derive the FITC
