@@ -60,8 +60,10 @@ def test_dist_cholesky_matches_replicated(rng, p):
                                atol=1e-12)
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
-@pytest.mark.parametrize("variational", [False, True])
+# shapes x flags pruned to two combos covering both axes (suite wall-clock:
+# each combo pays a full shard_map compile; the cross terms add none)
+@pytest.mark.parametrize("shape,variational", [((2, 4), False),
+                                               ((4, 2), True)])
 def test_mesh2d_distributed_epilogue_matches_dense(rng, shape, variational):
     n, m, d = 360, 24, 3  # m non-trivially blocked over the model axis
     X = jnp.asarray(rng.standard_normal((n, d)))
@@ -125,7 +127,7 @@ def test_mesh2d_distributed_se_fat(rng):
     np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-11)
 
 
-@pytest.mark.parametrize("p", [2, 4])
+@pytest.mark.parametrize("p", [4])
 def test_dist_matrix_solves_and_inverse(rng, p):
     m = 16
     a = _spd(rng, m)
@@ -162,8 +164,8 @@ def test_dist_matrix_solves_and_inverse(rng, p):
                                rtol=1e-8, atol=1e-10)
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
-@pytest.mark.parametrize("variational", [False, True])
+@pytest.mark.parametrize("shape,variational", [((2, 4), False),
+                                               ((4, 2), True)])
 def test_fully_distributed_inducing_matches_dense(rng, shape, variational):
     """inducing='distributed': NO member holds any m x m matrix, yet the
     evidence equals the dense engine's."""
@@ -263,7 +265,7 @@ def test_fully_distributed_larger_m(rng):
     np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-9)
 
 
-@pytest.mark.parametrize("m", [13, 21])
+@pytest.mark.parametrize("m", [13])
 def test_fully_distributed_non_divisible_m(rng, m):
     """m not divisible by the model axis: the linear algebra is identity-
     padded, exactly — evidence, gradients, and predictions unchanged."""
@@ -329,7 +331,7 @@ def test_dist_transpose_cols(rng, p):
     np.testing.assert_array_equal(np.asarray(fn(w)), np.asarray(w).T)
 
 
-@pytest.mark.parametrize("p", [2, 4])
+@pytest.mark.parametrize("p", [4])
 def test_dist_whiten_cols(rng, p):
     """Two-sided whitening U^-T G U^-1 from column blocks, both with a
     column-sharded U (dist_whiten_cols) and a replicated one
@@ -364,7 +366,7 @@ def test_dist_whiten_cols(rng, p):
                                rtol=1e-10, atol=1e-12)
 
 
-@pytest.mark.parametrize("variational", [False, True])
+@pytest.mark.parametrize("variational", [True])
 def test_fully_distributed_whitened_factorization(rng, variational):
     """factorization='whitened' (the f32-stable route: compensated raw-Gram
     accumulation + distributed two-sided whitening) == dense, in f64 exactly."""
