@@ -255,18 +255,28 @@ def main():
             log(f"{name}: FAILED {type(e).__name__}: {e}")
 
     # accuracy line (driver-visible, VERDICT round-2 #10): f32 evidence
-    # error vs an f64 host recomputation at the fixed seed
+    # error vs the f64 truth at the fixed seed.  The truth for the
+    # canonical config is cached — the host recompute costs ~11 min on
+    # this 1-core box (measured 680 s), which would eat the bench budget;
+    # the cached value is confirmed by three independent recomputes
+    # (round-2 NEXT.md, two round-3 sessions).  Any config change falls
+    # back to recomputing.
     try:
         if over_budget():
             raise TimeoutError("over budget")
         t0 = time.perf_counter()
-        truth = f64_truth_evidence(X, y, Z, params.log_ell, params.log_sf2,
-                                   sigma2)
+        canonical = (N, D, M, 0.5, 0.0, 0.1)
+        if canonical == (1_000_000, 8, 300, float(params.log_ell),
+                         float(params.log_sf2), float(sigma2)):
+            truth, how = -2123659.4, "cached truth (config-pinned)"
+        else:
+            truth = f64_truth_evidence(X, y, Z, params.log_ell,
+                                       params.log_sf2, sigma2)
+            how = f"{time.perf_counter()-t0:.0f}s host recompute"
         deltas = ", ".join(
             f"{k} {evidences[k] - truth:+.0f}" for k in evidences
         )
-        log(f"f64-truth evidence {truth:.1f}; f32 error: {deltas} "
-            f"({time.perf_counter()-t0:.0f}s host recompute)")
+        log(f"f64-truth evidence {truth:.1f}; f32 error: {deltas} ({how})")
     except Exception as e:  # noqa: BLE001
         log(f"f64 truth: FAILED {type(e).__name__}: {e}")
 
@@ -335,7 +345,8 @@ def main():
 
         def f_fat(p, z, s2, X, y):
             return streaming_log_evidence(
-                SeFat, p, z, s2, X, y, variational=True, block_size=16384
+                SeFat, p, z, s2, X, y, variational=True, block_size=16384,
+                grad_variant="ug",
             )
 
         vgf = jax.jit(jax.value_and_grad(f_fat, argnums=(0, 1, 2)))
