@@ -210,7 +210,10 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
                 params.log_ell, params.log_sf2, z, u_inv, sigma2,
                 xb.reshape(-1, d), yb.reshape(-1), maskb.reshape(-1),
                 gbar, ubar, lds_bar, yiy_bar, isr_bar,
-                block_size=min(xb.shape[1], 1024),
+                # 512-row tiles: the backward holds ~6 (B, m) live arrays
+                # plus their bf16-split shadows; 1024 rows at m=300 blows
+                # the 16 MB VMEM scoped limit by ~3 MB (measured)
+                block_size=min(xb.shape[1], 512),
                 interpret=interpret or jax.default_backend() != "tpu",
             )
             p_bar = type(params)(
