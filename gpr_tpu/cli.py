@@ -453,33 +453,38 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
                     p_f, z_f, s2_f = pack.unpack(st.x)
         else:  # sharded
             from .parallel import make_mesh
-            from .parallel.sharded import fit_sharded
+            from .parallel.sharded import fit_restarts_sharded, fit_sharded
 
             mesh = make_mesh(args.devices)
-            best = None
-            for r in range(max(1, args.restarts)):
-                pack_r = (pack if r == 0
-                          else make_pack(SeFat, *start(r), args.sigma2))
+            if args.restarts > 1:
+                # probes run CONCURRENTLY, one batch of starts per device
+                # (starts axis sharded over the mesh); the winner continues
+                # n-sharded — same probe-then-continue scheme as the device
+                # trainer's fit_restarts
+                x0s = [pack.x0] + [
+                    make_pack(SeFat, *start(r), args.sigma2).x0
+                    for r in range(1, args.restarts)
+                ]
+                p_f, z_f, s2_f, st, probe_fs = fit_restarts_sharded(
+                    SeFat, mesh, X, y, pack, x0s,
+                    block_size=args.block_size or 8192, **common,
+                )
+                if args.verbose:
+                    print(f"restart probes (parallel over "
+                          f"{mesh.devices.size} devices): "
+                          f"{[round(float(f), 4) for f in probe_fs]}",
+                          file=sys.stderr)
+            else:
                 try:
                     cand = fit_sharded(
-                        SeFat, mesh, X, y, pack_r,
+                        SeFat, mesh, X, y, pack,
                         block_size=args.block_size or 8192,
                         state_callback=on_chunk, **common,
                     )
                 except Bailout:
                     st_b = last_state["st"]
-                    cand = (*pack_r.unpack(st_b.x), st_b)
-                f_c = float(cand[3].f)
-                if best is None or (
-                    math.isfinite(f_c) and not math.isfinite(float(best[3].f))
-                ) or (math.isfinite(f_c) and f_c < float(best[3].f)):
-                    best = cand
-                if args.verbose and args.restarts > 1:
-                    print(f"restart {r}: mean-NLL {f_c:.4f} "
-                          f"(best {float(best[3].f):.4f})", file=sys.stderr)
-                if got_signal["flag"]:
-                    break
-            p_f, z_f, s2_f, st = best
+                    cand = (*pack.unpack(st_b.x), st_b)
+                p_f, z_f, s2_f, st = cand
     finally:
         signal.signal(signal.SIGINT, old_handler)
 

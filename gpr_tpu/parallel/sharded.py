@@ -288,6 +288,219 @@ def make_sharded_objective(
     return lambda xvec: _neg_l_and_grad(xvec, X, y, mask)
 
 
+def probe_starts_sharded(
+    family,
+    mesh: Mesh,
+    X,
+    y,
+    pack,
+    x0s,
+    *,
+    probe_iters: int = 15,
+    variational: bool = False,
+    streaming_block_size: int | None = None,
+    normalize: bool = True,
+    step: float = 0.1,
+    tol: float = 0.1,
+    epsabs: float = 0.1,
+    history: int = 10,
+    f_noise: float | None = None,
+    dispatch_iters: int = 50,
+    log_prior=None,
+):
+    """Run S independent L-BFGS probes CONCURRENTLY, one batch of starts per
+    device: (X, y) replicate to every chip, the starts axis shards over the
+    mesh, and each device vmaps its local starts through the device L-BFGS.
+    S probes cost the wall-clock of ceil(S / n_devices) — multi-start
+    training's probe phase is embarrassingly parallel (the reference has no
+    multi-start at all; its single GSL loop is bin/ocaml_gpr.ml:301-349).
+
+    Returns a stacked LBFGSDeviceState whose leaves have a leading (S,)
+    axis (padding starts, added to fill the mesh, are trimmed).
+
+    Probes are bounded by ``probe_iters`` so the chunk-level noise-floor
+    stall detector of the sequential path is deliberately absent: a stalled
+    probe grinds at most to the probe bound, and per-start early exit still
+    happens through the optimizer's own stopping rule.
+    """
+    from ..optim.lbfgs_device import (
+        _fresh_state,
+        _make_fg,
+        minimize_lbfgs_device,
+    )
+
+    scale = 1.0 / X.shape[0] if normalize else 1.0
+    if f_noise is None:
+        f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
+    _fg_of = _make_fg(family, pack, variational, streaming_block_size,
+                      scale, log_prior)
+
+    x0s = jnp.stack([jnp.asarray(x, pack.x0.dtype) for x in x0s])
+    n_starts = x0s.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n_starts) % n_dev
+    if pad:
+        x0s = jnp.concatenate([x0s, jnp.tile(x0s[-1:], (pad, 1))])
+
+    rep = NamedSharding(mesh, P())
+    Xr = jax.device_put(X, rep)
+    yr = jax.device_put(y, rep)
+    chunk = min(dispatch_iters, probe_iters)
+
+    @jax.jit
+    def _init(x0s, X, y):
+        def shard_fn(x0s_l, X, y):
+            def one(x0):
+                return _fresh_state(x0, *_fg_of(x0, X, y), history)
+
+            return jax.vmap(one)(x0s_l)
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(), P()), out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(x0s, X, y)
+
+    @jax.jit
+    def _chunk(sts, X, y):
+        def shard_fn(sts_l, X, y):
+            def one(st):
+                return minimize_lbfgs_device(
+                    lambda x: _fg_of(x, X, y), st.x, step=step, tol=tol,
+                    epsabs=epsabs, max_iter=probe_iters, history=history,
+                    f_noise=f_noise, init_state=st, dispatch_iters=chunk,
+                )
+
+            return jax.vmap(one)(sts_l)
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(), P()), out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(sts, X, y)
+
+    @jax.jit
+    def _any_go(sts):
+        go = (
+            (jnp.linalg.norm(sts.g, axis=-1) >= epsabs)
+            & (sts.n_iter < probe_iters)
+            & (~sts.failed)
+            & jnp.isfinite(sts.f)
+        )
+        return jnp.any(go)
+
+    sts = _init(x0s, Xr, yr)
+    while bool(_any_go(sts)):
+        sts = _chunk(sts, Xr, yr)
+    # replicate before trimming/indexing: host-side gathers on a
+    # starts-sharded pytree are ambiguous under sharding-in-types
+    sts = jax.device_put(sts, rep)
+    if pad:
+        sts = jax.tree.map(lambda a: a[:n_starts], sts)
+    return sts
+
+
+def fit_restarts_sharded(
+    family,
+    mesh: Mesh,
+    X,
+    y,
+    pack,
+    x0s,
+    *,
+    probe_iters: int = 15,
+    variational: bool = False,
+    block_size: int = 8192,
+    normalize: bool = True,
+    step: float = 0.1,
+    tol: float = 0.1,
+    epsabs: float = 0.1,
+    max_iter: int = 100,
+    history: int = 10,
+    f_noise: float | None = None,
+    dispatch_iters: int = 50,
+    log_prior=None,
+    probe_subsample: int | None = None,
+    probe_seed: int = 0,
+    state_callback=None,
+):
+    """Multi-chip multi-start training: probes run in parallel across the
+    mesh (probe_starts_sharded — S starts in the wall-clock of
+    ceil(S / n_devices)), then the best start continues via the n-sharded
+    distributed L-BFGS (fit_sharded).
+
+    Semantics mirror optim.fit_restarts: probes rank by (healthy, f);
+    with ``probe_subsample`` the probes score a seeded row subsample
+    (replicated — each device holds n_sub rows) and the winner restarts on
+    the full sharded data with fresh curvature history; without it the
+    probes score the FULL data (replicated per device — mind host memory)
+    and the winner's curvature history carries into the continuation.
+    Returns (params, z, sigma2, final_state, ProbeReport).
+    """
+    import math
+
+    from ..optim.lbfgs_device import ProbeReport
+
+    if f_noise is None:
+        f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
+    subsampled = (
+        probe_subsample is not None and probe_subsample < X.shape[0]
+    )
+    if subsampled:
+        import numpy as _np
+
+        idx = jnp.asarray(_np.random.default_rng(probe_seed).choice(
+            X.shape[0], probe_subsample, replace=False))
+        Xp_, yp_ = X[idx], y[idx]
+    else:
+        Xp_, yp_ = X, y
+    # probes score the same streaming-stats evidence the sharded
+    # continuation optimizes (just unsharded, on the replicated probe rows)
+    sbs = min(block_size, int(Xp_.shape[0]))
+
+    sts = probe_starts_sharded(
+        family, mesh, Xp_, yp_, pack, x0s, probe_iters=probe_iters,
+        variational=variational, streaming_block_size=sbs,
+        normalize=normalize, step=step, tol=tol, epsabs=epsabs,
+        history=history, f_noise=f_noise, dispatch_iters=dispatch_iters,
+        log_prior=log_prior,
+    )
+
+    def _rank(i):
+        f = float(sts.f[i])
+        bad = 2 if not math.isfinite(f) else (1 if bool(sts.failed[i]) else 0)
+        return (bad, f if math.isfinite(f) else math.inf)
+
+    n_starts = sts.x.shape[0]
+    winner = min(range(n_starts), key=_rank)
+    best = jax.tree.map(lambda a: a[winner], sts)
+
+    report = ProbeReport(float(f) for f in sts.f)
+    report.probe_evals = int(jnp.sum(sts.n_evals))
+    report.probe_iters = int(jnp.sum(sts.n_iter))
+
+    import dataclasses as _dc
+
+    if subsampled:
+        cont_pack = _dc.replace(pack, x0=best.x)
+        init_state = None
+    else:
+        cont_pack = pack
+        init_state = best._replace(failed=jnp.asarray(False))
+    params, z, sigma2, st = fit_sharded(
+        family, mesh, X, y, cont_pack, variational=variational,
+        block_size=block_size, normalize=normalize, step=step, tol=tol,
+        epsabs=epsabs, max_iter=max_iter, history=history, f_noise=f_noise,
+        dispatch_iters=dispatch_iters, log_prior=log_prior,
+        init_state=init_state, state_callback=state_callback,
+    )
+    base_evals = 0 if subsampled else int(best.n_evals)
+    base_iters = 0 if subsampled else int(best.n_iter)
+    report.cont_evals = int(st.n_evals) - base_evals
+    report.cont_iters = int(st.n_iter) - base_iters
+    return params, z, sigma2, st, report
+
+
 def fit_sharded(
     family,
     mesh: Mesh,

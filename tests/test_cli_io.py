@@ -326,3 +326,24 @@ def test_cli_polish(tmp_path, rng):
     res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
     assert res.returncode == 0, res.stderr
     assert len(res.stdout.strip().splitlines()) == 5
+
+
+@pytest.mark.slow
+def test_cli_sharded_restarts(tmp_path, rng):
+    """-trainer sharded -restarts N: the probes run in parallel across the
+    mesh (fit_restarts_sharded) and the winner's model round-trips."""
+    model_file = str(tmp_path / "model.npz")
+    csv, _, _ = make_csv(rng, n=96, d=2)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "6",
+         "-max-iter", "8", "-seed", "3", "-restarts", "2",
+         "-trainer", "sharded", "-devices", "4", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "restart probes (parallel over 4 devices)" in res.stderr
+    assert os.path.exists(model_file)
+    test_csv, _, _ = make_csv(rng, n=5, d=2, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
+    assert res.returncode == 0, res.stderr
+    assert len(res.stdout.strip().splitlines()) == 5
