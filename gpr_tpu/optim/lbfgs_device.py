@@ -422,6 +422,58 @@ def fit(
     return params, z, sigma2, st
 
 
+def fit_packed_objective(
+    fg_of,
+    pack,
+    data,
+    *,
+    step: float = 0.1,
+    tol: float = 0.1,
+    epsabs: float = 0.1,
+    max_iter: int = 100,
+    history: int = 10,
+    f_noise: float = 0.0,
+    dispatch_iters: int = 50,
+    init_state: "LBFGSDeviceState | None" = None,
+    state_callback=None,
+) -> LBFGSDeviceState:
+    """Drive the chunked device L-BFGS over an arbitrary packed objective.
+
+    ``fg_of(x, *data) -> (f, grad)`` is the (already scaled) objective;
+    ``data`` threads through as jit arguments so device placement and
+    shardings are preserved (closure capture would embed the arrays as
+    compiled-in constants).  This is the engine under fit / fit_sharded /
+    fit_sharded_2d; use it directly to train against a custom distributed
+    objective.  Returns the final LBFGSDeviceState.
+    """
+
+    @jax.jit
+    def _init(x0, *data):
+        return fg_of(x0, *data)
+
+    @jax.jit
+    def _chunk(st, *data):
+        return minimize_lbfgs_device(
+            lambda x: fg_of(x, *data), st.x, step=step, tol=tol,
+            epsabs=epsabs, max_iter=max_iter, history=history,
+            f_noise=f_noise, init_state=st, dispatch_iters=dispatch_iters,
+        )
+
+    if init_state is not None:
+        if int(init_state.s_hist.shape[0]) != history:
+            raise ValueError(
+                f"history={history} does not match the checkpointed "
+                f"curvature buffers ({int(init_state.s_hist.shape[0])})"
+            )
+        st = init_state._replace(failed=jnp.asarray(False))
+    else:
+        st = _fresh_state(pack.x0, *_init(pack.x0, *data), history)
+    return _chunk_loop(
+        lambda s, _x, _y: _chunk(s, *data), st, None, None,
+        max_iter, epsabs, f_noise, state_callback=state_callback,
+    )
+
+
 def _make_fg(family, pack, variational, streaming_block_size, scale,
              log_prior):
     """(x, X, y) -> (f, grad) of the packed scaled negative evidence (+

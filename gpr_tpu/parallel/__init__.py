@@ -1,4 +1,9 @@
-from .mesh2d import MODEL_AXIS, make_mesh_2d, sharded_log_evidence_2d
+from .mesh2d import (
+    MODEL_AXIS,
+    fit_sharded_2d,
+    make_mesh_2d,
+    sharded_log_evidence_2d,
+)
 from .sharded import (
     DATA_AXIS,
     sharded_log_evidence_tsqr,
@@ -8,7 +13,9 @@ from .sharded import (
     make_sharded_objective,
     pad_to_shards,
     shard_batch,
+    fit_restarts_sharded,
     fit_sharded,
+    probe_starts_sharded,
     sharded_log_evidence,
 )
 
@@ -24,6 +31,9 @@ __all__ = [
     "make_sharded_objective",
     "pad_to_shards",
     "shard_batch",
+    "fit_restarts_sharded",
     "fit_sharded",
+    "fit_sharded_2d",
+    "probe_starts_sharded",
     "sharded_log_evidence",
 ]

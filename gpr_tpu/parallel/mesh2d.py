@@ -620,3 +620,81 @@ def fully_distributed_predict(
     mu = jax.device_put(mu, NamedSharding(mesh, P()))[:n_star]
     var = jax.device_put(var, NamedSharding(mesh, P()))[:n_star]
     return mu, var
+
+
+def fit_sharded_2d(
+    family,
+    mesh: Mesh,
+    X,
+    y,
+    pack,
+    *,
+    variational: bool = False,
+    block_size: int = 8192,
+    normalize: bool = True,
+    step: float = 0.1,
+    tol: float = 0.1,
+    epsabs: float = 0.1,
+    max_iter: int = 100,
+    history: int = 10,
+    f_noise: float | None = None,
+    dispatch_iters: int = 50,
+    log_prior=None,
+    epilogue: str = "replicated",
+    inducing: str = "replicated",
+    factorization: str | None = None,
+    init_state=None,
+    state_callback=None,
+):
+    """Device-resident training over the 2-D (data x model) mesh: the
+    chunked device L-BFGS (optim.lbfgs_device) with the tensor-parallel
+    evidence as its objective — every line-search probe runs the
+    model-sharded V/Gram GEMMs and their collectives on the mesh, with the
+    optimizer state replicated.  This is the m-too-big-for-one-chip
+    training mode; semantics (normalize / f_noise / chunking / resume /
+    epilogue / inducing) match fit_sharded and sharded_log_evidence_2d.
+    Returns (params, z, sigma2, LBFGSDeviceState).
+    """
+    from jax.sharding import NamedSharding
+
+    from ..optim.lbfgs_device import fit_packed_objective
+
+    scale = 1.0 / X.shape[0] if normalize else 1.0
+    if f_noise is None:
+        f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
+
+    n_data = mesh.shape[DATA_AXIS]
+    n = X.shape[0]
+    pad = (-n) % n_data
+    mask = jnp.ones((n,), X.dtype)
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+    Xp = jax.device_put(X, NamedSharding(mesh, P(DATA_AXIS, None)))
+    yp = jax.device_put(y, NamedSharding(mesh, P(DATA_AXIS)))
+    mask = jax.device_put(mask, NamedSharding(mesh, P(DATA_AXIS)))
+
+    def _fg_of(x, X, y, mask):
+        def f(x):
+            params, z, sigma2 = pack.unpack(x)
+            l = sharded_log_evidence_2d(
+                family, mesh, params, z, sigma2, X, y, mask,
+                variational=variational, block_size=block_size,
+                epilogue=epilogue, inducing=inducing,
+                factorization=factorization,
+            )
+            if log_prior is not None:
+                l = l + log_prior(params, z, sigma2)
+            return -l * scale
+
+        return jax.value_and_grad(f)(x)
+
+    st = fit_packed_objective(
+        _fg_of, pack, (Xp, yp, mask), step=step, tol=tol, epsabs=epsabs,
+        max_iter=max_iter, history=history, f_noise=f_noise,
+        dispatch_iters=dispatch_iters, init_state=init_state,
+        state_callback=state_callback,
+    )
+    params, z, sigma2 = pack.unpack(st.x)
+    return params, z, sigma2, st

@@ -87,3 +87,45 @@ def test_2d_rejects_indivisible_m(rng):
     mesh = make_mesh_2d(2, 4)
     with pytest.raises(ValueError, match="divisible"):
         sharded_log_evidence_2d(SeIso, mesh, p, Z, SIGMA2, X, y)
+
+
+def test_fit_sharded_2d_matches_single_device(rng):
+    """Device-resident TP training == single-device fit: same short
+    trajectory (the 2-D evidence is exact, so the optimizer walks the same
+    path up to f64 roundoff)."""
+    from gpr_tpu.optim import make_pack
+    from gpr_tpu.optim.lbfgs_device import fit
+    from gpr_tpu.parallel import fit_sharded_2d
+
+    X, Z, y, p = data(rng, n=203, m=8)  # n exercises row padding
+    pack = make_pack(SeIso, p, Z, 0.5)
+    mesh = make_mesh_2d(2, 4)
+
+    p2, z2, s22, st2 = fit_sharded_2d(
+        SeIso, mesh, X, y, pack, max_iter=8, block_size=64, epsabs=1e-10,
+    )
+    p1, z1, s21, st1 = fit(
+        SeIso, X, y, pack, max_iter=8, streaming_block_size=64,
+        epsabs=1e-10,
+    )
+    assert int(st2.n_iter) == int(st1.n_iter)
+    np.testing.assert_allclose(float(st2.f), float(st1.f), rtol=1e-8)
+    np.testing.assert_allclose(float(s22), float(s21), rtol=1e-5)
+    assert not bool(st2.failed)
+
+
+def test_fit_sharded_2d_distributed_epilogue(rng):
+    """The distributed-epilogue objective trains too (value/grads through
+    the distributed block Cholesky are exercised under the optimizer)."""
+    from gpr_tpu.optim import make_pack
+    from gpr_tpu.parallel import fit_sharded_2d
+
+    X, Z, y, p = data(rng, n=160, m=8)
+    pack = make_pack(SeIso, p, Z, 0.5)
+    mesh = make_mesh_2d(2, 4)
+    p2, z2, s22, st = fit_sharded_2d(
+        SeIso, mesh, X, y, pack, max_iter=4, block_size=64,
+        epilogue="distributed",
+    )
+    assert np.isfinite(float(st.f)) and not bool(st.failed)
+    assert float(s22) > 0
