@@ -69,9 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "mean-NLL objective so -eps applies per point); "
                         "sharded: multi-chip data-parallel training over "
                         "a device mesh (parallel.fit_sharded)")
-    p.add_argument("-devices", type=int, default=None,
-                   help="mesh size for -trainer sharded (default: all "
-                        "visible devices)")
+    p.add_argument("-devices", default=None,
+                   help="mesh for -trainer sharded: N (1-D data-parallel "
+                        "mesh) or DxM (2-D data x model mesh — tensor "
+                        "parallelism over the inducing axis, "
+                        "parallel.fit_sharded_2d; M must divide "
+                        "-n-inducing).  Default: all visible devices, 1-D")
     p.add_argument("-polish", type=int, default=0, metavar="N",
                    help="f64 finishing step after training: re-optimize the "
                         "hypers on a host-CPU f64 objective over N "
@@ -452,10 +455,19 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
                     st = last_state["st"]
                     p_f, z_f, s2_f = pack.unpack(st.x)
         else:  # sharded
-            from .parallel import make_mesh
+            from .parallel import make_mesh, make_mesh_2d
+            from .parallel.mesh2d import fit_sharded_2d
             from .parallel.sharded import fit_restarts_sharded, fit_sharded
 
-            mesh = make_mesh(args.devices)
+            if args.devices is not None and "x" in str(args.devices):
+                n_d, n_m = map(int, str(args.devices).split("x"))
+                mesh = make_mesh_2d(n_d, n_m)
+                fit_one = fit_sharded_2d
+            else:
+                mesh = make_mesh(
+                    int(args.devices) if args.devices is not None else None
+                )
+                fit_one = fit_sharded
             if args.restarts > 1:
                 # probes run CONCURRENTLY, one batch of starts per device
                 # (starts axis sharded over the mesh); the winner continues
@@ -476,7 +488,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
                           file=sys.stderr)
             else:
                 try:
-                    cand = fit_sharded(
+                    cand = fit_one(
                         SeFat, mesh, X, y, pack,
                         block_size=args.block_size or 8192,
                         state_callback=on_chunk, **common,

@@ -391,33 +391,12 @@ def fit(
         f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
     _fg_of = _make_fg(family, pack, variational, streaming_block_size,
                       scale, log_prior)
-
-    @jax.jit
-    def _init(x0, X, y):
-        return _fg_of(x0, X, y)
-
-    @jax.jit
-    def _chunk(st, X, y):
-        def fg(x):
-            return _fg_of(x, X, y)
-
-        return minimize_lbfgs_device(
-            fg, st.x, step=step, tol=tol, epsabs=epsabs, max_iter=max_iter,
-            history=history, f_noise=f_noise, init_state=st,
-            dispatch_iters=dispatch_iters,
-        )
-
-    if init_state is not None:
-        if int(init_state.s_hist.shape[0]) != history:
-            raise ValueError(
-                f"history={history} does not match the checkpointed "
-                f"curvature buffers ({int(init_state.s_hist.shape[0])})"
-            )
-        st = init_state._replace(failed=jnp.asarray(False))
-    else:
-        st = _fresh_state(pack.x0, *_init(pack.x0, X, y), history)
-    st = _chunk_loop(_chunk, st, X, y, max_iter, epsabs, f_noise,
-                     state_callback=state_callback)
+    st = fit_packed_objective(
+        _fg_of, pack, (X, y), step=step, tol=tol, epsabs=epsabs,
+        max_iter=max_iter, history=history, f_noise=f_noise,
+        dispatch_iters=dispatch_iters, init_state=init_state,
+        state_callback=state_callback,
+    )
     params, z, sigma2 = pack.unpack(st.x)
     return params, z, sigma2, st
 

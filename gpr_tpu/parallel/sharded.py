@@ -337,7 +337,10 @@ def probe_starts_sharded(
 
     x0s = jnp.stack([jnp.asarray(x, pack.x0.dtype) for x in x0s])
     n_starts = x0s.shape[0]
-    n_dev = mesh.devices.size
+    # starts shard over the DATA axis; on a 2-D (data x model) mesh the
+    # model axis just replicates the probes (idle TP during the probe
+    # phase is the honest cost of probing a replicated-m objective)
+    n_dev = mesh.shape[DATA_AXIS]
     pad = (-n_starts) % n_dev
     if pad:
         x0s = jnp.concatenate([x0s, jnp.tile(x0s[-1:], (pad, 1))])
@@ -427,7 +430,8 @@ def fit_restarts_sharded(
     """Multi-chip multi-start training: probes run in parallel across the
     mesh (probe_starts_sharded — S starts in the wall-clock of
     ceil(S / n_devices)), then the best start continues via the n-sharded
-    distributed L-BFGS (fit_sharded).
+    distributed L-BFGS (fit_sharded; on a 2-D data x model mesh the
+    continuation is the tensor-parallel fit_sharded_2d).
 
     Semantics mirror optim.fit_restarts: probes rank by (healthy, f);
     with ``probe_subsample`` the probes score a seeded row subsample
@@ -487,7 +491,11 @@ def fit_restarts_sharded(
     else:
         cont_pack = pack
         init_state = best._replace(failed=jnp.asarray(False))
-    params, z, sigma2, st = fit_sharded(
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        from .mesh2d import fit_sharded_2d as _continue
+    else:
+        _continue = fit_sharded
+    params, z, sigma2, st = _continue(
         family, mesh, X, y, cont_pack, variational=variational,
         block_size=block_size, normalize=normalize, step=step, tol=tol,
         epsabs=epsabs, max_iter=max_iter, history=history, f_noise=f_noise,
@@ -534,11 +542,7 @@ def fit_sharded(
     INSIDE jit, as required (CLAUDE.md).  Returns
     (params, z, sigma2, LBFGSDeviceState).
     """
-    from ..optim.lbfgs_device import (
-        _chunk_loop,
-        _fresh_state,
-        minimize_lbfgs_device,
-    )
+    from ..optim.lbfgs_device import fit_packed_objective
 
     scale = 1.0 / X.shape[0] if normalize else 1.0
     if f_noise is None:
@@ -562,30 +566,11 @@ def fit_sharded(
 
         return jax.value_and_grad(f)(x)
 
-    @jax.jit
-    def _init(x0, X, y, mask):
-        return _fg_of(x0, X, y, mask)
-
-    @jax.jit
-    def _chunk(st, X, y, mask):
-        return minimize_lbfgs_device(
-            lambda x: _fg_of(x, X, y, mask), st.x, step=step, tol=tol,
-            epsabs=epsabs, max_iter=max_iter, history=history,
-            f_noise=f_noise, init_state=st, dispatch_iters=dispatch_iters,
-        )
-
-    if init_state is not None:
-        if int(init_state.s_hist.shape[0]) != history:
-            raise ValueError(
-                f"history={history} does not match the checkpointed "
-                f"curvature buffers ({int(init_state.s_hist.shape[0])})"
-            )
-        st = init_state._replace(failed=jnp.asarray(False))
-    else:
-        st = _fresh_state(pack.x0, *_init(pack.x0, Xp, yp, mask), history)
-    st = _chunk_loop(
-        lambda s, _x, _y: _chunk(s, Xp, yp, mask), st, Xp, yp,
-        max_iter, epsabs, f_noise, state_callback=state_callback,
+    st = fit_packed_objective(
+        _fg_of, pack, (Xp, yp, mask), step=step, tol=tol, epsabs=epsabs,
+        max_iter=max_iter, history=history, f_noise=f_noise,
+        dispatch_iters=dispatch_iters, init_state=init_state,
+        state_callback=state_callback,
     )
     params, z, sigma2 = pack.unpack(st.x)
     return params, z, sigma2, st

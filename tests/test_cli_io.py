@@ -347,3 +347,23 @@ def test_cli_sharded_restarts(tmp_path, rng):
     res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
     assert res.returncode == 0, res.stderr
     assert len(res.stdout.strip().splitlines()) == 5
+
+
+@pytest.mark.slow
+def test_cli_sharded_2d_mesh(tmp_path, rng):
+    """-devices DxM trains over the 2-D (data x model) mesh
+    (fit_sharded_2d) and the artifact round-trips."""
+    model_file = str(tmp_path / "model.npz")
+    csv, _, _ = make_csv(rng, n=96, d=2)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "6",
+         "-max-iter", "6", "-seed", "3", "-trainer", "sharded",
+         "-devices", "2x2", "-dim-red", "2"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(model_file)
+    test_csv, _, _ = make_csv(rng, n=4, d=2, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
+    assert res.returncode == 0, res.stderr
+    assert len(res.stdout.strip().splitlines()) == 4

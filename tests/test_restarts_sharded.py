@@ -108,3 +108,27 @@ def test_fit_restarts_sharded_subsampled(rng):
     np.testing.assert_allclose(list(rep_s), list(rep_q), rtol=1e-8)
     np.testing.assert_allclose(float(st_s.f), float(st_q.f), rtol=1e-6)
     assert np.isfinite(float(s2_s)) and float(s2_s) > 0
+
+
+def test_fit_restarts_sharded_2d_mesh(rng):
+    """On a 2-D (data x model) mesh the probes shard over the data axis
+    and the continuation runs tensor-parallel (fit_sharded_2d) — the
+    result matches the 1-D-mesh run (both are exact)."""
+    from gpr_tpu.parallel import make_mesh_2d
+
+    X, y, pack = _problem(rng, n=256, m=8)
+    mesh2 = make_mesh_2d(2, 2)
+    mesh1 = make_mesh(4)
+    x0s = _ladder(pack, [-1.0, 0.0, 1.0])
+
+    p2, z2, s22, st2, rep2 = fit_restarts_sharded(
+        SeIso, mesh2, X, y, pack, x0s, probe_iters=5, max_iter=15,
+        block_size=64, epsabs=1e-8,
+    )
+    p1, z1, s21, st1, rep1 = fit_restarts_sharded(
+        SeIso, mesh1, X, y, pack, x0s, probe_iters=5, max_iter=15,
+        block_size=64, epsabs=1e-8,
+    )
+    np.testing.assert_allclose(list(rep2), list(rep1), rtol=1e-8)
+    np.testing.assert_allclose(float(st2.f), float(st1.f), rtol=1e-6)
+    assert not bool(st2.failed)
