@@ -32,6 +32,11 @@ from .multitask import (
     batched_value_and_grad,
     multi_start,
 )
+from .pitc import (
+    pitc_coeffs,
+    pitc_log_evidence,
+    pitc_stream_stats,
+)
 from .online import (
     OnlineState,
     online_downdate,
