@@ -37,6 +37,17 @@ from .pitc import (
     pitc_log_evidence,
     pitc_stream_stats,
 )
+from .warped import (
+    WarpParams,
+    default_warp_params,
+    warp,
+    warp_deriv,
+    warp_inv,
+    warped_log_evidence,
+    warped_predict_mean,
+    warped_predict_median,
+    warped_predict_quantile,
+)
 from .online import (
     OnlineState,
     online_downdate,

@@ -141,9 +141,13 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
     """custom_vjp'd (params, z, u_inv, sigma2, xb, yb, maskb) -> 6 stats.
 
     Cached per (family, unroll, bwd_precision); xb/yb/maskb are pre-blocked
-    (nb, B, ...) arrays (see streaming._pad_blocks).  Data cotangents are
-    structural zeros (X/y/mask are not hyperparameters); they are DCE'd
-    unless a caller differentiates w.r.t. the data.
+    (nb, B, ...) arrays (see streaming._pad_blocks).  The y cotangent is
+    EXACT in the scan backward variants (it rides the V u-bar product the
+    is-cotangent already needs — the warped-GP path differentiates the
+    evidence w.r.t. the targets); X/mask cotangents are structural zeros
+    in every custom variant, and the "pallas"/"nok" variants zero the y
+    cotangent too — use grad_impl="ad" to differentiate w.r.t. X, and a
+    scan variant (default) for d/dy.
 
     ``bwd_precision`` (a jax.lax.Precision or None) applies to the backward
     contraction GEMMs only: on TPU, ``DEFAULT`` runs them in one bf16 MXU
@@ -301,13 +305,18 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             # u_vec = sum V'(is y): V-bar += outer(is y, u-bar),
             #                       is-bar += y * (V u-bar)
             isy = is_ * y_b
+            vu = matmul(v, ubar_c)
             vbar = is_[:, None] * vg + isy[:, None] * ubar_c[None, :]
             is_bar = (
-                y_b * matmul(v, ubar_c)
+                y_b * vu
                 + 0.5 * jnp.sum(vg * v, axis=1)
                 + yiy_c * y_b * y_b
                 + isr_c * r
             )
+            # y enters u_vec (V'(is y)) and yiy (y' is y) only — its
+            # cotangent reuses vu; makes d/dy of the streaming evidence
+            # exact through the custom VJP (the warped-GP training path)
+            y_bar_t = is_ * vu + 2.0 * yiy_c * isy
             # is = mask/s; lds = sum mask log s; s = live ? r+sigma2 : 1
             s_bar = (lds_c * mask_b - is_bar * is_) / s
             s_bar_live = jnp.where(live, s_bar, 0.0)
@@ -339,7 +348,7 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
                     is_leaf=lambda x: isinstance(x, tuple)
                     and len(x) == 2 and not isinstance(x[0], tuple),
                 )
-            return new, None
+            return new, y_bar_t.astype(yb.dtype)
 
         comp = acc == jnp.float32
 
@@ -353,7 +362,7 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             zero_pair(u_inv),
             zero_pair(jnp.zeros(())),
         )
-        out, _ = jax.lax.scan(body, init, (xb, yb, maskb), unroll=unroll)
+        out, y_bar = jax.lax.scan(body, init, (xb, yb, maskb), unroll=unroll)
 
         def fold(hl):
             return hl[0] + hl[1] if comp else hl[0]
@@ -373,7 +382,7 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             ui_bar.astype(u_inv.dtype),
             s2_bar.astype(jnp.asarray(sigma2).dtype),
             jnp.zeros_like(xb),
-            jnp.zeros_like(yb),
+            y_bar,
             jnp.zeros_like(maskb),
         )
 

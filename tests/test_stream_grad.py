@@ -132,3 +132,27 @@ def test_custom_vjp_sharded(rng):
         np.testing.assert_allclose(
             np.asarray(c), np.asarray(a), rtol=1e-8, atol=1e-10
         )
+
+
+def test_custom_vjp_y_cotangent_matches_ad(rng):
+    """d/dy of the streaming evidence: custom VJP == checkpointed AD (the
+    warped-GP training path differentiates w.r.t. the targets)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gpr_tpu.kernels import SeIso
+    from gpr_tpu.models.streaming import streaming_log_evidence
+
+    X = jnp.asarray(rng.standard_normal((150, 3)))
+    y = jnp.asarray(rng.standard_normal(150))
+    Z = jnp.asarray(rng.standard_normal((7, 3)))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+
+    def f(y, impl):
+        return streaming_log_evidence(SeIso, p, Z, 0.3, X, y, block_size=64,
+                                      grad_impl=impl, variational=True)
+
+    g_custom = jax.grad(lambda y: f(y, "custom"))(y)
+    g_ad = jax.grad(lambda y: f(y, "ad"))(y)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ad),
+                               rtol=1e-10, atol=1e-12)
