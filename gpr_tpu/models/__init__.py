@@ -37,6 +37,11 @@ from .pitc import (
     pitc_log_evidence,
     pitc_stream_stats,
 )
+from .classify import (
+    classify_log_evidence,
+    classify_predict,
+    laplace_mode,
+)
 from .warped import (
     WarpParams,
     default_warp_params,

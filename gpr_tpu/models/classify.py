@@ -1,0 +1,164 @@
+"""Binary GP classification: Laplace approximation over the FITC prior.
+
+The reference is regression-only and names classification as future work
+(doc/manual/gpr_manual.tex:82, 532-559).  This module delivers the
+standard route (GPML ch. 3, Rasmussen & Williams): a Bernoulli-logit
+likelihood over a latent sparse-GP with the FITC prior
+
+  f ~ N(0, K),   K = V V' + D,   V = Knm U^-1,  D = diag(kd - rowsq(V)),
+
+mode-finding by the stabilized Newton iteration of GPML Algorithm 3.1,
+with every n x n object eliminated through the low-rank + diagonal
+structure: B = I + W^1/2 K W^1/2 inverts via an m x m Woodbury factor, so
+one Newton step is two (n, m) GEMMs + elementwise work, and the Laplace
+evidence needs only diagonal sums and an m x m Cholesky:
+
+  log|B| = sum log(1 + w_i d_i) + log|I_m + V' diag(w/(1+wd)) V|.
+
+Hyper gradients: the Newton iteration runs a FIXED number of steps under
+lax.scan and jax.grad differentiates straight through it — at a converged
+mode the iteration is a fixed point, so the unrolled gradient includes
+the implicit dependence of the mode on the hypers (the role of GPML
+section 5.5.1's implicit derivatives) to the tolerance the mode itself
+converged to.  Train with optim.fit_packed_objective.
+
+Prediction reuses the FITC predictive shape: the latent variance is
+k** - rowsq(V*) + rowsq(V* R^-1) with R'R = I_m + S the posterior
+m-factor, and class probabilities use the probit approximation to the
+logistic integral (MacKay 1992): p = sigma(mu / sqrt(1 + pi var / 8)).
+
+V is materialized at (n, m) — 1.2 GB f32 at the 1M x 300 bench shape,
+fine for HBM; a streaming variant is a mechanical extension (every
+product below is a row-block reduction) if n ever outgrows that.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..numerics.linalg import (
+    cholesky_upper,
+    inv_tri_upper,
+    log_det_tri,
+    matmul,
+    rows_sqr_norm,
+    solve_tri,
+    solve_tri_right,
+)
+from .fitc import calc_inducing
+
+
+def _fitc_prior(family, params, z, X, jitter=None, d_floor=1e-8):
+    """(V, d): the low-rank + diagonal FITC prior K = V V' + diag(d)."""
+    inducing = calc_inducing(family, params, z, jitter)
+    u_inv = inv_tri_upper(inducing.chol_km)
+    knm = family.k_cross(params, X, inducing.z)
+    v = matmul(knm, u_inv)
+    d = jnp.maximum(family.k_diag(params, X) - rows_sqr_norm(v), d_floor)
+    return inducing, v, d
+
+
+def _log_sigmoid(t):
+    return -jnp.logaddexp(0.0, -t)
+
+
+def laplace_mode(
+    family, params, z, X, y, *, newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """Newton mode-finding for the Laplace approximation.
+
+    ``y`` in {-1, +1}.  Returns (f_hat, a, inducing, v, d) with
+    f_hat = K a the latent mode — the fixed iteration count keeps the loop
+    jit/grad-friendly; 15 Newton steps converge this concave problem to
+    f64 roundoff in practice (the evidence test asserts it).
+    """
+    inducing, v, d = _fitc_prior(family, params, z, X, jitter)
+
+    def kdot(x):
+        return matmul(v, matmul(v.T, x)) + d * x
+
+    def step(carry, _):
+        f, _a = carry
+        pi = jax.nn.sigmoid(f)
+        w = jnp.maximum(pi * (1.0 - pi), 1e-12)
+        grad = 0.5 * (y + 1.0) - pi
+        b = w * f + grad
+        # a = b - W^1/2 B^-1 W^1/2 K b  (GPML alg 3.1, low-rank Woodbury)
+        kb = kdot(b)
+        sw = jnp.sqrt(w)
+        c = sw * kb
+        e = 1.0 / (1.0 + w * d)
+        vw = v * (sw * jnp.sqrt(e))[:, None]  # diag-scaled copy of V
+        mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
+        rm = cholesky_upper(mm, jitter=0.0)
+        t = solve_tri(rm, matmul(vw.T, jnp.sqrt(e) * c), trans=True)
+        binv_c = e * c - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
+        a = b - sw * binv_c
+        return (kdot(a), a), None
+
+    f0 = jnp.zeros_like(y)
+    # remat each Newton step: reverse-mode through the unrolled iteration
+    # then holds one step's intermediates, not newton_iters x (n, m)
+    (f_hat, a), _ = jax.lax.scan(
+        jax.checkpoint(step), (f0, jnp.zeros_like(y)), None,
+        length=newton_iters,
+    )
+    return f_hat, a, inducing, v, d
+
+
+def classify_log_evidence(
+    family, params, z, X, y, *, newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """Laplace marginal likelihood log q(y | X, hypers) (GPML eq. 3.32).
+    Differentiable w.r.t. (params, z) through the unrolled Newton mode."""
+    f_hat, a, inducing, v, d = laplace_mode(
+        family, params, z, X, y, newton_iters=newton_iters, jitter=jitter
+    )
+    pi = jax.nn.sigmoid(f_hat)
+    w = jnp.maximum(pi * (1.0 - pi), 1e-12)
+    e = 1.0 / (1.0 + w * d)
+    vw = v * jnp.sqrt(w * e)[:, None]
+    mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
+    rm = cholesky_upper(mm, jitter=0.0)
+    log_det_b = jnp.sum(jnp.log1p(w * d)) + log_det_tri(rm)
+    log_lik = jnp.sum(_log_sigmoid(y * f_hat))
+    return -0.5 * jnp.dot(a, f_hat) + log_lik - 0.5 * log_det_b
+
+
+def classify_predict(
+    family, params, z, X, y, Xstar, *, newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """(prob, latent_mean, latent_var) at Xstar.
+
+    Latent posterior: mu* = V* (V' a); var* = k** - rowsq(V*)
+    + rowsq(V* R^-1) with R'R = I + V' diag(1/(d + 1/w)) V — the identity
+    S(I+S)^-1 = I - (I+S)^-1 collapses the Woodbury quadratic form onto
+    the FITC predictive-variance shape.  Class probability via MacKay's
+    probit approximation to the logistic-Gaussian integral.
+    """
+    f_hat, a, inducing, v, d = laplace_mode(
+        family, params, z, X, y, newton_iters=newton_iters, jitter=jitter
+    )
+    pi = jax.nn.sigmoid(f_hat)
+    w = jnp.maximum(pi * (1.0 - pi), 1e-12)
+    d2inv = 1.0 / (d + 1.0 / w)
+    vs = v * jnp.sqrt(d2inv)[:, None]
+    s_mat = matmul(vs.T, vs)
+    rn = cholesky_upper(jnp.eye(v.shape[1], dtype=v.dtype) + s_mat,
+                        jitter=0.0)
+
+    u_inv = inv_tri_upper(inducing.chol_km)
+    kstar = family.k_cross(params, Xstar, inducing.z)
+    vstar = matmul(kstar, u_inv)
+    mu = matmul(vstar, matmul(v.T, a))
+    # v*' S (I+S)^-1 v* = rowsq(v*) - rowsq(v* Rn^-1)
+    quad = rows_sqr_norm(vstar) - rows_sqr_norm(
+        solve_tri_right(vstar, rn)
+    )
+    var = jnp.maximum(family.k_diag(params, Xstar) - quad, 1e-10)
+    prob = jax.nn.sigmoid(mu / jnp.sqrt(1.0 + jnp.pi * var / 8.0))
+    return prob, mu, var
