@@ -80,7 +80,7 @@ def laplace_mode(
         return matmul(v, matmul(v.T, x)) + d * x
 
     def step(carry, _):
-        f, _a = carry
+        f, a = carry
         pi = jax.nn.sigmoid(f)
         w = jnp.maximum(pi * (1.0 - pi), 1e-12)
         grad = 0.5 * (y + 1.0) - pi
@@ -93,10 +93,64 @@ def laplace_mode(
         vw = v * (sw * jnp.sqrt(e))[:, None]  # diag-scaled copy of V
         mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
         rm = cholesky_upper(mm, jitter=0.0)
-        t = solve_tri(rm, matmul(vw.T, jnp.sqrt(e) * c), trans=True)
-        binv_c = e * c - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
-        a = b - sw * binv_c
-        return (kdot(a), a), None
+
+        def binv(x):
+            t = solve_tri(rm, matmul(vw.T, jnp.sqrt(e) * x), trans=True)
+            return e * x - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
+
+        atil = binv(c)
+        a_n = b - sw * atil
+        f_n = kdot(a_n)
+        # One round of iterative refinement on B atil = sw K b: along B's
+        # top subspace a_n = b - sw atil cancels ~cond(B) digits, and at
+        # n ~ 1e6 in f32 the GEMM-reduction noise (~sqrt(n) ulp) times
+        # cond(B) ~ n |v|^2 wrecks the Newton direction outright
+        # (measured: |f_n| ~ 78 and not even an ascent direction at the 1M
+        # bench shape, fine at 2e5).  The residual is FREE up to
+        # elementwise work — B atil - sw K b = -(sw K a_n - atil) and
+        # f_n = K a_n is already computed — so one refinement costs one
+        # extra m-space solve plus one K-apply, and restores the direction
+        # to line-searchable quality.
+        atil = atil + binv(sw * f_n - atil)
+        a_n = b - sw * atil
+        f_n = kdot(a_n)
+
+        # Damped step: the raw Newton point overshoots and oscillates on
+        # large-n near-separable data (saturated sigmoid, floored W, and K
+        # row sums of O(n |v|^2) make the first step's magnitude ~1e5 at
+        # the 1M bench shape — measured).  Psi(a) = -0.5 a'Ka + loglik(Ka)
+        # is strictly concave, and along the segment a_s = (1-s) a + s a_n
+        # both the quadratic term (three cached dots — K-symmetry gives
+        # a'f_n = a_n'f) and the likelihood are elementwise in the already
+        # computed (f, f_n).  Psi(s) is concave in s, so 25 bisections on
+        # dPsi/ds find the exact line maximum down to s ~ 3e-8 — each
+        # probe is ONE elementwise pass, no GEMMs — and the iteration is
+        # monotone (Psi'(0) > 0 for a Newton ascent direction, and any
+        # s <= argmax improves a concave Psi).
+        aff = jnp.dot(a, f)
+        afn = jnp.dot(a, f_n)
+        ann = jnp.dot(a_n, f_n)
+        df = f_n - f
+        yp = 0.5 * (y + 1.0)
+
+        def dpsi(s):
+            pi_s = jax.nn.sigmoid(f + s * df)
+            quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
+                      + 2.0 * s * ann)
+            return -0.5 * quad_p + jnp.sum((yp - pi_s) * df)
+
+        def bis(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            pos = dpsi(mid) > 0
+            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+
+        one = jnp.ones((), f.dtype)
+        lo, hi = jax.lax.fori_loop(0, 25, bis, (jnp.zeros((), f.dtype), one))
+        s = jnp.where(dpsi(one) >= 0, one, lo)
+        a = (1.0 - s) * a + s * a_n
+        f = (1.0 - s) * f + s * f_n
+        return (f, a), None
 
     f0 = jnp.zeros_like(y)
     # remat each Newton step: reverse-mode through the unrolled iteration

@@ -105,6 +105,25 @@ out["online_rt_n"] = float(st.stats.n + st.stats_lo.n)
 out["online_direct_f32"] = float(
     log_evidence(SeIso, p, Z, s2, Xa, ya, factorization="chol"))
 
+# 6. round-3 model families in f32: PITC, warped, classification
+from gpr_tpu.models.pitc import pitc_log_evidence
+out["pitc_f32"] = float(pitc_log_evidence(SeIso, p, Z, s2, X, y,
+                                          block_size=50))
+from gpr_tpu.models.warped import default_warp_params, warped_log_evidence
+wp = default_warp_params(2, jnp.float32)
+out["warped_f32"] = float(warped_log_evidence(
+    SeIso, p, wp, Z, s2, X, y, block_size=64, variational=True))
+wg = jax.grad(lambda wp: warped_log_evidence(
+    SeIso, p, wp, Z, s2, X, y, block_size=64, variational=True))(wp)
+out["warped_grad_finite"] = bool(all(
+    jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(wg)))
+from gpr_tpu.models.classify import classify_log_evidence, classify_predict
+ycls = jnp.sign(y)
+out["classify_f32"] = float(classify_log_evidence(SeIso, p, Z, X, ycls))
+prob, mu, var = classify_predict(SeIso, p, Z, X, ycls, X[:20])
+out["classify_prob_ok"] = bool(jnp.all((prob > 0) & (prob < 1))
+                               and jnp.all(var > 0))
+
 # 5. f32 diag-scaled jitter keeps a degenerate gram factorizable
 z_dup = jnp.concatenate([Z[:4], Z[:4]])  # duplicated inducing points
 km = SeIso.k_upper(p, z_dup)
@@ -174,3 +193,19 @@ def test_f32_paths_match_f64(rng):
     direct = out["online_direct_f32"]
     assert abs(out["online_rt_f32"] - direct) < 5e-4 * abs(direct)
     assert out["online_rt_n"] == 50.0
+
+    # round-3 families: f32 evidence at f32 relative scale vs f64 refs
+    from gpr_tpu.models.classify import classify_log_evidence
+    from gpr_tpu.models.pitc import pitc_log_evidence
+    from gpr_tpu.models.warped import default_warp_params, warped_log_evidence
+
+    pitc64 = float(pitc_log_evidence(SeIso, p, Z, s2, X, y, block_size=50))
+    assert abs(out["pitc_f32"] - pitc64) < 1e-4 * abs(pitc64)
+    wp64 = default_warp_params(2)
+    warped64 = float(warped_log_evidence(SeIso, p, wp64, Z, s2, X, y,
+                                         block_size=64, variational=True))
+    assert abs(out["warped_f32"] - warped64) < 5e-5 * abs(warped64)
+    assert out["warped_grad_finite"] is True
+    cls64 = float(classify_log_evidence(SeIso, p, Z, X, jnp.sign(y)))
+    assert abs(out["classify_f32"] - cls64) < 2e-4 * abs(cls64)
+    assert out["classify_prob_ok"] is True
