@@ -32,7 +32,7 @@ FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, RatQuad,
             SeFat]
 
 
-def one(rng, i, fam=None, n_max=200):
+def one(rng, i, fam=None, n_max=200, variant=None):
     if fam is None:
         fam = FAMILIES[rng.integers(len(FAMILIES))]
     else:
@@ -107,7 +107,47 @@ def one(rng, i, fam=None, n_max=200):
             fam, X, y, pack, [pack.x0], probe_iters=2, max_iter=4,
             epsabs=1e-8)
         assert np.isfinite(float(stt.f))
-    return fam.name, n, d, m, variational, factorization, mode
+
+    # model-family variants on the same draw (round-3 additions): PITC,
+    # warped, Laplace classification — each composes with every kernel
+    # family, so the fuzz exercises the cross product too
+    variant = int(rng.integers(4)) if variant is None else variant
+    if variant == 1:
+        from gpr_tpu.models.pitc import pitc_log_evidence
+        bs = int(rng.integers(1, n + 1))
+        lp = pitc_log_evidence(fam, params, Z, jnp.asarray(sigma2), X, y,
+                               block_size=bs)
+        assert np.isfinite(float(lp)), f"pitc evidence ({fam.name}, bs={bs})"
+    elif variant == 2:
+        from gpr_tpu.models.warped import (
+            default_warp_params, warped_log_evidence,
+        )
+        wp = default_warp_params(int(rng.integers(1, 4)))
+        lw, gw = jax.value_and_grad(
+            lambda wp: warped_log_evidence(
+                fam, params, wp, Z, jnp.asarray(sigma2), X, y,
+                variational=variational))(wp)
+        assert np.isfinite(float(lw)), f"warped evidence ({fam.name})"
+        for leaf in jax.tree.leaves(gw):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"warp grad NaN ({fam.name})"
+    elif variant == 3:
+        from gpr_tpu.models.classify import (
+            classify_log_evidence, classify_predict,
+        )
+        yc = jnp.where(y > jnp.median(y), 1.0, -1.0)
+        lc, gc = jax.value_and_grad(
+            lambda p: classify_log_evidence(fam, p, Z, X, yc,
+                                            newton_iters=8))(params)
+        assert np.isfinite(float(lc)), f"classify evidence ({fam.name})"
+        for leaf in jax.tree.leaves(gc):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"classify grad NaN ({fam.name})"
+        prob, _, varc = classify_predict(fam, params, Z, X, yc, Xt,
+                                         newton_iters=8)
+        assert bool(jnp.all((prob >= 0) & (prob <= 1))
+                    and jnp.all(varc > 0)), f"classify predict ({fam.name})"
+    return fam.name, n, d, m, variational, factorization, mode, variant
 
 
 def main():

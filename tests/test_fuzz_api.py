@@ -38,3 +38,12 @@ def test_fuzz_random_draws(seed):
     """Fully random draws (family included) at distinct seeds."""
     rng = np.random.default_rng(1000 + seed)
     fuzz.one(rng, seed, n_max=80)
+
+
+@pytest.mark.parametrize("variant", [1, 2, 3], ids=["pitc", "warped",
+                                                    "classify"])
+def test_fuzz_model_variants(variant):
+    """Each round-3 model family forced, on a random kernel-family draw."""
+    rng = np.random.default_rng(77 + variant)
+    desc = fuzz.one(rng, 0, n_max=60, variant=variant)
+    assert desc[-1] == variant
