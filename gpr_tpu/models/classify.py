@@ -63,39 +63,42 @@ def _log_sigmoid(t):
     return -jnp.logaddexp(0.0, -t)
 
 
-def laplace_mode(
-    family, params, z, X, y, *, newton_iters: int = 15,
-    jitter: float | None = None,
+def newton_scan(
+    v, d, y, mask, *, newton_iters: int = 15, allsum=lambda x: x,
 ):
-    """Newton mode-finding for the Laplace approximation.
+    """The Newton iteration over local rows of the FITC prior.
 
-    ``y`` in {-1, +1}.  Returns (f_hat, a, inducing, v, d) with
-    f_hat = K a the latent mode — the fixed iteration count keeps the loop
-    jit/grad-friendly; 15 Newton steps converge this concave problem to
-    f64 roundoff in practice (the evidence test asserts it).
+    ``allsum`` reduces m-vectors / m x m matrices / scalars over the data
+    axis: identity on one device, ``lax.psum`` under shard_map — every
+    cross-row quantity in the step is such a sum, so data parallelism is
+    exact.  ``mask`` zeroes padded rows (their w and likelihood gradient
+    vanish, which keeps their ``a`` rows exactly zero throughout).
+    Returns (f_hat, a) over the local rows.
     """
-    inducing, v, d = _fitc_prior(family, params, z, X, jitter)
 
     def kdot(x):
-        return matmul(v, matmul(v.T, x)) + d * x
+        return matmul(v, allsum(matmul(v.T, x))) + d * x
 
     def step(carry, _):
         f, a = carry
         pi = jax.nn.sigmoid(f)
-        w = jnp.maximum(pi * (1.0 - pi), 1e-12)
-        grad = 0.5 * (y + 1.0) - pi
+        w = mask * jnp.maximum(pi * (1.0 - pi), 1e-12)
+        grad = mask * (0.5 * (y + 1.0) - pi)
         b = w * f + grad
         # a = b - W^1/2 B^-1 W^1/2 K b  (GPML alg 3.1, low-rank Woodbury)
         kb = kdot(b)
-        sw = jnp.sqrt(w)
+        # double-where gate: w = 0 exactly on masked rows and the sqrt
+        # cotangent at 0 is inf (inf * 0 = NaN in the backward pass)
+        sw = mask * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
         c = sw * kb
         e = 1.0 / (1.0 + w * d)
         vw = v * (sw * jnp.sqrt(e))[:, None]  # diag-scaled copy of V
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
+        mm = jnp.eye(v.shape[1], dtype=v.dtype) + allsum(matmul(vw.T, vw))
         rm = cholesky_upper(mm, jitter=0.0)
 
         def binv(x):
-            t = solve_tri(rm, matmul(vw.T, jnp.sqrt(e) * x), trans=True)
+            t = solve_tri(rm, allsum(matmul(vw.T, jnp.sqrt(e) * x)),
+                          trans=True)
             return e * x - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
 
         atil = binv(c)
@@ -127,9 +130,9 @@ def laplace_mode(
         # probe is ONE elementwise pass, no GEMMs — and the iteration is
         # monotone (Psi'(0) > 0 for a Newton ascent direction, and any
         # s <= argmax improves a concave Psi).
-        aff = jnp.dot(a, f)
-        afn = jnp.dot(a, f_n)
-        ann = jnp.dot(a_n, f_n)
+        aff = allsum(jnp.dot(a, f))
+        afn = allsum(jnp.dot(a, f_n))
+        ann = allsum(jnp.dot(a_n, f_n))
         df = f_n - f
         yp = 0.5 * (y + 1.0)
 
@@ -137,7 +140,7 @@ def laplace_mode(
             pi_s = jax.nn.sigmoid(f + s * df)
             quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
                       + 2.0 * s * ann)
-            return -0.5 * quad_p + jnp.sum((yp - pi_s) * df)
+            return -0.5 * quad_p + allsum(jnp.sum(mask * (yp - pi_s) * df))
 
         def bis(_, lohi):
             lo, hi = lohi
@@ -159,6 +162,23 @@ def laplace_mode(
         jax.checkpoint(step), (f0, jnp.zeros_like(y)), None,
         length=newton_iters,
     )
+    return f_hat, a
+
+
+def laplace_mode(
+    family, params, z, X, y, *, newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """Newton mode-finding for the Laplace approximation.
+
+    ``y`` in {-1, +1}.  Returns (f_hat, a, inducing, v, d) with
+    f_hat = K a the latent mode — the fixed iteration count keeps the loop
+    jit/grad-friendly; 15 Newton steps converge this concave problem to
+    f64 roundoff in practice (the evidence test asserts it).
+    """
+    inducing, v, d = _fitc_prior(family, params, z, X, jitter)
+    f_hat, a = newton_scan(v, d, y, jnp.ones_like(y),
+                           newton_iters=newton_iters)
     return f_hat, a, inducing, v, d
 
 
@@ -199,7 +219,7 @@ def classify_predict(
     )
     pi = jax.nn.sigmoid(f_hat)
     w = jnp.maximum(pi * (1.0 - pi), 1e-12)
-    d2inv = 1.0 / (d + 1.0 / w)
+    d2inv = w / (1.0 + w * d)  # = 1/(d + 1/w), division-by-w-free
     vs = v * jnp.sqrt(d2inv)[:, None]
     s_mat = matmul(vs.T, vs)
     rn = cholesky_upper(jnp.eye(v.shape[1], dtype=v.dtype) + s_mat,

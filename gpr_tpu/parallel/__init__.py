@@ -1,3 +1,7 @@
+from .classify_sharded import (
+    sharded_classify_log_evidence,
+    sharded_classify_predict,
+)
 from .mesh2d import (
     MODEL_AXIS,
     fit_sharded_2d,
@@ -35,5 +39,7 @@ __all__ = [
     "fit_sharded",
     "fit_sharded_2d",
     "probe_starts_sharded",
+    "sharded_classify_log_evidence",
+    "sharded_classify_predict",
     "sharded_log_evidence",
 ]

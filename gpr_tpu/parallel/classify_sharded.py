@@ -1,0 +1,151 @@
+"""Data-parallel Laplace classification over the 1-D data mesh.
+
+Same exactness argument as ``parallel.sharded`` for regression: every
+cross-row quantity in a Newton step of ``models.classify.newton_scan``
+is an m-vector, m x m matrix, or scalar sum over rows, so the iteration
+runs unchanged on row shards with ``lax.psum`` as the reduction hook.
+Collective volume per Newton step: one m x m Gram, four m-vectors, a
+few scalars, plus one scalar psum per line-search bisection — latency-
+bound on ICI; nothing n-sized ever crosses the interconnect.
+
+The reference has neither classification nor any distributed code
+(SURVEY.md sections 2.4, 7 non-goals); this is the rebuild's systems
+axis applied to its own classification extension.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.classify import _fitc_prior, _log_sigmoid, newton_scan
+from ..numerics.linalg import (
+    cholesky_upper,
+    inv_tri_upper,
+    log_det_tri,
+    matmul,
+    rows_sqr_norm,
+    solve_tri_right,
+)
+from .sharded import DATA_AXIS, pad_to_shards
+
+
+def _allsum(x):
+    return jax.lax.psum(x, DATA_AXIS)
+
+
+def sharded_classify_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    X,
+    y,
+    mask=None,
+    *,
+    newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """Distributed Laplace evidence.  X (n, d) and y (n,) in {-1, +1} must
+    be row-sharded (or row-shardable) over ``mesh``; params/z replicate;
+    ``mask`` zeroes padded rows (see ``sharded.shard_batch``).
+
+    Wrap in jax.jit(jax.value_and_grad(...)) for training — grad of a
+    shard_map-calling function must run inside jit.
+    """
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, xs, ys, ms):
+        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
+        f_hat, a = newton_scan(
+            v, d, ys, ms, newton_iters=newton_iters, allsum=_allsum
+        )
+        pi = jax.nn.sigmoid(f_hat)
+        w = ms * jnp.maximum(pi * (1.0 - pi), 1e-12)
+        e = 1.0 / (1.0 + w * d)
+        vw = v * (ms * jnp.sqrt(jnp.where(w > 0.0, w * e, 1.0)))[:, None]
+        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
+        rm = cholesky_upper(mm, jitter=0.0)
+        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
+        log_lik = _allsum(jnp.sum(ms * _log_sigmoid(ys * f_hat)))
+        return -0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik - 0.5 * log_det_b
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, X, y, mask)
+
+
+def sharded_classify_predict(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    X,
+    y,
+    Xstar,
+    mask=None,
+    *,
+    newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """Distributed (prob, latent_mean, latent_var) at Xstar.
+
+    Train rows (sharded, with ``mask`` from ``shard_batch``) and test rows
+    shard independently on the same data axis; the mode and the m-space
+    posterior factors reduce over train shards, then each shard predicts
+    its own Xstar rows.  Xstar is padded internally; outputs come back
+    replicated at Xstar's length (the ``sharded_predict_means``
+    convention).
+    """
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+    n_star = Xstar.shape[0]
+    Xstar, _, _ = pad_to_shards(mesh, Xstar, jnp.zeros((n_star,),
+                                                       Xstar.dtype))
+
+    def shard_fn(params, z, xs, ys, ms, xst):
+        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
+        f_hat, a = newton_scan(
+            v, d, ys, ms, newton_iters=newton_iters, allsum=_allsum
+        )
+        pi = jax.nn.sigmoid(f_hat)
+        w = ms * jnp.maximum(pi * (1.0 - pi), 1e-12)
+        d2inv = w / (1.0 + w * d)  # = 1/(d + 1/w), 0 exactly on padding
+        vs = v * (ms * jnp.sqrt(jnp.where(d2inv > 0.0, d2inv, 1.0)))[:, None]
+        s_mat = _allsum(matmul(vs.T, vs))
+        rn = cholesky_upper(
+            jnp.eye(v.shape[1], dtype=v.dtype) + s_mat, jitter=0.0
+        )
+        beta = _allsum(matmul(v.T, a))
+
+        u_inv = inv_tri_upper(inducing.chol_km)
+        kstar = family.k_cross(params, xst, inducing.z)
+        vstar = matmul(kstar, u_inv)
+        mu = matmul(vstar, beta)
+        quad = rows_sqr_norm(vstar) - rows_sqr_norm(
+            solve_tri_right(vstar, rn)
+        )
+        var = jnp.maximum(family.k_diag(params, xst) - quad, 1e-10)
+        prob = jax.nn.sigmoid(mu / jnp.sqrt(1.0 + jnp.pi * var / 8.0))
+        return prob, mu, var
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+            P(DATA_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    out = fn(params, z, X, y, mask, Xstar)
+    rep = NamedSharding(mesh, P())
+    return tuple(jax.device_put(o, rep)[:n_star] for o in out)
