@@ -356,6 +356,29 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"flagship se_fat: FAILED {type(e).__name__}: {e}")
 
+    # secondary: Laplace classification at the same shape (the round-3
+    # family; 15 damped Newton steps, each ~3 K-applies — see
+    # models/classify.py and probes/classify_tpu.py)
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        from gpr_tpu.models.classify import classify_log_evidence
+
+        yc = jnp.sign(y) + (y == 0).astype(dtype)
+
+        def f_cls(params, z, X, yc):
+            return classify_log_evidence(SeIso, params, z, X, yc,
+                                         newton_iters=15)
+
+        vgc = jax.jit(jax.value_and_grad(f_cls, argnums=(0, 1)))
+        tc, _, firstc, outc = timeit(vgc, params, Z, X, yc, iters=3,
+                                     batches=2)
+        log(f"classify evidence+grad (Laplace, 15 Newton steps): "
+            f"{tc*1e3:.0f} ms/iter (first {firstc:.1f}s, evidence "
+            f"{float(outc[0]):.1f})")
+    except Exception as e:  # noqa: BLE001
+        log(f"classify: FAILED {type(e).__name__}: {e}")
+
     # secondary: predict throughput (mean prediction at the same shape)
     try:
         if over_budget():
