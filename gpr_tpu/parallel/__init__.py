@@ -21,6 +21,8 @@ from .sharded import (
     fit_sharded,
     probe_starts_sharded,
     sharded_log_evidence,
+    sharded_pitc_log_evidence,
+    sharded_warped_log_evidence,
 )
 
 __all__ = [
@@ -42,4 +44,6 @@ __all__ = [
     "sharded_classify_log_evidence",
     "sharded_classify_predict",
     "sharded_log_evidence",
+    "sharded_pitc_log_evidence",
+    "sharded_warped_log_evidence",
 ]

@@ -192,6 +192,91 @@ def sharded_log_evidence_tsqr(
     return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
 
 
+def sharded_warped_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    warp_params,
+    z,
+    sigma2,
+    X,
+    y,
+    mask=None,
+    *,
+    variational: bool = False,
+    block_size: int = 8192,
+    jitter: float | None = None,
+):
+    """Distributed warped evidence (models/warped.py over the mesh).
+
+    The warp is elementwise in y and its Jacobian term a masked row sum,
+    so the warped model inherits the regression path's exact data
+    parallelism unchanged: warp the sharded targets in place (XLA keeps
+    the sharding), run the sharded evidence, add the psum'd Jacobian.
+    Differentiable w.r.t. (params, warp_params, z, sigma2) jointly.
+    """
+    from ..models.warped import warp, warp_deriv
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+    t = warp(warp_params, y)
+    l = sharded_log_evidence(
+        family, mesh, params, z, sigma2, X, t, mask,
+        variational=variational, block_size=block_size, jitter=jitter,
+    )
+    # g' >= 1 so the log is finite on padded rows too; the mask just
+    # removes their (positive) contribution
+    return l + jnp.sum(mask * jnp.log(warp_deriv(warp_params, y)))
+
+
+def sharded_pitc_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    sigma2,
+    X,
+    y,
+    mask=None,
+    *,
+    block_size: int = 256,
+    jitter: float | None = None,
+    block_jitter: float = 0.0,
+):
+    """Distributed PITC evidence (models/pitc.py over the mesh).
+
+    PITC's sufficient statistics are sums of per-block whitened
+    contributions, so sharding the rows is exact for the partition
+    "each shard's local ``block_size`` blocks".  That partition equals
+    the single-device one whenever the per-shard row count is a multiple
+    of ``block_size`` (otherwise it is a different — equally valid —
+    PITC partition: the block structure is a modeling choice).
+    """
+    from ..models.pitc import pitc_stream_stats
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, sigma2, xs, ys, ms):
+        inducing = calc_inducing(family, params, z, jitter)
+        stats = pitc_stream_stats(
+            family, params, inducing, sigma2, xs, ys,
+            block_size=min(block_size, xs.shape[0]), mask=ms,
+            jitter=block_jitter,
+        )
+        stats = jax.tree.map(lambda a: jax.lax.psum(a, DATA_AXIS), stats)
+        return evidence_from_stats(inducing, stats, variational=False)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, mask)
+
+
 def sharded_predict_means(family, mesh: Mesh, params, z, coeffs, X):
     """Batch mean prediction with the n-axis sharded: purely local GEMMs,
     zero collectives — serving scales linearly with chips."""
