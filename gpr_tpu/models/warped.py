@@ -143,3 +143,63 @@ def warped_predict_mean(wp: WarpParams, latent_means, latent_variances,
     nodes = latent_means[..., None] + jnp.sqrt(2.0) * s[..., None] * xs
     inv = warp_inv(wp, nodes)
     return jnp.sum(ws * inv, axis=-1)
+
+
+def make_warped_pack(pack, wp0: WarpParams):
+    """Extend an ``optim.make_pack`` HyperPack with warp parameters.
+
+    Returns ``(pack_w, unpack_w)``: ``pack_w.x0`` is
+    ``[base hypers | warp params]`` and drives any packed-objective
+    trainer unchanged; ``unpack_w(x) -> (params, z, sigma2, wp)``.
+    """
+    import dataclasses
+
+    from jax.flatten_util import ravel_pytree
+
+    wflat, unravel = ravel_pytree(wp0)
+    k = pack.x0.shape[0]
+    wflat = wflat.astype(pack.x0.dtype)
+    pack_w = dataclasses.replace(
+        pack, x0=jnp.concatenate([pack.x0, wflat]),
+        n_hypers=k + wflat.shape[0],
+    )
+
+    def unpack_w(x):
+        params, z, sigma2 = pack.unpack(x[:k])
+        return params, z, sigma2, unravel(x[k:])
+
+    return pack_w, unpack_w
+
+
+def fit_warped(
+    family, X, y, pack, wp0: WarpParams, *,
+    variational: bool = False, block_size: int = 8192,
+    jitter: float | None = None, normalize: bool = True,
+    **fit_kwargs,
+):
+    """Joint (kernel hypers, inducing, sigma2, warp) training with the
+    device L-BFGS (optim.fit_packed_objective conventions: data threads
+    through as jit arguments; ``normalize=True`` optimizes the mean NLL
+    for large-n f32 line-search resolution).
+
+    Returns ``(params, z, sigma2, wp, state)``.
+    """
+    from ..optim.lbfgs_device import fit_packed_objective
+
+    pack_w, unpack_w = make_warped_pack(pack, wp0)
+    scale = 1.0 / X.shape[0] if normalize else 1.0
+
+    def fg(x, X, y):
+        def f(x):
+            params, z, sigma2, wp = unpack_w(x)
+            return -scale * warped_log_evidence(
+                family, params, wp, z, sigma2, X, y,
+                variational=variational, block_size=block_size,
+                jitter=jitter,
+            )
+
+        return jax.value_and_grad(f)(x)
+
+    st = fit_packed_objective(fg, pack_w, (X, y), **fit_kwargs)
+    params, z, sigma2, wp = unpack_w(st.x)
+    return params, z, sigma2, wp, st

@@ -148,3 +148,30 @@ def test_warp_earns_evidence_on_skewed_targets(rng):
     assert float(st_w.f) < float(st_p.f) - 0.02, (
         float(st_w.f), float(st_p.f),
     )
+
+
+def test_fit_warped_convenience(rng):
+    """fit_warped (the packaged joint trainer) improves the warped
+    evidence and round-trips through make_warped_pack."""
+    from gpr_tpu.models.warped import fit_warped, make_warped_pack
+    from gpr_tpu.optim import make_pack
+
+    X, Z, y, p0 = data(rng, n=120, m=6)
+    y = jnp.sign(y) * jnp.abs(y) ** (1.0 / 3.0)
+    wp0 = default_warp_params(2)
+    pack = make_pack(SeIso, p0, Z, SIGMA2)
+
+    pack_w, unpack_w = make_warped_pack(pack, wp0)
+    pr, zr, s2r, wpr = unpack_w(pack_w.x0)
+    np.testing.assert_allclose(np.asarray(wpr.c), np.asarray(wp0.c))
+    np.testing.assert_allclose(np.asarray(zr), np.asarray(Z))
+
+    ev0 = warped_log_evidence(SeIso, p0, wp0, Z, SIGMA2, X, y,
+                              block_size=64)
+    params, z, s2, wp, st = fit_warped(
+        SeIso, X, y, pack, wp0, block_size=64, max_iter=40, epsabs=1e-5,
+    )
+    assert not bool(st.failed)
+    ev1 = warped_log_evidence(SeIso, params, wp, z, s2, X, y,
+                              block_size=64)
+    assert float(ev1) > float(ev0) + 1.0, (float(ev0), float(ev1))
