@@ -8,8 +8,6 @@ decision field with the learned inducing points.
 Run: python examples/demo_classify.py   (CPU f64, ~half a minute)
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,11 +17,10 @@ jax.config.update("jax_enable_x64", True)
 
 from gpr_tpu.kernels import SeIso  # noqa: E402
 from gpr_tpu.models.classify import (  # noqa: E402
-    classify_log_evidence,
     classify_predict,
+    fit_classify,
 )
 from gpr_tpu.optim import make_pack  # noqa: E402
-from gpr_tpu.optim.lbfgs_device import fit_packed_objective  # noqa: E402
 
 
 def two_moons(rng, n, noise=0.1):
@@ -48,16 +45,8 @@ def main():
     # pack (kernel hypers, inducing coords); the Bernoulli likelihood has
     # no sigma2, so leave it out of the optimization vector
     pack = make_pack(SeIso, p0, Z, 1.0, learn_sigma2=False)
-
-    def fg(x, X, y):
-        def nll(x):
-            params, z, _ = pack.unpack(x)
-            return -classify_log_evidence(SeIso, params, z, X, y)
-
-        return jax.value_and_grad(nll)(x)
-
-    st = fit_packed_objective(fg, pack, (X, y), max_iter=60, epsabs=1e-5)
-    params, z, _ = pack.unpack(st.x)
+    params, z, st = fit_classify(SeIso, X, y, pack, max_iter=60,
+                                 epsabs=1e-5, normalize=False)
     print(f"Laplace evidence: {-float(st.f):.2f} after {int(st.n_iter)} "
           f"L-BFGS iters ({int(st.n_evals)} evals), "
           f"ell={float(jnp.exp(params.log_ell)):.3f}")

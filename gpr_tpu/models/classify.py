@@ -236,3 +236,64 @@ def classify_predict(
     var = jnp.maximum(family.k_diag(params, Xstar) - quad, 1e-10)
     prob = jax.nn.sigmoid(mu / jnp.sqrt(1.0 + jnp.pi * var / 8.0))
     return prob, mu, var
+
+
+def fit_classify(
+    family, X, y, pack, *, newton_iters: int = 15,
+    jitter: float | None = None, normalize: bool = True, mesh=None,
+    **fit_kwargs,
+):
+    """Hyper + inducing training of the Laplace classifier with the
+    device L-BFGS (optim.fit_packed_objective conventions).
+
+    Build ``pack`` with ``learn_sigma2=False`` — the Bernoulli likelihood
+    has no noise variance (a pack that still carries log sigma2 trains it
+    to no effect and wastes a coordinate; this function rejects it to
+    catch the mistake early).  With ``mesh``, X/y shard over the data
+    axis and the objective is parallel.sharded_classify_log_evidence.
+
+    Returns ``(params, z, state)``.
+    """
+    if pack.learn_sigma2:
+        raise ValueError(
+            "classification has no sigma2: build the pack with "
+            "make_pack(..., learn_sigma2=False)"
+        )
+    from ..optim.lbfgs_device import fit_packed_objective
+
+    scale = 1.0 / X.shape[0] if normalize else 1.0
+    if mesh is None:
+        def fg(x, X, y):
+            def f(x):
+                params, z, _ = pack.unpack(x)
+                return -scale * classify_log_evidence(
+                    family, params, z, X, y,
+                    newton_iters=newton_iters, jitter=jitter,
+                )
+
+            return jax.value_and_grad(f)(x)
+
+        data = (X, y)
+    else:
+        from ..parallel import shard_batch
+        from ..parallel.classify_sharded import (
+            sharded_classify_log_evidence,
+        )
+
+        Xs, ys, mask = shard_batch(mesh, X, y)
+
+        def fg(x, Xs, ys, mask):
+            def f(x):
+                params, z, _ = pack.unpack(x)
+                return -scale * sharded_classify_log_evidence(
+                    family, mesh, params, z, Xs, ys, mask,
+                    newton_iters=newton_iters, jitter=jitter,
+                )
+
+            return jax.value_and_grad(f)(x)
+
+        data = (Xs, ys, mask)
+
+    st = fit_packed_objective(fg, pack, data, **fit_kwargs)
+    params, z, _ = pack.unpack(st.x)
+    return params, z, st

@@ -76,3 +76,31 @@ def test_sharded_classify_predict_matches_single(rng):
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(prob2), np.asarray(prob1),
                                rtol=1e-10)
+
+
+def test_fit_classify_mesh_matches_plain(rng):
+    """The packaged classifier trainer: single-device and mesh objectives
+    give the same optimization result; sigma2-carrying packs rejected."""
+    import pytest
+
+    from gpr_tpu.models.classify import fit_classify
+    from gpr_tpu.optim import make_pack
+
+    X, Z, y, p = data(rng, n=107, m=5)
+    pack = make_pack(SeIso, p, Z, 1.0, learn_sigma2=False)
+
+    with pytest.raises(ValueError, match="learn_sigma2"):
+        fit_classify(SeIso, X, y, make_pack(SeIso, p, Z, 1.0))
+
+    p1, z1, st1 = fit_classify(SeIso, X, y, pack, newton_iters=6,
+                               max_iter=6, epsabs=1e-9)
+    mesh = make_mesh()
+    p2, z2, st2 = fit_classify(SeIso, X, y, pack, newton_iters=6,
+                               max_iter=6, epsabs=1e-9, mesh=mesh)
+    assert not bool(st1.failed) and not bool(st2.failed)
+    assert float(st1.f) < float(
+        -classify_log_evidence(SeIso, p, Z, X, y, newton_iters=6)
+        / X.shape[0])
+    np.testing.assert_allclose(float(st2.f), float(st1.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1),
+                               rtol=1e-6, atol=1e-8)
