@@ -265,9 +265,15 @@ def main():
         if over_budget():
             raise TimeoutError("over budget")
         t0 = time.perf_counter()
-        canonical = (N, D, M, 0.5, 0.0, 0.1)
-        if canonical == (1_000_000, 8, 300, float(params.log_ell),
-                         float(params.log_sf2), float(sigma2)):
+        # config pin with f32 tolerance: float(f32(0.1)) != 0.1, so an
+        # exact tuple compare silently falls through to the ~680 s host
+        # recompute on EVERY run (measured; it ate the round-3 budget)
+        pinned = ((N, D, M) == (1_000_000, 8, 300)) and all(
+            abs(float(a) - b) < 1e-6
+            for a, b in [(params.log_ell, 0.5), (params.log_sf2, 0.0),
+                         (sigma2, 0.1)]
+        )
+        if pinned:
             truth, how = -2123659.4, "cached truth (config-pinned)"
         else:
             truth = f64_truth_evidence(X, y, Z, params.log_ell,
