@@ -149,3 +149,51 @@ def sharded_classify_predict(
     out = fn(params, z, X, y, mask, Xstar)
     rep = NamedSharding(mesh, P())
     return tuple(jax.device_put(o, rep)[:n_star] for o in out)
+
+
+def sharded_multiclass_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    X,
+    labels,
+    n_classes: int,
+    mask=None,
+    *,
+    newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """Distributed softmax-Laplace evidence (models/classify_multi.py over
+    the 1-D data mesh).  ``labels`` (n,) ints shard with the rows; every
+    cross-row object in the Newton step and the evidence epilogue is an
+    m-vector / m x m / (Cm, Cm) matrix or scalar, so psum as the
+    ``allsum`` hook is exact.  Collective volume per Newton step:
+    C m x m Grams + C(C+1)/2 coupling blocks + a few (m, C) panels.
+
+    Wrap in jax.jit(jax.value_and_grad(...)) for training.
+    """
+    from ..models.classify_multi import (
+        evidence_from_mode,
+        softmax_newton_scan,
+    )
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, xs, lbl, ms):
+        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
+        y1h = jax.nn.one_hot(lbl, n_classes, dtype=v.dtype) * ms[:, None]
+        f_hat, a = softmax_newton_scan(
+            v, d, y1h, ms, newton_iters=newton_iters, allsum=_allsum
+        )
+        return evidence_from_mode(v, d, f_hat, a, y1h, ms, allsum=_allsum)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, X, labels, mask)

@@ -104,3 +104,40 @@ def test_fit_classify_mesh_matches_plain(rng):
     np.testing.assert_allclose(float(st2.f), float(st1.f), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z1),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_multiclass_evidence_and_grads_match_single(rng):
+    """Softmax Laplace over the mesh == single-device (value and grads);
+    n non-divisible by 8 exercises the padded-row path through the
+    per-class factors, the coupling Cholesky, and the evidence epilogue."""
+    from gpr_tpu.models.classify_multi import multiclass_log_evidence
+    from gpr_tpu.parallel import sharded_multiclass_log_evidence
+
+    n, n_classes = 133, 3
+    X = jnp.asarray(rng.standard_normal((n, 3)))
+    Z = jnp.asarray(rng.standard_normal((7, 3)))
+    labels = jnp.asarray(rng.integers(0, n_classes, n))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.4))
+    mesh = make_mesh()
+
+    single = multiclass_log_evidence(SeIso, p, Z, X, labels, n_classes,
+                                     newton_iters=8)
+    Xs, ls, mask = shard_batch(mesh, X, labels)
+    sharded = sharded_multiclass_log_evidence(
+        SeIso, mesh, p, Z, Xs, ls, n_classes, mask, newton_iters=8
+    )
+    np.testing.assert_allclose(float(sharded), float(single), rtol=1e-10)
+
+    gd = jax.grad(
+        lambda p, z: multiclass_log_evidence(
+            SeIso, p, z, X, labels, n_classes, newton_iters=5),
+        argnums=(0, 1),
+    )(p, Z)
+    gs = jax.jit(jax.grad(
+        lambda p, z: sharded_multiclass_log_evidence(
+            SeIso, mesh, p, z, Xs, ls, n_classes, mask, newton_iters=5),
+        argnums=(0, 1),
+    ))(p, Z)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-8, atol=1e-10)
