@@ -75,6 +75,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallelism over the inducing axis, "
                         "parallel.fit_sharded_2d; M must divide "
                         "-n-inducing).  Default: all visible devices, 1-D")
+    p.add_argument("-pitc-block", dest="pitc_block", type=int, default=None,
+                   metavar="B",
+                   help="train with the PITC evidence instead of FITC: the "
+                        "exact covariance is kept within blocks of B "
+                        "training rows (an accuracy dial between FITC and "
+                        "the exact GP; models/pitc.py).  Requires -trainer "
+                        "device|sharded")
+    p.add_argument("-warp", type=int, default=0, metavar="K",
+                   help="warped GP: learn a K-term monotone tanh-sum "
+                        "observation warp jointly with the hypers "
+                        "(models/warped.py; for skewed/heavy-tailed "
+                        "targets).  Test-time means/stddevs integrate the "
+                        "inverse warp by quadrature.  Requires -trainer "
+                        "device|sharded")
+    p.add_argument("-classify", action="store_true",
+                   help="GP classification (Laplace over the FITC prior): "
+                        "0/1 or -1/+1 targets select the binary classifier "
+                        "(models/classify.py; test output is the class "
+                        "probability, with -with-stddev: "
+                        "prob,latent-stddev); integer targets 0..C-1 "
+                        "select the C-class softmax Laplace "
+                        "(models/classify_multi.py; test output is one "
+                        "probability per class).  Requires -trainer "
+                        "device|sharded")
     p.add_argument("-polish", type=int, default=0, metavar="N",
                    help="f64 finishing step after training: re-optimize the "
                         "hypers on a host-CPU f64 objective over N "
@@ -157,11 +181,67 @@ def cmd_train(args) -> int:
     inputs, targets = data[:, :-1], data[:, -1]
     n, big_dim = inputs.shape
 
-    target_mean = float(targets.mean())
-    targets = targets - target_mean
-    target_variance = float(targets @ targets / n)
-    if args.verbose:
-        print(f"target variance: {target_variance:.5f}", file=sys.stderr)
+    n_extensions = sum(
+        [args.pitc_block is not None, args.warp > 0, bool(args.classify)]
+    )
+    if n_extensions > 1:
+        raise SystemExit(
+            "choose at most one of -pitc-block / -warp / -classify"
+        )
+    if n_extensions and args.trainer == "host":
+        raise SystemExit(
+            "-pitc-block/-warp/-classify require -trainer device|sharded "
+            "(they train via the device-resident packed objective)"
+        )
+    if n_extensions and args.polish:
+        raise SystemExit(
+            "-polish re-optimizes the FITC regression objective and would "
+            "undo a -pitc-block/-warp/-classify fit — not supported together"
+        )
+    if n_extensions and args.devices is not None and "x" in str(args.devices):
+        raise SystemExit(
+            "-pitc-block/-warp/-classify support 1-D data-parallel meshes "
+            "only (-devices N)"
+        )
+
+    n_classes = 2
+    if args.classify:
+        # class labels, not regression targets: no centering of targets.
+        # 0/1 or -1/+1 selects the binary Laplace (models/classify.py);
+        # integer labels 0..C-1 with C >= 3 select the softmax Laplace
+        # (models/classify_multi.py)
+        uniq_arr = np.unique(targets)
+        uniq = set(uniq_arr.tolist())
+        if uniq <= {0.0, 1.0}:
+            targets = 2.0 * targets - 1.0
+        elif uniq <= {-1.0, 1.0}:
+            pass
+        elif (np.all(uniq_arr == np.round(uniq_arr))
+              and uniq_arr.min() >= 0 and uniq_arr.max() >= 2
+              and uniq_arr.max() < 1024):
+            n_classes = int(uniq_arr.max()) + 1
+        else:
+            raise SystemExit(
+                "-classify needs 0/1, -1/+1, or integer 0..C-1 targets, "
+                f"got values {sorted(uniq)[:5]}"
+            )
+        target_mean = 0.0
+        if args.verbose:
+            if n_classes == 2:
+                pos = int((targets > 0).sum())
+                print(f"classes: {pos} positive / {n - pos} negative",
+                      file=sys.stderr)
+            else:
+                counts = np.bincount(targets.astype(int),
+                                     minlength=n_classes)
+                print(f"classes: {n_classes} "
+                      f"(counts {counts.tolist()})", file=sys.stderr)
+    else:
+        target_mean = float(targets.mean())
+        targets = targets - target_mean
+        target_variance = float(targets @ targets / n)
+        if args.verbose:
+            print(f"target variance: {target_variance:.5f}", file=sys.stderr)
 
     input_means = inputs.mean(axis=0)
     # reference parity: "stddev" = sqrt(sum of squared deviations)
@@ -209,7 +289,10 @@ def cmd_train(args) -> int:
         )
 
     X = jnp.asarray(inputs)
-    y = jnp.asarray(targets)
+    if args.classify and n_classes > 2:
+        y = jnp.asarray(targets.astype(np.int32))
+    else:
+        y = jnp.asarray(targets)
 
     got_signal = {"flag": False}
 
@@ -246,6 +329,11 @@ def cmd_train(args) -> int:
             last_report["grad"] = time.time()
             print(f"iter {iter:4d}: |gradient|={norm:.5f}", file=sys.stderr,
                   flush=True)
+
+    if n_extensions:
+        return _train_extension(args, X, y, n_inducing, seed, build_params,
+                                got_signal, old_handler, target_mean,
+                                input_means, input_stddevs, n_classes)
 
     if args.trainer != "host":
         trained = _train_on_device(args, X, y, n_inducing, seed,
@@ -514,6 +602,351 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
     return TrainResult(trained, p_f, z_f, s2_f)
 
 
+def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
+                     old_handler, target_mean, input_means, input_stddevs,
+                     n_classes):
+    """-pitc-block/-warp/-classify: the extension model families at the CLI
+    surface.  The reference CLI has no counterpart flags (these families are
+    its manual's unshipped future work, doc/manual/gpr_manual.tex:532-559),
+    so the design is ours: each mode trains the se_fat model through the
+    generic packed-objective device L-BFGS (optim.fit_packed_objective) —
+    single-device or 1-D data-parallel mesh — and writes the SAME artifact
+    schema as the regression path, with mode state in the npz extras:
+
+      * -pitc-block B: PITC evidence (pred state via models.pitc.pitc_coeffs;
+        the artifact serves through the standard predictors unchanged);
+      * -warp K: joint warp training; extras carry the warp parameters and
+        cmd_test integrates the inverse warp by Gauss-Hermite quadrature;
+      * -classify: Laplace classifier; coeffs := U^-1 V'a and
+        r_mat := Rn U collapse the posterior onto the standard predictor
+        algebra (mean/var as FITC), cmd_test applies the probit squash.
+        Integer labels 0..C-1 (C >= 3) select the softmax Laplace
+        (models/classify_multi.py); the m-space predictor state (a_tilde,
+        b_tilde) rides in the extras and cmd_test prints one probability
+        per class.
+
+    -restarts N runs N sequential fits and keeps the lowest final objective
+    (all modes train the mean-NLL-scaled objective, so f is comparable
+    across starts); -checkpoint/-resume follow the device-trainer rules.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .kernels import SeFat
+    from .models.fitc import choose_n_random_inputs
+    from .optim import Bailout, make_pack
+    from .optim.lbfgs_device import fit_packed_objective
+
+    n = X.shape[0]
+    max_iter = args.max_iter if args.max_iter is not None else 100
+    block_size = args.block_size or 8192
+
+    mesh = None
+    if args.trainer == "sharded":
+        from .parallel import make_mesh
+
+        mesh = make_mesh(
+            int(args.devices) if args.devices is not None else None
+        )
+
+    def start(r):
+        rng = np.random.default_rng(seed + r)
+        params = build_params(rng)
+        key = jax.random.PRNGKey(seed + r)
+        z = choose_n_random_inputs(key, SeFat, params, X, n_inducing)
+        return params, z
+
+    last_state = {"st": None}
+
+    def on_chunk(st):
+        last_state["st"] = st
+        if args.checkpoint is not None:
+            from .io.resume import save_device_checkpoint
+
+            save_device_checkpoint(args.checkpoint, st)
+        if args.verbose:
+            print(
+                f"iter {int(st.n_iter):4d}: f={float(st.f):.6f} "
+                f"|gradient|={float(jnp.linalg.norm(st.g)):.5f} "
+                f"evals={int(st.n_evals)}", file=sys.stderr, flush=True,
+            )
+        if got_signal["flag"]:
+            raise Bailout
+
+    def load_resume_state(pack_x0):
+        if not args.resume:
+            return None
+        import os
+
+        if not os.path.exists(args.checkpoint):
+            return None
+        from .io.resume import load_device_checkpoint
+
+        init_state = load_device_checkpoint(args.checkpoint)
+        if init_state.x.shape != pack_x0.shape:
+            raise SystemExit(
+                "checkpoint hyper vector does not match this configuration "
+                "— resume requires the same model/data setup"
+            )
+        return init_state
+
+    common = dict(step=args.step, tol=args.tol, epsabs=args.eps / n,
+                  max_iter=max_iter, state_callback=on_chunk)
+
+    def run_one(r):
+        """One fit from start r; returns (mode-specific result, st)."""
+        params0, z0 = start(r)
+        if args.classify:
+            pack = make_pack(SeFat, params0, z0, 1.0, learn_sigma2=False)
+            if n_classes > 2:
+                from .models.classify_multi import fit_classify_multi
+
+                p, z, st = fit_classify_multi(
+                    SeFat, X, y, pack, n_classes, mesh=mesh,
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+            else:
+                from .models.classify import fit_classify
+
+                p, z, st = fit_classify(
+                    SeFat, X, y, pack, mesh=mesh,
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+            return (p, z, None, None), st, pack
+        if args.warp:
+            from .models.warped import default_warp_params, fit_warped
+
+            pack = make_pack(SeFat, params0, z0, args.sigma2)
+            wp0 = default_warp_params(args.warp, dtype=X.dtype)
+            if mesh is None:
+                p, z, s2, wp, st = fit_warped(
+                    SeFat, X, y, pack, wp0, variational=True,
+                    block_size=block_size,
+                    init_state=load_resume_state(
+                        jnp.concatenate([
+                            pack.x0,
+                            jnp.zeros(3 * args.warp, pack.x0.dtype),
+                        ])
+                    ),
+                    **common,
+                )
+            else:
+                from .models.warped import make_warped_pack
+                from .parallel import shard_batch
+                from .parallel.sharded import sharded_warped_log_evidence
+
+                pack_w, unpack_w = make_warped_pack(pack, wp0)
+                Xs, ys, mask = shard_batch(mesh, X, y)
+
+                def fg(x, Xs, ys, mask):
+                    def f(x):
+                        params, z, sigma2, wp = unpack_w(x)
+                        return -(1.0 / n) * sharded_warped_log_evidence(
+                            SeFat, mesh, params, wp, z, sigma2, Xs, ys,
+                            mask, variational=True, block_size=block_size,
+                        )
+
+                    return jax.value_and_grad(f)(x)
+
+                st = fit_packed_objective(
+                    fg, pack_w, (Xs, ys, mask),
+                    init_state=load_resume_state(pack_w.x0), **common,
+                )
+                p, z, s2, wp = unpack_w(st.x)
+            return (p, z, s2, wp), st, pack
+        # PITC
+        pack = make_pack(SeFat, params0, z0, args.sigma2)
+        if mesh is None:
+            from .models.pitc import pitc_log_evidence
+
+            def fg(x, X, y):
+                def f(x):
+                    params, z, sigma2 = pack.unpack(x)
+                    return -(1.0 / n) * pitc_log_evidence(
+                        SeFat, params, z, sigma2, X, y,
+                        block_size=args.pitc_block,
+                    )
+
+                return jax.value_and_grad(f)(x)
+
+            data = (X, y)
+        else:
+            from .parallel import shard_batch
+            from .parallel.sharded import sharded_pitc_log_evidence
+
+            Xs, ys, mask = shard_batch(mesh, X, y)
+
+            def fg(x, Xs, ys, mask):
+                def f(x):
+                    params, z, sigma2 = pack.unpack(x)
+                    return -(1.0 / n) * sharded_pitc_log_evidence(
+                        SeFat, mesh, params, z, sigma2, Xs, ys, mask,
+                        block_size=args.pitc_block,
+                    )
+
+                return jax.value_and_grad(f)(x)
+
+            data = (Xs, ys, mask)
+        st = fit_packed_objective(
+            fg, pack, data, init_state=load_resume_state(pack.x0), **common,
+        )
+        p, z, s2 = pack.unpack(st.x)
+        return (p, z, s2, None), st, pack
+
+    best = None
+    try:
+        for r in range(max(1, args.restarts)):
+            try:
+                result, st, pack = run_one(r)
+            except Bailout:
+                st = last_state["st"]
+                if st is None:
+                    raise SystemExit("interrupted before the first iteration")
+                result, pack = _unpack_extension_state(args, st, r, X, start)
+            # NaN-safe best (lower mean NLL wins; NaN never beats finite)
+            f = float(st.f)
+            key_ = (not math.isfinite(f), f if math.isfinite(f) else 0.0)
+            if best is None or key_ < best[0]:
+                best = (key_, result, st)
+            if args.verbose and args.restarts > 1:
+                print(f"restart {r}: objective {f:.6f} "
+                      f"(best {float(best[2].f):.6f})", file=sys.stderr)
+            if got_signal["flag"]:
+                break
+    finally:
+        signal.signal(signal.SIGINT, old_handler)
+
+    _, result, st = best
+    if args.verbose:
+        print(f"result: objective={float(st.f):.6f} "
+              f"|gradient|={float(np.linalg.norm(np.asarray(st.g))):.2e}",
+              file=sys.stderr)
+    _write_extension_artifact(args, result, X, y, target_mean, input_means,
+                              input_stddevs, block_size, n_classes)
+    return 0
+
+
+def _unpack_extension_state(args, st, r, X, start):
+    """Rebuild (result, pack) from a bailed-out optimizer state."""
+    import jax.numpy as jnp
+
+    from .kernels import SeFat
+    from .optim import make_pack
+
+    params0, z0 = start(r)
+    if args.classify:
+        pack = make_pack(SeFat, params0, z0, 1.0, learn_sigma2=False)
+        p, z, _ = pack.unpack(st.x)
+        return (p, z, None, None), pack
+    if args.warp:
+        from .models.warped import default_warp_params, make_warped_pack
+
+        pack = make_pack(SeFat, params0, z0, args.sigma2)
+        wp0 = default_warp_params(args.warp, dtype=X.dtype)
+        _, unpack_w = make_warped_pack(pack, wp0)
+        return unpack_w(st.x), pack
+    pack = make_pack(SeFat, params0, z0, args.sigma2)
+    p, z, s2 = pack.unpack(st.x)
+    return (p, z, s2, None), pack
+
+
+def _write_extension_artifact(args, result, X, y, target_mean, input_means,
+                              input_stddevs, block_size, n_classes=2):
+    """Build and save the predictor artifact for the extension modes —
+    always the standard schema (inducing/coeffs/chol_km/r_mat) so cmd_test
+    and downstream tooling serve every mode through the same algebra."""
+    import jax
+    import jax.numpy as jnp
+
+    from .io.checkpoint import ModelArtifact, save_model
+    from .kernels import SeFat
+    from .numerics.linalg import (
+        cholesky_upper,
+        matmul,
+        solve_tri,
+    )
+
+    p, z, s2, wp = result
+    extra = {}
+    if args.classify and n_classes > 2:
+        # softmax Laplace: the persistable m-space state (coeffs (m, C) in
+        # the standard slot; per-class quadratic forms in the extras) —
+        # every n-sized object is reduced away before saving
+        from .models.classify_multi import multiclass_posterior_state
+
+        inducing, coeffs, a_tilde, b_tilde = multiclass_posterior_state(
+            SeFat, p, z, X, y, n_classes,
+        )
+        chol_km = inducing.chol_km
+        r_mat = chol_km  # unused by the multi-class test path
+        z = inducing.z
+        sigma2 = 0.0
+        extra["classify"] = np.asarray(n_classes)
+        extra["mc_a_tilde"] = np.asarray(a_tilde)
+        extra["mc_b_tilde"] = np.asarray(b_tilde)
+    elif args.classify:
+        from .models.classify import laplace_mode
+
+        f_hat, a, inducing, v, d = laplace_mode(SeFat, p, z, X, y)
+        pi = jax.nn.sigmoid(f_hat)
+        w = jnp.maximum(pi * (1.0 - pi), 1e-12)
+        d2inv = w / (1.0 + w * d)
+        vs = v * jnp.sqrt(d2inv)[:, None]
+        rn = cholesky_upper(
+            jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+            jitter=0.0,
+        )
+        # mu* = K*m [U^-1 V'a]; var* = k** - rowsq(K*m U^-1)
+        #       + rowsq(K*m (Rn U)^-1): the standard predictor shapes
+        coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        r_mat = matmul(rn, inducing.chol_km)
+        chol_km = inducing.chol_km
+        sigma2 = 0.0
+        extra["classify"] = np.asarray(2)  # the number of classes
+    elif wp is not None:  # warped
+        from .models.streaming import streaming_trained
+        from .models.warped import warp
+
+        t = warp(wp, y)
+        trained = streaming_trained(
+            SeFat, p, z, s2, X, t, variational=True, block_size=block_size,
+        )
+        coeffs = trained.coeffs
+        chol_km = trained.model.inducing.chol_km
+        r_mat = trained.model.r_mat
+        z = trained.model.inducing.z
+        sigma2 = float(s2)
+        extra.update(
+            warp_log_a=np.asarray(wp.log_a),
+            warp_log_b=np.asarray(wp.log_b),
+            warp_c=np.asarray(wp.c),
+        )
+    else:  # PITC
+        from .models.pitc import pitc_coeffs
+
+        inducing, r_mat, coeffs = pitc_coeffs(
+            SeFat, p, z, s2, X, y, block_size=args.pitc_block,
+        )
+        chol_km = inducing.chol_km
+        z = inducing.z
+        sigma2 = float(s2)
+        extra["pitc_block"] = np.asarray(args.pitc_block)
+
+    art = ModelArtifact(
+        family_name=SeFat.name,
+        kernel_params=p,
+        inducing=np.asarray(z),
+        coeffs=np.asarray(coeffs),
+        chol_km=np.asarray(chol_km),
+        r_mat=np.asarray(r_mat),
+        sigma2=sigma2,
+        target_mean=target_mean,
+        input_means=input_means,
+        input_stddevs=input_stddevs,
+    )
+    save_model(args.model, art, extra_arrays=extra)
+
+
 def cmd_test(args) -> int:
     import jax.numpy as jnp
 
@@ -525,7 +958,7 @@ def cmd_test(args) -> int:
         predict_variances,
     )
 
-    art, _ = load_model(args.model)
+    art, extra = load_model(args.model)
     family = art.family
     data = read_samples(sys.stdin)
     big_dim = art.input_means.shape[0]
@@ -539,6 +972,85 @@ def cmd_test(args) -> int:
     params = art.kernel_params
 
     mp = MeanPredictor(z=jnp.asarray(art.inducing), coeffs=jnp.asarray(art.coeffs))
+
+    if "classify" in extra and int(extra["classify"]) > 2:
+        # softmax Laplace artifact: joint C-variate latent Gaussian per
+        # point from the persisted m-space state, MC-softmax class
+        # probabilities (one column per class; -with-stddev appends the
+        # per-class latent stddevs).
+        from .models.classify_multi import multiclass_predict_from_state
+
+        probs, _, sigma = multiclass_predict_from_state(
+            family, params, jnp.asarray(art.inducing),
+            jnp.asarray(art.coeffs),
+            jnp.asarray(extra["mc_a_tilde"]),
+            jnp.asarray(extra["mc_b_tilde"]),
+            X, n_samples=2048,
+        )
+        probs = np.asarray(probs)
+        sd = np.sqrt(np.maximum(
+            np.diagonal(np.asarray(sigma), axis1=1, axis2=2), 0.0
+        ))
+        for p_row, s_row in zip(probs, sd):
+            cols = [f"{v:f}" for v in p_row]
+            if args.with_stddev:
+                cols += [f"{v:f}" for v in s_row]
+            print(",".join(cols))
+        return 0
+
+    if "classify" in extra:
+        # Laplace classifier artifact: latent mean/var through the standard
+        # predictors (r_mat = Rn U collapses the posterior onto them), then
+        # MacKay's probit squash for the class probability.
+        cvp = CoVariancePredictor(
+            z=jnp.asarray(art.inducing),
+            chol_km=jnp.asarray(art.chol_km),
+            r_mat=jnp.asarray(art.r_mat),
+        )
+        mu = np.asarray(predict_means(family, params, mp, X))
+        var = np.asarray(
+            predict_variances(family, params, cvp, X, 0.0, predictive=False)
+        )
+        var = np.maximum(var, 0.0)
+        prob = 1.0 / (1.0 + np.exp(-mu / np.sqrt(1.0 + np.pi * var / 8.0)))
+        for p_i, v_i in zip(prob, var):
+            if args.with_stddev:
+                print(f"{p_i:f},{math.sqrt(v_i):f}")
+            else:
+                print(f"{p_i:f}")
+        return 0
+
+    if "warp_log_a" in extra:
+        # Warped artifact: the latent posterior is Gaussian in t-space;
+        # observation-space moments integrate the inverse warp by
+        # Gauss-Hermite quadrature (predictive t-variance — the observed
+        # y carries the noise through the warp).
+        from .models.warped import WarpParams, warped_predict_moments
+
+        wp = WarpParams(
+            log_a=jnp.asarray(extra["warp_log_a"]),
+            log_b=jnp.asarray(extra["warp_log_b"]),
+            c=jnp.asarray(extra["warp_c"]),
+        )
+        cvp = CoVariancePredictor(
+            z=jnp.asarray(art.inducing),
+            chol_km=jnp.asarray(art.chol_km),
+            r_mat=jnp.asarray(art.r_mat),
+        )
+        mu = predict_means(family, params, mp, X)
+        var = predict_variances(
+            family, params, cvp, X, art.sigma2, predictive=True
+        )
+        mean_y, var_y = warped_predict_moments(wp, mu, jnp.maximum(var, 0.0))
+        mean_y = np.asarray(mean_y) + art.target_mean
+        var_y = np.asarray(var_y)
+        for m_i, v_i in zip(mean_y, var_y):
+            if args.with_stddev:
+                print(f"{m_i:f},{math.sqrt(max(v_i, 0.0)):f}")
+            else:
+                print(f"{m_i:f}")
+        return 0
+
     means = np.asarray(predict_means(family, params, mp, X)) + art.target_mean
 
     if args.with_stddev:

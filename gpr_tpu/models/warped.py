@@ -145,6 +145,23 @@ def warped_predict_mean(wp: WarpParams, latent_means, latent_variances,
     return jnp.sum(ws * inv, axis=-1)
 
 
+def warped_predict_moments(wp: WarpParams, latent_means, latent_variances,
+                           *, n_nodes: int = 20):
+    """(E[y*], Var[y*]) in observation space by Gauss-Hermite quadrature:
+    the first two moments of g^-1(t) with t ~ N(mu, s2).  Pass the
+    PREDICTIVE t-space variance (latent + sigma2) for observation moments,
+    the latent variance for function moments."""
+    xs, ws = np.polynomial.hermite.hermgauss(n_nodes)
+    xs = jnp.asarray(xs, latent_means.dtype)
+    ws = jnp.asarray(ws / np.sqrt(np.pi), latent_means.dtype)
+    s = jnp.sqrt(latent_variances)
+    nodes = latent_means[..., None] + jnp.sqrt(2.0) * s[..., None] * xs
+    inv = warp_inv(wp, nodes)
+    m1 = jnp.sum(ws * inv, axis=-1)
+    m2 = jnp.sum(ws * inv * inv, axis=-1)
+    return m1, jnp.maximum(m2 - m1 * m1, 0.0)
+
+
 def make_warped_pack(pack, wp0: WarpParams):
     """Extend an ``optim.make_pack`` HyperPack with warp parameters.
 

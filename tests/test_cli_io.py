@@ -350,6 +350,183 @@ def test_cli_sharded_restarts(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_cli_pitc(tmp_path, rng):
+    """-pitc-block B trains with the PITC evidence; artifact serves via
+    the standard predictors (schema-identical to the regression path)."""
+    model_file = str(tmp_path / "model.npz")
+    csv, _, _ = make_csv(rng, n=96, d=2)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "6",
+         "-max-iter", "6", "-seed", "5", "-trainer", "device",
+         "-pitc-block", "16", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    from gpr_tpu.io import load_model
+
+    art, extra = load_model(model_file)
+    assert int(extra["pitc_block"]) == 16
+    assert np.isfinite(art.coeffs).all() and np.isfinite(art.r_mat).all()
+
+    test_csv, _, _ = make_csv(rng, n=6, d=2, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file, "-with-stddev"],
+                  test_csv)
+    assert res.returncode == 0, res.stderr
+    for line in res.stdout.strip().splitlines():
+        mean, sd = map(float, line.split(","))
+        assert np.isfinite(mean) and sd > 0
+
+    # host trainer must reject the extension flags
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-pitc-block", "16"], csv
+    )
+    assert res.returncode != 0
+    assert "require -trainer device|sharded" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_warp(tmp_path, rng):
+    """-warp K learns the tanh-sum warp jointly; test output integrates the
+    inverse warp (finite means/stddevs on skewed targets)."""
+    model_file = str(tmp_path / "model.npz")
+    X = rng.standard_normal((90, 2))
+    latent = np.sin(X.sum(axis=1)) + 0.05 * rng.standard_normal(90)
+    y = np.cbrt(latent)  # skewed observation
+    csv = "\n".join(
+        ",".join(f"{v:.8f}" for v in list(row) + [t])
+        for row, t in zip(X, y)
+    ) + "\n"
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "6",
+         "-max-iter", "8", "-seed", "5", "-trainer", "device",
+         "-warp", "2"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    from gpr_tpu.io import load_model
+
+    art, extra = load_model(model_file)
+    assert extra["warp_log_a"].shape == (2,)
+
+    test_csv, _, _ = make_csv(rng, n=6, d=2, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file, "-with-stddev"],
+                  test_csv)
+    assert res.returncode == 0, res.stderr
+    lines = res.stdout.strip().splitlines()
+    assert len(lines) == 6
+    for line in lines:
+        mean, sd = map(float, line.split(","))
+        assert np.isfinite(mean) and sd > 0
+        assert abs(mean) < 5.0  # in the target range, not latent space
+
+
+@pytest.mark.slow
+def test_cli_classify(tmp_path, rng):
+    """-classify trains the Laplace classifier; test output is a class
+    probability that actually separates the two blobs.  Also covers the
+    sharded trainer and 0/1-label mapping."""
+    n = 120
+    X = rng.standard_normal((n, 2))
+    y01 = (X[:, 0] + X[:, 1] > 0).astype(float)  # separable blobs, 0/1
+    csv = "\n".join(
+        ",".join(f"{v:.8f}" for v in list(row) + [t])
+        for row, t in zip(X, y01)
+    ) + "\n"
+
+    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"])]:
+        model_file = str(tmp_path / f"model_{trainer}.npz")
+        res = run_cli(
+            ["-cmd", "train", "-model", model_file, "-n-inducing", "8",
+             "-max-iter", "10", "-seed", "5", "-trainer", trainer,
+             "-classify", "-verbose", *extra_args],
+            csv,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "classes: " in res.stderr
+
+        # probe far into each blob: probabilities must separate
+        test_csv = "2.0,2.0\n-2.0,-2.0\n"
+        res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
+        assert res.returncode == 0, res.stderr
+        p_pos, p_neg = [float(v) for v in res.stdout.strip().splitlines()]
+        assert p_pos > 0.8 and p_neg < 0.2
+
+        res = run_cli(["-cmd", "test", "-model", model_file, "-with-stddev"],
+                      test_csv)
+        assert res.returncode == 0, res.stderr
+        for line in res.stdout.strip().splitlines():
+            prob, sd = map(float, line.split(","))
+            assert 0.0 <= prob <= 1.0 and sd >= 0
+
+    # bad labels are rejected
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad.npz"), "-classify",
+         "-trainer", "device"],
+        "1.0,2.0,0.5\n2.0,1.0,1.0\n",
+    )
+    assert res.returncode != 0
+    assert "-classify needs 0/1" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_classify_multiclass(tmp_path, rng):
+    """Integer 0..C-1 targets route to the softmax Laplace: the artifact
+    carries the m-space multi-class state and -cmd test prints one
+    probability per class that picks the right blob."""
+    C, n_per = 3, 30
+    centers = np.array([[2.5, 0.0], [-1.5, 2.5], [-1.5, -2.5]])
+    Xn = np.concatenate([
+        centers[c] + 0.5 * rng.standard_normal((n_per, 2)) for c in range(C)
+    ])
+    yn = np.repeat(np.arange(C), n_per).astype(float)
+    perm = rng.permutation(len(yn))
+    Xn, yn = Xn[perm], yn[perm]
+    csv = "\n".join(
+        ",".join(f"{v:.8f}" for v in list(row) + [t])
+        for row, t in zip(Xn, yn)
+    ) + "\n"
+
+    model_file = str(tmp_path / "model_mc.npz")
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "9",
+         "-max-iter", "10", "-seed", "7", "-trainer", "device",
+         "-classify", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "classes: 3" in res.stderr
+
+    from gpr_tpu.io import load_model
+
+    art, extra = load_model(model_file)
+    assert int(extra["classify"]) == C
+    assert art.coeffs.shape[1] == C
+    assert extra["mc_b_tilde"].shape[:2] == (C, C)
+
+    # probe the three blob centers: each row is C probabilities summing
+    # to 1, and the argmax recovers the class
+    test_csv = "\n".join(",".join(f"{v}" for v in c) for c in centers) + "\n"
+    res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
+    assert res.returncode == 0, res.stderr
+    lines = res.stdout.strip().splitlines()
+    assert len(lines) == C
+    for c, line in enumerate(lines):
+        probs = [float(v) for v in line.split(",")]
+        assert len(probs) == C
+        np.testing.assert_allclose(sum(probs), 1.0, atol=1e-3)
+        assert int(np.argmax(probs)) == c and max(probs) > 0.5
+
+    # -with-stddev appends one latent stddev per class
+    res = run_cli(["-cmd", "test", "-model", model_file, "-with-stddev"],
+                  test_csv)
+    assert res.returncode == 0, res.stderr
+    for line in res.stdout.strip().splitlines():
+        vals = [float(v) for v in line.split(",")]
+        assert len(vals) == 2 * C
+        assert all(v >= 0 for v in vals)
+
+
+@pytest.mark.slow
 def test_cli_sharded_2d_mesh(tmp_path, rng):
     """-devices DxM trains over the 2-D (data x model) mesh
     (fit_sharded_2d) and the artifact round-trips."""
