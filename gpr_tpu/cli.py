@@ -225,6 +225,11 @@ def cmd_train(args) -> int:
                 "-classify needs 0/1, -1/+1, or integer 0..C-1 targets, "
                 f"got values {sorted(uniq)[:5]}"
             )
+        if n_classes > 2 and args.block_size:
+            raise SystemExit(
+                "-block-size (streaming Newton) supports binary -classify "
+                "only; the softmax Laplace materializes V"
+            )
         target_mean = 0.0
         if args.verbose:
             if n_classes == 2:
@@ -710,6 +715,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
 
                 p, z, st = fit_classify(
                     SeFat, X, y, pack, mesh=mesh,
+                    block_size=args.block_size,  # None = materialized V
                     init_state=load_resume_state(pack.x0), **common,
                 )
             return (p, z, None, None), st, pack
@@ -884,6 +890,19 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         extra["classify"] = np.asarray(n_classes)
         extra["mc_a_tilde"] = np.asarray(a_tilde)
         extra["mc_b_tilde"] = np.asarray(b_tilde)
+    elif args.classify and args.block_size:
+        # streaming state: V never materializes (classify_stream.py);
+        # vta = V'a and Rn come out of the epilogue sweep directly
+        from .models.classify_stream import stream_classify_parts
+
+        inducing, _, _, _, vta, rn, *_ = stream_classify_parts(
+            SeFat, p, z, X, y, block_size=args.block_size,
+        )
+        coeffs = solve_tri(inducing.chol_km, vta)
+        r_mat = matmul(rn, inducing.chol_km)
+        chol_km = inducing.chol_km
+        sigma2 = 0.0
+        extra["classify"] = np.asarray(2)
     elif args.classify:
         from .models.classify import laplace_mode
 

@@ -184,10 +184,21 @@ def laplace_mode(
 
 def classify_log_evidence(
     family, params, z, X, y, *, newton_iters: int = 15,
-    jitter: float | None = None,
+    jitter: float | None = None, block_size: int | None = None,
 ):
     """Laplace marginal likelihood log q(y | X, hypers) (GPML eq. 3.32).
-    Differentiable w.r.t. (params, z) through the unrolled Newton mode."""
+    Differentiable w.r.t. (params, z) through the unrolled Newton mode.
+
+    ``block_size`` switches to the streaming Newton (classify_stream.py):
+    V never materializes at (n, m), so n is unbounded — identical value
+    and gradients at ~3x the passes."""
+    if block_size is not None:
+        from .classify_stream import stream_classify_log_evidence
+
+        return stream_classify_log_evidence(
+            family, params, z, X, y, block_size=block_size,
+            newton_iters=newton_iters, jitter=jitter,
+        )
     f_hat, a, inducing, v, d = laplace_mode(
         family, params, z, X, y, newton_iters=newton_iters, jitter=jitter
     )
@@ -204,7 +215,7 @@ def classify_log_evidence(
 
 def classify_predict(
     family, params, z, X, y, Xstar, *, newton_iters: int = 15,
-    jitter: float | None = None,
+    jitter: float | None = None, block_size: int | None = None,
 ):
     """(prob, latent_mean, latent_var) at Xstar.
 
@@ -213,7 +224,15 @@ def classify_predict(
     S(I+S)^-1 = I - (I+S)^-1 collapses the Woodbury quadratic form onto
     the FITC predictive-variance shape.  Class probability via MacKay's
     probit approximation to the logistic-Gaussian integral.
+    ``block_size`` streams the mode + state (classify_stream.py).
     """
+    if block_size is not None:
+        from .classify_stream import stream_classify_predict
+
+        return stream_classify_predict(
+            family, params, z, X, y, Xstar, block_size=block_size,
+            newton_iters=newton_iters, jitter=jitter,
+        )
     f_hat, a, inducing, v, d = laplace_mode(
         family, params, z, X, y, newton_iters=newton_iters, jitter=jitter
     )
@@ -241,7 +260,7 @@ def classify_predict(
 def fit_classify(
     family, X, y, pack, *, newton_iters: int = 15,
     jitter: float | None = None, normalize: bool = True, mesh=None,
-    **fit_kwargs,
+    block_size: int | None = None, **fit_kwargs,
 ):
     """Hyper + inducing training of the Laplace classifier with the
     device L-BFGS (optim.fit_packed_objective conventions).
@@ -251,6 +270,8 @@ def fit_classify(
     to no effect and wastes a coordinate; this function rejects it to
     catch the mistake early).  With ``mesh``, X/y shard over the data
     axis and the objective is parallel.sharded_classify_log_evidence.
+    ``block_size`` streams the Newton (memory O(n + block x m) per
+    device, so n is unbounded); both options compose.
 
     Returns ``(params, z, state)``.
     """
@@ -269,6 +290,7 @@ def fit_classify(
                 return -scale * classify_log_evidence(
                     family, params, z, X, y,
                     newton_iters=newton_iters, jitter=jitter,
+                    block_size=block_size,
                 )
 
             return jax.value_and_grad(f)(x)
@@ -288,6 +310,7 @@ def fit_classify(
                 return -scale * sharded_classify_log_evidence(
                     family, mesh, params, z, Xs, ys, mask,
                     newton_iters=newton_iters, jitter=jitter,
+                    block_size=block_size,
                 )
 
             return jax.value_and_grad(f)(x)

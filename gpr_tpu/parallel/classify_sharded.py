@@ -46,16 +46,42 @@ def sharded_classify_log_evidence(
     *,
     newton_iters: int = 15,
     jitter: float | None = None,
+    block_size: int | None = None,
 ):
     """Distributed Laplace evidence.  X (n, d) and y (n,) in {-1, +1} must
     be row-sharded (or row-shardable) over ``mesh``; params/z replicate;
     ``mask`` zeroes padded rows (see ``sharded.shard_batch``).
+
+    ``block_size`` streams the per-shard Newton (models/classify_stream.py
+    with psum as the reduction hook): per-device memory drops from the
+    local (n/devices, m) V to O(block x m), so n is unbounded in BOTH
+    axes — across the mesh and within each shard.
 
     Wrap in jax.jit(jax.value_and_grad(...)) for training — grad of a
     shard_map-calling function must run inside jit.
     """
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
+
+    if block_size is not None:
+        from ..models.classify_stream import stream_classify_log_evidence
+
+        def shard_fn_stream(params, z, xs, ys, ms):
+            return stream_classify_log_evidence(
+                family, params, z, xs, ys, block_size=block_size,
+                newton_iters=newton_iters, jitter=jitter, mask=ms,
+                allsum=_allsum,
+            )
+
+        fn = jax.shard_map(
+            shard_fn_stream,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                      P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(params, z, X, y, mask)
 
     def shard_fn(params, z, xs, ys, ms):
         inducing, v, d = _fitc_prior(family, params, z, xs, jitter)

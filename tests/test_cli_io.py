@@ -433,7 +433,10 @@ def test_cli_classify(tmp_path, rng):
         for row, t in zip(X, y01)
     ) + "\n"
 
-    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"])]:
+    # device also takes -block-size: streaming Newton + streaming artifact
+    # epilogue (classify_stream.py) — the n-unbounded path end to end
+    for trainer, extra_args in [("device", ["-block-size", "32"]),
+                                ("sharded", ["-devices", "4"])]:
         model_file = str(tmp_path / f"model_{trainer}.npz")
         res = run_cli(
             ["-cmd", "train", "-model", model_file, "-n-inducing", "8",
