@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(models/classify_multi.py; test output is one "
                         "probability per class).  Requires -trainer "
                         "device|sharded")
+    p.add_argument("-approx", choices=["laplace", "ep"], default="laplace",
+                   help="Gaussian approximation for -classify (binary): "
+                        "laplace (default; logit likelihood, MacKay probit "
+                        "squash) or ep (expectation propagation, probit "
+                        "likelihood, exact predictive — "
+                        "models/classify_ep.py)")
     p.add_argument("-polish", type=int, default=0, metavar="N",
                    help="f64 finishing step after training: re-optimize the "
                         "hypers on a host-CPU f64 objective over N "
@@ -229,6 +235,16 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 "-block-size (streaming Newton) supports binary -classify "
                 "only; the softmax Laplace materializes V"
+            )
+        if args.approx == "ep" and n_classes > 2:
+            raise SystemExit(
+                "-approx ep supports binary -classify only (multi-class "
+                "uses the softmax Laplace)"
+            )
+        if args.approx == "ep" and args.block_size:
+            raise SystemExit(
+                "-approx ep has no streaming variant; drop -block-size "
+                "(the mesh trainer already unbounds n across devices)"
             )
         target_mean = 0.0
         if args.verbose:
@@ -710,6 +726,13 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                     SeFat, X, y, pack, n_classes, mesh=mesh,
                     init_state=load_resume_state(pack.x0), **common,
                 )
+            elif args.approx == "ep":
+                from .models.classify_ep import fit_classify_ep
+
+                p, z, st = fit_classify_ep(
+                    SeFat, X, y, pack, mesh=mesh,
+                    init_state=load_resume_state(pack.x0), **common,
+                )
             else:
                 from .models.classify import fit_classify
 
@@ -890,6 +913,20 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         extra["classify"] = np.asarray(n_classes)
         extra["mc_a_tilde"] = np.asarray(a_tilde)
         extra["mc_b_tilde"] = np.asarray(b_tilde)
+    elif args.classify and args.approx == "ep":
+        # EP posterior collapses onto the standard predictor algebra
+        # exactly like Laplace (k*'Pk* = v*(I - (I+W)^-1)v*'); only the
+        # test-time squash differs — the "ep" extra selects the exact
+        # probit predictive in cmd_test
+        from .models.classify_ep import ep_posterior_state
+
+        inducing, coeffs, rn = ep_posterior_state(SeFat, p, z, X, y)
+        r_mat = matmul(rn, inducing.chol_km)
+        chol_km = inducing.chol_km
+        z = inducing.z
+        sigma2 = 0.0
+        extra["classify"] = np.asarray(2)
+        extra["ep"] = np.asarray(1)
     elif args.classify and args.block_size:
         # streaming state: V never materializes (classify_stream.py);
         # vta = V'a and Rn come out of the epilogue sweep directly
@@ -1018,9 +1055,11 @@ def cmd_test(args) -> int:
         return 0
 
     if "classify" in extra:
-        # Laplace classifier artifact: latent mean/var through the standard
-        # predictors (r_mat = Rn U collapses the posterior onto them), then
-        # MacKay's probit squash for the class probability.
+        # classifier artifact: latent mean/var through the standard
+        # predictors (r_mat = Rn U collapses the posterior onto them),
+        # then the class-probability squash — MacKay's probit
+        # approximation for the logit/Laplace model, the EXACT probit
+        # predictive Phi(mu/sqrt(1+var)) for EP
         cvp = CoVariancePredictor(
             z=jnp.asarray(art.inducing),
             chol_km=jnp.asarray(art.chol_km),
@@ -1031,7 +1070,12 @@ def cmd_test(args) -> int:
             predict_variances(family, params, cvp, X, 0.0, predictive=False)
         )
         var = np.maximum(var, 0.0)
-        prob = 1.0 / (1.0 + np.exp(-mu / np.sqrt(1.0 + np.pi * var / 8.0)))
+        if "ep" in extra:
+            from scipy.stats import norm as _norm
+
+            prob = _norm.cdf(mu / np.sqrt(1.0 + var))
+        else:
+            prob = 1.0 / (1.0 + np.exp(-mu / np.sqrt(1.0 + np.pi * var / 8.0)))
         for p_i, v_i in zip(prob, var):
             if args.with_stddev:
                 print(f"{p_i:f},{math.sqrt(v_i):f}")

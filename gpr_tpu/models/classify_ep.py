@@ -55,7 +55,6 @@ from ..numerics.linalg import (
 )
 from .classify import _fitc_prior
 
-_SQRT2 = 1.4142135623730951
 
 
 def _log_ndtr(z):
@@ -90,15 +89,26 @@ def ep_sweeps(
     """
     m = v.shape[1]
     eye = jnp.eye(m, dtype=v.dtype)
-    kdiag = rows_sqr_norm(v) + d
-
-    def kdot(x):
-        return matmul(v, allsum(matmul(v.T, x))) + d * x
 
     def marginals(ttau, tnu):
         """(mu, sigma2) of N(mu, Sigma), Sigma = (K^-1 + diag(ttau))^-1,
-        mu = Sigma tnu — via Sigma = K - K P K."""
+        mu = Sigma tnu.
+
+        NOT via Sigma = K - K P K: for well-determined rows diag(KPK)
+        cancels against diag(K) below the f32 GEMM noise floor (measured
+        on v5e at n=1e6: 135k rows came out NEGATIVE on sweep 1, the
+        clipped variances made the cavities absurdly confident, and the
+        site iteration blew up to NaN by sweep 3).  A second Woodbury
+        around K = VV' + D gives Sigma as a SUM OF POSITIVE terms
+        sharing the same m x m factor R'R = I + V'QV:
+
+          Sigma = diag(d g) + Vt (R'R)^-1 Vt',   Vt = diag(g) V,
+          g = 1/(1 + ttau d),   Q = diag(ttau g)
+
+        (at ttau = 0 this is exactly d + rowsq(V) = diag(K)).
+        """
         q = ttau / (1.0 + ttau * d)
+        g = 1.0 / (1.0 + ttau * d)
         # double-where gate: the first sweep has ALL sites at ttau = 0 and
         # the sqrt cotangent at 0 is inf (inf * 0 = NaN in reverse mode)
         pos = q > 0.0
@@ -113,19 +123,14 @@ def ep_sweeps(
                                        trans=True))
             return qx - q * matmul(v, t)
 
-        # diag(K P K) = rowsum((V M1) V) + 2 d rowsum(V N1) + d^2 diag(P)
-        aw = solve_tri(r, solve_tri(r, w, trans=True))  # (R'R)^-1 W
-        m1 = w - matmul(w, aw)
-        n1 = (v * q[:, None]) - q[:, None] * matmul(v, aw)
-        diag_p = q - q * q * rows_sqr_norm(solve_tri(r, v.T, trans=True).T)
-        diag_kpk = (
-            jnp.sum(matmul(v, m1) * v, axis=1)
-            + 2.0 * d * jnp.sum(v * n1, axis=1)
-            + d * d * diag_p
+        vt = v * g[:, None]
+        gt = allsum(matmul(v.T, g * tnu))  # Vt' tnu
+        mu = d * g * tnu + matmul(
+            vt, solve_tri(r, solve_tri(r, gt, trans=True))
         )
-        ktnu = kdot(tnu)
-        mu = ktnu - kdot(pdot(ktnu))
-        sigma2 = jnp.maximum(kdiag - diag_kpk, 1e-12)
+        sigma2 = d * g + rows_sqr_norm(
+            solve_tri(r, vt.T, trans=True).T
+        )
         return mu, sigma2, r, pdot
 
     def sweep(carry, _):
@@ -175,50 +180,57 @@ def _ep_state(v, d, y, mask, ttau, tnu, allsum=lambda x: x):
 
 def ep_log_evidence_from_sites(v, d, y, mask, ttau, tnu,
                                allsum=lambda x: x):
-    """log Z_EP given converged sites (docstring derivation; masked rows
-    have (ttau, tnu) = (0, 0) and are excluded from every sum)."""
+    """log Z_EP given converged sites (docstring derivation), in a form
+    robust to ttau_i = 0.
+
+    Confident rows' site precisions genuinely underflow in f32 (the probit
+    d2lZ ~ exp(-z^2/2) is subnormal past z ~ 13, routine at n ~ 1e6), and
+    the naive formula then takes log(0) twice.  The two divergences cancel
+    analytically per row, so fold them: the site-normalizer variance term
+    and the determinant's diagonal factor combine to
+
+      1/2 log((s2_ni + 1/ttau)/(d_i + 1/ttau))
+        = 1/2 [log1p(ttau s2_ni) - log1p(ttau d_i)]     (exactly 0 at 0),
+
+    and the site-mean quadratic becomes
+    (ttau mu_ni - tnu)^2 / (2 ttau (1 + ttau s2_ni)), where-gated on
+    ttau > 0 (tnu underflows at the same rate, giving 0/0 otherwise).
+    Masked rows have (ttau, tnu) = (0, 0) and contribute exactly nothing.
+    """
     q, r, pdot = _ep_state(v, d, y, mask, ttau, tnu, allsum)
-    kdiag = rows_sqr_norm(v) + d
 
-    # marginals once more for the cavity-based site-normalizer terms
-    def kdot(x):
-        return matmul(v, allsum(matmul(v.T, x))) + d * x
+    # marginals once more for the cavity-based site-normalizer terms —
+    # the cancellation-free double-Woodbury form (see ep_sweeps.marginals)
+    g = 1.0 / (1.0 + ttau * d)
+    vt = v * g[:, None]
+    gt = allsum(matmul(v.T, g * tnu))
+    mu = d * g * tnu + matmul(vt, solve_tri(r, solve_tri(r, gt,
+                                                         trans=True)))
+    sigma2 = d * g + rows_sqr_norm(solve_tri(r, vt.T, trans=True).T)
 
-    ktnu = kdot(tnu)
-    mu = ktnu - kdot(pdot(ktnu))
-    aw = solve_tri(r, solve_tri(r, allsum(matmul(v.T, v * q[:, None])),
-                                trans=True))
-    m1 = allsum(matmul((v * q[:, None]).T, v)) \
-        - matmul(allsum(matmul((v * q[:, None]).T, v)), aw)
-    n1 = (v * q[:, None]) - q[:, None] * matmul(v, aw)
-    diag_p = q - q * q * rows_sqr_norm(solve_tri(r, v.T, trans=True).T)
-    diag_kpk = (
-        jnp.sum(matmul(v, m1) * v, axis=1)
-        + 2.0 * d * jnp.sum(v * n1, axis=1)
-        + d * d * diag_p
-    )
-    sigma2 = jnp.maximum(kdiag - diag_kpk, 1e-12)
-
-    ttau_s = jnp.maximum(ttau, 1e-10)  # masked/zero sites: excluded below
     tau_n = jnp.maximum(1.0 / sigma2 - ttau, 1e-10)
     nu_n = mu / sigma2 - tnu
     mu_n = nu_n / tau_n
     s2_n = 1.0 / tau_n
     lZ, _, _ = _probit_moments(y, mu_n, s2_n)
 
-    mu_site = tnu / ttau_s
-    s2_site = 1.0 / ttau_s
+    active = ttau > 0.0
+    ttau_s = jnp.where(active, ttau, 1.0)
     site_terms = (
         lZ
-        + 0.5 * jnp.log(s2_n + s2_site)
-        + 0.5 * (mu_n - mu_site) ** 2 / (s2_n + s2_site)
+        + 0.5 * (jnp.log1p(ttau * s2_n) - jnp.log1p(ttau * d))
+        + jnp.where(
+            active,
+            0.5 * (ttau * mu_n - tnu) ** 2
+            / (ttau_s * (1.0 + ttau * s2_n)),
+            0.0,
+        )
     )
-    # log|K + S~| = -sum log q + log|I + V'QV|  (q = 1/(d + 1/ttau))
-    log_det = -allsum(jnp.sum(mask * jnp.log(jnp.where(mask > 0, q, 1.0)))) \
-        + log_det_tri(r)
-    mu_t = mask * mu_site
+    # remaining log|K + S~| piece after the diagonal fold: log|I + V'QV|
+    mu_t = jnp.where(active, tnu / ttau_s, 0.0)
     quad = allsum(jnp.sum(mu_t * pdot(mu_t)))
-    return allsum(jnp.sum(mask * site_terms)) - 0.5 * log_det - 0.5 * quad
+    return (allsum(jnp.sum(mask * site_terms))
+            - 0.5 * log_det_tri(r) - 0.5 * quad)
 
 
 def ep_log_evidence(
@@ -271,13 +283,41 @@ def ep_predict(
     return prob, mu, var
 
 
+def ep_posterior_state(
+    family, params, z, X, y, *, n_sweeps: int = 20, damping: float = 0.5,
+    jitter: float | None = None,
+):
+    """The persistable m-space EP predictor state in the STANDARD artifact
+    shapes: (inducing, coeffs, rn) with
+
+      mu*  = K*m [U^-1 V'(P mu~)] = K*m coeffs
+      var* = k** - rowsq(K*m U^-1) + rowsq(K*m (Rn U)^-1)
+
+    since k*'P k* = v* (W - W(I+W)^-1 W) v*' = v*(I - (I+W)^-1)v*' — the
+    same algebraic collapse as the Laplace posterior, so EP models serve
+    through the shared predictors; only the output squash differs (the
+    probit predictive Phi(mu/sqrt(1+var)) is exact for EP's sites).
+    """
+    inducing, v, d = _fitc_prior(family, params, z, X, jitter)
+    mask = jnp.ones_like(y)
+    ttau, tnu = ep_sweeps(v, d, y, mask, n_sweeps=n_sweeps,
+                          damping=damping)
+    _, r, pdot = _ep_state(v, d, y, mask, ttau, tnu)
+    mu_t = jnp.where(ttau > 0, tnu / jnp.maximum(ttau, 1e-10), 0.0)
+    coeffs = solve_tri(inducing.chol_km, matmul(v.T, pdot(mu_t)))
+    return inducing, coeffs, r
+
+
 def fit_classify_ep(
     family, X, y, pack, *, n_sweeps: int = 20, damping: float = 0.5,
-    jitter: float | None = None, normalize: bool = True, **fit_kwargs,
+    jitter: float | None = None, normalize: bool = True, mesh=None,
+    **fit_kwargs,
 ):
     """Hyper + inducing training on the EP evidence with the device
     L-BFGS (optim.fit_packed_objective conventions; pack must carry
-    learn_sigma2=False).  Returns (params, z, state)."""
+    learn_sigma2=False).  With ``mesh``, X/y shard over the data axis and
+    the objective is parallel.sharded_ep_log_evidence.
+    Returns (params, z, state)."""
     if pack.learn_sigma2:
         raise ValueError(
             "classification has no sigma2: build the pack with "
@@ -286,17 +326,36 @@ def fit_classify_ep(
     from ..optim.lbfgs_device import fit_packed_objective
 
     scale = 1.0 / X.shape[0] if normalize else 1.0
+    if mesh is None:
+        def fg(x, X, y):
+            def f(x):
+                params, z, _ = pack.unpack(x)
+                return -scale * ep_log_evidence(
+                    family, params, z, X, y, n_sweeps=n_sweeps,
+                    damping=damping, jitter=jitter,
+                )
 
-    def fg(x, X, y):
-        def f(x):
-            params, z, _ = pack.unpack(x)
-            return -scale * ep_log_evidence(
-                family, params, z, X, y, n_sweeps=n_sweeps,
-                damping=damping, jitter=jitter,
-            )
+            return jax.value_and_grad(f)(x)
 
-        return jax.value_and_grad(f)(x)
+        data = (X, y)
+    else:
+        from ..parallel import shard_batch
+        from ..parallel.classify_sharded import sharded_ep_log_evidence
 
-    st = fit_packed_objective(fg, pack, (X, y), **fit_kwargs)
+        Xs, ys, mask = shard_batch(mesh, X, y)
+
+        def fg(x, Xs, ys, mask):
+            def f(x):
+                params, z, _ = pack.unpack(x)
+                return -scale * sharded_ep_log_evidence(
+                    family, mesh, params, z, Xs, ys, mask,
+                    n_sweeps=n_sweeps, damping=damping, jitter=jitter,
+                )
+
+            return jax.value_and_grad(f)(x)
+
+        data = (Xs, ys, mask)
+
+    st = fit_packed_objective(fg, pack, data, **fit_kwargs)
     params, z, _ = pack.unpack(st.x)
     return params, z, st

@@ -177,6 +177,52 @@ def sharded_classify_predict(
     return tuple(jax.device_put(o, rep)[:n_star] for o in out)
 
 
+def sharded_ep_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    X,
+    y,
+    mask=None,
+    *,
+    n_sweeps: int = 20,
+    damping: float = 0.5,
+    jitter: float | None = None,
+):
+    """Distributed EP evidence (models/classify_ep.py over the 1-D data
+    mesh).  The parallel-EP sweep is embarrassingly data-parallel: site
+    and cavity updates are elementwise per row, and the only cross-row
+    objects are the m x m Woodbury Gram and a few m-vectors — one psum
+    set per sweep.  Exact vs single-device at any shard count.
+
+    Wrap in jax.jit(jax.value_and_grad(...)) for training.
+    """
+    from ..models.classify_ep import (
+        ep_log_evidence_from_sites,
+        ep_sweeps,
+    )
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, xs, ys, ms):
+        _, v, d = _fitc_prior(family, params, z, xs, jitter)
+        ttau, tnu = ep_sweeps(v, d, ys, ms, n_sweeps=n_sweeps,
+                              damping=damping, allsum=_allsum)
+        return ep_log_evidence_from_sites(v, d, ys, ms, ttau, tnu,
+                                          allsum=_allsum)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, X, y, mask)
+
+
 def sharded_multiclass_log_evidence(
     family,
     mesh: Mesh,

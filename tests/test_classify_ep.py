@@ -181,6 +181,59 @@ def test_ep_evidence_gradients(rng):
     np.testing.assert_allclose(float(g[2][2, 1]), fd, rtol=5e-5)
 
 
+def test_sharded_ep_evidence_matches_single(rng):
+    """EP over the 8-device mesh == single-device (value and grads);
+    n non-divisible exercises the masked-row site path."""
+    from gpr_tpu.parallel import make_mesh, sharded_ep_log_evidence
+    from gpr_tpu.parallel.sharded import shard_batch
+
+    X, z, y, params = _setup(rng, n=91)
+    mesh = make_mesh()
+    Xs, ys, mask = shard_batch(mesh, X, y)
+
+    single = ep_log_evidence(SeIso, params, z, X, y, n_sweeps=15)
+    sharded = sharded_ep_log_evidence(SeIso, mesh, params, z, Xs, ys, mask,
+                                      n_sweeps=15)
+    np.testing.assert_allclose(float(sharded), float(single), rtol=1e-10)
+
+    gd = jax.grad(
+        lambda p, z: ep_log_evidence(SeIso, p, z, X, y, n_sweeps=10),
+        argnums=(0, 1),
+    )(params, z)
+    gs = jax.jit(jax.grad(
+        lambda p, z: sharded_ep_log_evidence(
+            SeIso, mesh, p, z, Xs, ys, mask, n_sweeps=10),
+        argnums=(0, 1),
+    ))(params, z)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_ep_posterior_state_matches_predict(rng):
+    """The standard-schema collapse: predictions rebuilt from
+    (coeffs, Rn U) == ep_predict."""
+    from gpr_tpu.models.classify_ep import ep_posterior_state
+    from gpr_tpu.numerics.linalg import matmul as _mm
+
+    X, z, y, params = _setup(rng, n=26, m=4)
+    Xstar = jnp.asarray(rng.standard_normal((5, 2)))
+    prob, mu, var = ep_predict(SeIso, params, z, X, y, Xstar, n_sweeps=30)
+
+    inducing, coeffs, rn = ep_posterior_state(SeIso, params, z, X, y,
+                                              n_sweeps=30)
+    kstar = SeIso.k_cross(params, Xstar, inducing.z)
+    mu2 = kstar @ coeffs
+    r_mat = _mm(rn, inducing.chol_km)
+    t1 = jnp.linalg.solve(inducing.chol_km.T, kstar.T).T
+    t2 = jnp.linalg.solve(r_mat.T, kstar.T).T
+    var2 = (SeIso.k_diag(params, Xstar)
+            - jnp.sum(t1 * t1, axis=1) + jnp.sum(t2 * t2, axis=1))
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu), rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var), rtol=1e-7)
+
+
 def test_ep_training_separates(rng):
     """Two blobs: fit_classify_ep raises the EP evidence and the exact
     probit predictive separates held-out points."""

@@ -434,8 +434,10 @@ def test_cli_classify(tmp_path, rng):
     ) + "\n"
 
     # device also takes -block-size: streaming Newton + streaming artifact
-    # epilogue (classify_stream.py) — the n-unbounded path end to end
+    # epilogue (classify_stream.py) — the n-unbounded path end to end;
+    # the ep case covers -approx ep (EP training + exact probit squash)
     for trainer, extra_args in [("device", ["-block-size", "32"]),
+                                ("device", ["-approx", "ep"]),
                                 ("sharded", ["-devices", "4"])]:
         model_file = str(tmp_path / f"model_{trainer}.npz")
         res = run_cli(
