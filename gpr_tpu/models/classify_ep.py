@@ -19,22 +19,29 @@ an extension, designed TPU-first:
   argument as the Laplace Newton scan).
 
 * **All n x n algebra collapsed through the FITC structure**
-  K = V V' + diag(d): with site precisions ttau, the posterior
-  Sigma = (K^-1 + diag(ttau))^-1 = K - K P K for
-  P = (K + diag(1/ttau))^-1 = Q - Q V (I + V'QV)^-1 V' Q,
-  Q = diag(q), q = ttau / (1 + ttau d)   (division-free at ttau = 0).
-  Marginal means/variances, the evidence quadratic, and the log
-  determinant all reduce to one m x m Cholesky per sweep plus (n, m)
-  GEMMs — identical cost structure to one Laplace Newton step.
+  K = V V' + diag(d): with site precisions ttau, posterior marginals
+  come from the cancellation-free double Woodbury
+
+    Sigma = (K^-1 + diag(ttau))^-1 = diag(d g) + Vt (I + V'QV)^-1 Vt',
+    Vt = diag(g) V,  g = 1/(1 + ttau d),  Q = diag(q),
+    q = ttau / (1 + ttau d)            (division-free at ttau = 0),
+
+  a SUM of positive terms (the K - KPK route cancels below the f32 GEMM
+  noise floor at n ~ 1e6 — see marginals' docstring), and the evidence
+  quadratic uses P = (K + diag(1/ttau))^-1 = Q - QV(I + V'QV)^-1 V'Q.
+  Everything reduces to one m x m Cholesky per sweep plus (n, m) GEMMs —
+  the cost structure of one Laplace Newton step.
 
 The EP evidence (exact site-normalizer bookkeeping; the 2-pi terms
-cancel between the n-dim Gaussian convolution and the n site constants):
+cancel between the n-dim Gaussian convolution and the n site constants),
+written so rows whose site precision underflows to 0 contribute their
+exact analytic limit (ep_log_evidence_from_sites' docstring):
 
-  log Z_EP = sum_i [ log Phi(z_i) + 1/2 log(s2_ni + 1/ttau_i)
-                     + (mu_ni - tnu_i/ttau_i)^2 / (2 (s2_ni + 1/ttau_i)) ]
-             - 1/2 log|K + diag(1/ttau)| - 1/2 mu~' P mu~,
-
-with log|K + S~| = -sum log q + log|I + V'QV| and mu~ = tnu/ttau.
+  log Z_EP = sum_i [ log Phi(z_i)
+                     + 1/2 (log1p(ttau_i s2_ni) - log1p(ttau_i d_i))
+                     + (ttau_i mu_ni - tnu_i)^2
+                       / (2 ttau_i (1 + ttau_i s2_ni)) ]
+             - 1/2 log|I + V'QV| - 1/2 mu~' P mu~,    mu~ = tnu/ttau.
 
 At an EP fixed point the posterior marginals match the tilted moments —
 tests/test_classify_ep.py asserts that self-consistency AND agreement

@@ -109,9 +109,10 @@ def one(rng, i, fam=None, n_max=200, variant=None):
         assert np.isfinite(float(stt.f))
 
     # model-family variants on the same draw (round-3 additions): PITC,
-    # warped, Laplace classification — each composes with every kernel
-    # family, so the fuzz exercises the cross product too
-    variant = int(rng.integers(4)) if variant is None else variant
+    # warped, Laplace classification (materialized or streaming), EP
+    # classification, softmax multi-class — each composes with every
+    # kernel family, so the fuzz exercises the cross product too
+    variant = int(rng.integers(6)) if variant is None else variant
     if variant == 1:
         from gpr_tpu.models.pitc import pitc_log_evidence
         bs = int(rng.integers(1, n + 1))
@@ -143,10 +144,42 @@ def one(rng, i, fam=None, n_max=200, variant=None):
         for leaf in jax.tree.leaves(gc):
             assert bool(jnp.all(jnp.isfinite(leaf))), \
                 f"classify grad NaN ({fam.name})"
+        bs = int(rng.integers(4, n + 1)) if rng.integers(2) else None
         prob, _, varc = classify_predict(fam, params, Z, X, yc, Xt,
-                                         newton_iters=8)
+                                         newton_iters=8, block_size=bs)
         assert bool(jnp.all((prob >= 0) & (prob <= 1))
                     and jnp.all(varc > 0)), f"classify predict ({fam.name})"
+    elif variant == 4:
+        from gpr_tpu.models.classify_ep import ep_log_evidence, ep_predict
+        yc = jnp.where(y > jnp.median(y), 1.0, -1.0)
+        le, ge = jax.value_and_grad(
+            lambda p: ep_log_evidence(fam, p, Z, X, yc, n_sweeps=10)
+        )(params)
+        assert np.isfinite(float(le)), f"ep evidence ({fam.name})"
+        for leaf in jax.tree.leaves(ge):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"ep grad NaN ({fam.name})"
+        prob, _, vare = ep_predict(fam, params, Z, X, yc, Xt, n_sweeps=10)
+        assert bool(jnp.all((prob >= 0) & (prob <= 1))
+                    and jnp.all(vare > 0)), f"ep predict ({fam.name})"
+    elif variant == 5:
+        from gpr_tpu.models.classify_multi import (
+            multiclass_log_evidence, multiclass_predict,
+        )
+        n_c = int(rng.integers(3, 5))
+        labels = jnp.asarray(rng.integers(0, n_c, n))
+        lm, gm = jax.value_and_grad(
+            lambda p: multiclass_log_evidence(fam, p, Z, X, labels, n_c,
+                                              newton_iters=6)
+        )(params)
+        assert np.isfinite(float(lm)), f"multiclass evidence ({fam.name})"
+        for leaf in jax.tree.leaves(gm):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"multiclass grad NaN ({fam.name})"
+        probs, _, _ = multiclass_predict(fam, params, Z, X, labels, n_c,
+                                         Xt, newton_iters=6, n_samples=64)
+        assert bool(jnp.all(jnp.abs(jnp.sum(probs, axis=1) - 1.0) < 1e-3)), \
+            f"multiclass predict ({fam.name})"
     return fam.name, n, d, m, variational, factorization, mode, variant
 
 

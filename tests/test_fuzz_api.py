@@ -40,8 +40,11 @@ def test_fuzz_random_draws(seed):
     fuzz.one(rng, seed, n_max=80)
 
 
-@pytest.mark.parametrize("variant", [1, 2, 3], ids=["pitc", "warped",
-                                                    "classify"])
+@pytest.mark.parametrize(
+    "variant",
+    [1, 2, 3, 4, 5],
+    ids=["pitc", "warped", "classify", "classify-ep", "multiclass"],
+)
 def test_fuzz_model_variants(variant):
     """Each round-3 model family forced, on a random kernel-family draw."""
     rng = np.random.default_rng(77 + variant)
