@@ -63,7 +63,7 @@ from .online import (
 )
 from .sample import (CovSampler, Sampler, cov_sample, cov_sampler,
                      sample, sample_fic_blocked, sampler)
-from .stats import Stats, calc_stats
+from .stats import ClassifyStats, Stats, calc_classify_stats, calc_stats
 from .streaming import (
     StreamingTrained,
     predict_means_blocked,

@@ -80,6 +80,53 @@ def calc_maxad(trained: TrainedState) -> jnp.ndarray:
     return jnp.max(jnp.abs(trained.y - calc_means(trained)))
 
 
+@pytree_dataclass
+class ClassifyStats:
+    """Classification-quality statistics — the classification analogue of
+    ``Stats`` (the reference is regression-only, so the metric set is
+    ours; conventions mirror the regression ones where they transfer:
+    ``msll`` is the mean log loss relative to the trivial base-rate
+    predictor, negative = model beats it, like the regression MSLL vs
+    the trivial Gaussian)."""
+
+    n_samples: int
+    base_rate: jnp.ndarray  # fraction of positive labels
+    error_rate: jnp.ndarray  # misclassification at threshold 1/2
+    log_loss: jnp.ndarray  # mean negative log likelihood, nats
+    msll: jnp.ndarray  # log_loss - base-rate log loss (negative = better)
+    brier: jnp.ndarray  # mean squared probability error
+    auc: jnp.ndarray  # rank AUC (ties broken by sort order)
+
+
+def calc_classify_stats(y, prob) -> ClassifyStats:
+    """``y`` in {-1, +1} (or {0, 1}), ``prob`` = P(y = +1) per point."""
+    y01 = jnp.where(y > 0, 1.0, 0.0)
+    n = y01.shape[0]
+    p = jnp.clip(prob, 1e-12, 1.0 - 1e-12)
+    base = jnp.mean(y01)
+    base_c = jnp.clip(base, 1e-12, 1.0 - 1e-12)
+    log_loss = -jnp.mean(y01 * jnp.log(p) + (1.0 - y01) * jnp.log1p(-p))
+    prior_ll = -(base_c * jnp.log(base_c)
+                 + (1.0 - base_c) * jnp.log1p(-base_c))
+    # rank AUC: P(score_pos > score_neg) via the rank-sum identity
+    order = jnp.argsort(prob)
+    ranks = jnp.zeros(n).at[order].set(jnp.arange(1, n + 1, dtype=p.dtype))
+    n_pos = jnp.sum(y01)
+    n_neg = n - n_pos
+    auc = (jnp.sum(ranks * y01) - n_pos * (n_pos + 1.0) / 2.0) / jnp.maximum(
+        n_pos * n_neg, 1.0
+    )
+    return ClassifyStats(
+        n_samples=n,
+        base_rate=base,
+        error_rate=jnp.mean(jnp.where((prob > 0.5) != (y01 > 0.5), 1.0, 0.0)),
+        log_loss=log_loss,
+        msll=log_loss - prior_ll,
+        brier=jnp.mean((p - y01) ** 2),
+        auc=auc,
+    )
+
+
 def calc_stats(trained: TrainedState) -> Stats:
     y = trained.y
     n = y.shape[0]

@@ -137,3 +137,40 @@ def test_train_classifier_end_to_end(rng):
     acc1 = float(jnp.mean((prob1 > 0.5) == (yte > 0)))
     assert acc1 > 0.85, (acc0, acc1)
     assert float(st.f) < float(fg(pack.x0, X, y)[0])
+
+
+def test_classify_stats(rng):
+    """ClassifyStats vs hand-computed numpy values, plus the boundary
+    behaviors: a perfect ranker has AUC 1 and a coin-flip AUC ~ 1/2."""
+    from gpr_tpu.models import calc_classify_stats
+
+    n = 400
+    y = jnp.asarray(np.sign(rng.standard_normal(n)))
+    # informative but imperfect probabilities
+    logits = 2.0 * np.asarray(y) + rng.standard_normal(n)
+    prob = jnp.asarray(1.0 / (1.0 + np.exp(-logits)))
+
+    st = calc_classify_stats(y, prob)
+    y01 = (np.asarray(y) > 0).astype(float)
+    p = np.asarray(prob)
+    np.testing.assert_allclose(float(st.base_rate), y01.mean(), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(st.error_rate), np.mean((p > 0.5) != (y01 > 0.5)), rtol=1e-12)
+    ll = -np.mean(y01 * np.log(p) + (1 - y01) * np.log1p(-p))
+    np.testing.assert_allclose(float(st.log_loss), ll, rtol=1e-10)
+    np.testing.assert_allclose(
+        float(st.brier), np.mean((p - y01) ** 2), rtol=1e-10)
+    b = y01.mean()
+    prior = -(b * np.log(b) + (1 - b) * np.log1p(-b))
+    np.testing.assert_allclose(float(st.msll), ll - prior, rtol=1e-9)
+    # rank AUC vs the O(n^2) definition
+    pos, neg = p[y01 > 0.5], p[y01 <= 0.5]
+    auc_ref = np.mean(pos[:, None] > neg[None, :])
+    np.testing.assert_allclose(float(st.auc), auc_ref, atol=1e-10)
+    assert float(st.msll) < 0  # informative model beats the base rate
+
+    perfect = calc_classify_stats(y, jnp.asarray(0.5 + 0.49 * np.asarray(y)))
+    np.testing.assert_allclose(float(perfect.auc), 1.0)
+    np.testing.assert_allclose(float(perfect.error_rate), 0.0)
+    coin = calc_classify_stats(y, jnp.asarray(rng.uniform(0, 1, n)))
+    assert abs(float(coin.auc) - 0.5) < 0.1
