@@ -3,6 +3,7 @@ from .const import Const
 from .lin_ard import LinArd
 from .lin_one import LinOne
 from .matern import Matern32, Matern52
+from .periodic import Periodic
 from .rq import RatQuad
 from .se_fat import SeFat
 from .se_iso import SeIso
@@ -19,6 +20,7 @@ FAMILIES = {
     Matern32.name: Matern32,
     Matern52.name: Matern52,
     RatQuad.name: RatQuad,
+    Periodic.name: Periodic,
 }
 
 __all__ = [
@@ -32,6 +34,7 @@ __all__ = [
     "SeFat",
     "Matern32",
     "Matern52",
+    "Periodic",
     "RatQuad",
     "FAMILIES",
 ]

@@ -154,7 +154,7 @@ def k_upper_cols(family, params, Z, j0, m_t):
 
             return _mm(Z, z_c.T)
         return family.k_cross(params, Z, z_c)
-    if name in ("se_iso", "matern32", "matern52", "rq"):
+    if name in ("se_iso", "matern32", "matern52", "rq", "periodic"):
         k = family.k_cross(params, Z, z_c)
         sf2 = _jnp.exp(params.log_sf2)
         return _jnp.where(on_diag, sf2, k)
