@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpr_tpu.kernels import (
-    Const, LinArd, LinOne, Matern32, Matern52, RatQuad, SeFat, SeIso,
+    Const, LinArd, LinOne, Matern32, Matern52, Periodic, RatQuad, SeFat,
+    SeIso,
 )
 from gpr_tpu.models import calc_model, calc_trained, calc_stats, log_evidence
 from gpr_tpu.models.predict import (
@@ -29,7 +30,7 @@ from gpr_tpu.optim import make_pack, train
 from gpr_tpu.optim.lbfgs_device import fit, fit_restarts
 
 FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, RatQuad,
-            SeFat]
+            Periodic, SeFat]
 
 
 def one(rng, i, fam=None, n_max=200, variant=None):
