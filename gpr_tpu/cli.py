@@ -44,6 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial noise level (default: 1.0)")
     p.add_argument("-amplitude", type=float, default=1.0,
                    help="initial amplitude level (default: 1.0)")
+    p.add_argument("-kernel", default="se_fat",
+                   choices=["se_fat", "se_iso", "matern32", "matern52",
+                            "rq", "periodic", "lin_one", "lin_ard",
+                            "const"],
+                   help="covariance family (default: se_fat, the "
+                        "reference CLI's choice).  Non-se_fat families "
+                        "use their default hyper init (-amplitude still "
+                        "sets the signal variance where the family has "
+                        "one); -dim-red/-log-het-sked/-multiscale are "
+                        "se_fat-only")
     p.add_argument("-dim-red", dest="dim_red", type=int, default=None,
                    help="dimensionality reduction (default: none)")
     p.add_argument("-log-het-sked", dest="log_het_sked", type=float,
@@ -130,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _family(args):
+    """The selected kernel family (CLI -kernel; default se_fat, the
+    reference CLI's hardwired choice, bin/ocaml_gpr.ml:176-177)."""
+    from .kernels import FAMILIES
+
+    return FAMILIES[args.kernel]
+
+
 def read_samples(stream) -> np.ndarray:
     # Native fast path: hand the whole input to the C++ parser
     # (gpr_tpu/io/native.py); falls back to the line-by-line Python reader
@@ -175,7 +193,7 @@ def cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from .kernels import SeFat
+    fam = _family(args)
     from .models import calc_stats
     from .optim import Bailout, train
 
@@ -284,30 +302,55 @@ def cmd_train(args) -> int:
 
     log_sf2 = 2.0 * math.log(args.amplitude)
 
-    def build_params(rng):
-        """Per-restart kernel params: the projection draw is the random
-        part (reference init, bin/ocaml_gpr.ml:272-300)."""
-        if args.dim_red is not None:
-            d = min(big_dim, args.dim_red)
-            tproj = jnp.asarray(
-                rng.uniform(-1.0, 1.0, (big_dim, d)) / big_dim
+    if fam.name == "se_fat":
+        def build_params(rng):
+            """Per-restart kernel params: the projection draw is the random
+            part (reference init, bin/ocaml_gpr.ml:272-300)."""
+            if args.dim_red is not None:
+                d = min(big_dim, args.dim_red)
+                tproj = jnp.asarray(
+                    rng.uniform(-1.0, 1.0, (big_dim, d)) / big_dim
+                )
+            else:
+                d = big_dim
+                tproj = None
+            return fam.Params(
+                d=d,
+                log_sf2=jnp.asarray(log_sf2),
+                tproj=tproj,
+                log_hetero_skedasticity=(
+                    jnp.full((n_inducing,), args.log_het_sked)
+                    if args.log_het_sked is not None
+                    else None
+                ),
+                log_multiscales_m05=(
+                    jnp.zeros((n_inducing, d)) if args.multiscale else None
+                ),
             )
-        else:
-            d = big_dim
-            tproj = None
-        return SeFat.Params(
-            d=d,
-            log_sf2=jnp.asarray(log_sf2),
-            tproj=tproj,
-            log_hetero_skedasticity=(
-                jnp.full((n_inducing,), args.log_het_sked)
-                if args.log_het_sked is not None
-                else None
-            ),
-            log_multiscales_m05=(
-                jnp.zeros((n_inducing, d)) if args.multiscale else None
-            ),
-        )
+    else:
+        # -kernel NAME: the family's default hyper init; -amplitude maps
+        # onto log_sf2 where the family has a signal-variance hyper
+        if (args.dim_red is not None or args.log_het_sked is not None
+                or args.multiscale):
+            raise SystemExit(
+                "-dim-red/-log-het-sked/-multiscale apply to the se_fat "
+                f"kernel only (got -kernel {fam.name})"
+            )
+        import dataclasses as _dc
+
+        has_sf2 = "log_sf2" in {f.name for f in _dc.fields(fam.Params)}
+        if args.amplitude != 1.0 and not has_sf2:
+            raise SystemExit(
+                f"-amplitude needs a signal-variance hyper; -kernel "
+                f"{fam.name} has none"
+            )
+
+        def build_params(rng):
+            key = jax.random.PRNGKey(int(rng.integers(2**31)))
+            p = fam.default_params(jnp.asarray(inputs), n_inducing, key)
+            if has_sf2 and args.amplitude != 1.0:
+                p = _dc.replace(p, log_sf2=jnp.asarray(log_sf2))
+            return p
 
     X = jnp.asarray(inputs)
     if args.classify and n_classes > 2:
@@ -371,7 +414,7 @@ def cmd_train(args) -> int:
         for r in range(max(1, args.restarts)):
             seed_r = seed + r
             cand = train(
-                SeFat, X, y,
+                fam, X, y,
                 kernel_params=build_params(np.random.default_rng(seed_r)),
                 sigma2=args.sigma2,
                 n_rand_inducing=n_inducing,
@@ -420,16 +463,16 @@ def _apply_polish(args, X, y, trained):
     """
     if not args.polish:
         return trained
-    from .kernels import SeFat
+    fam = _family(args)
     from .models.streaming import streaming_trained
     from .optim import make_pack
     from .optim.polish import polish
     from .optim.train import TrainResult
 
-    pack = make_pack(SeFat, trained.kernel_params, trained.inducing,
+    pack = make_pack(fam, trained.kernel_params, trained.inducing,
                      float(trained.model.sigma2))
     p_f, z_f, s2_f, _, rep = polish(
-        SeFat, X, y, pack, pack.x0, variational=True,
+        fam, X, y, pack, pack.x0, variational=True,
         subsample=min(args.polish, X.shape[0]),
         max_iter=args.max_iter if args.max_iter is not None else 40,
         epsabs=args.eps / max(1, min(args.polish, X.shape[0])),
@@ -439,7 +482,7 @@ def _apply_polish(args, X, y, trained):
               f"{rep.f:.6f}, |grad| {rep.gnorm0:.2e} -> {rep.gnorm:.2e} "
               f"({rep.n_iter} iters, {rep.wall_s:.0f}s)", file=sys.stderr)
     new = streaming_trained(
-        SeFat, p_f, z_f, s2_f, X, y, variational=True,
+        fam, p_f, z_f, s2_f, X, y, variational=True,
         block_size=args.block_size or 8192,
     )
     return TrainResult(new, p_f, z_f, s2_f)
@@ -447,10 +490,10 @@ def _apply_polish(args, X, y, trained):
 
 def _write_artifact(args, trained, target_mean, input_means, input_stddevs):
     from .io.checkpoint import ModelArtifact, save_model
-    from .kernels import SeFat
+    fam = _family(args)
 
     art = ModelArtifact(
-        family_name=SeFat.name,
+        family_name=fam.name,
         kernel_params=trained.kernel_params,
         inducing=np.asarray(trained.model.inducing.z),
         coeffs=np.asarray(trained.coeffs),
@@ -479,7 +522,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
     import jax
     import jax.numpy as jnp
 
-    from .kernels import SeFat
+    fam = _family(args)
     from .models.fitc import (
         calc_model,
         calc_trained,
@@ -495,11 +538,11 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
         rng = np.random.default_rng(seed + r)
         params = build_params(rng)
         key = jax.random.PRNGKey(seed + r)
-        z = choose_n_random_inputs(key, SeFat, params, X, n_inducing)
+        z = choose_n_random_inputs(key, fam, params, X, n_inducing)
         return params, z
 
     params0, z0 = start(0)
-    pack = make_pack(SeFat, params0, z0, args.sigma2)
+    pack = make_pack(fam, params0, z0, args.sigma2)
 
     common = dict(
         variational=True, step=args.step, tol=args.tol,
@@ -527,11 +570,11 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
         if args.trainer == "device":
             if args.restarts > 1:
                 x0s = [pack.x0] + [
-                    make_pack(SeFat, *start(r), args.sigma2).x0
+                    make_pack(fam, *start(r), args.sigma2).x0
                     for r in range(1, args.restarts)
                 ]
                 p_f, z_f, s2_f, st, probe_fs = fit_restarts(
-                    SeFat, X, y, pack, x0s,
+                    fam, X, y, pack, x0s,
                     streaming_block_size=args.block_size, **common,
                 )
                 if args.verbose:
@@ -555,7 +598,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
                             )
                 try:
                     p_f, z_f, s2_f, st = fit(
-                        SeFat, X, y, pack,
+                        fam, X, y, pack,
                         streaming_block_size=args.block_size,
                         init_state=init_state, state_callback=on_chunk,
                         **common,
@@ -583,11 +626,11 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
                 # n-sharded — same probe-then-continue scheme as the device
                 # trainer's fit_restarts
                 x0s = [pack.x0] + [
-                    make_pack(SeFat, *start(r), args.sigma2).x0
+                    make_pack(fam, *start(r), args.sigma2).x0
                     for r in range(1, args.restarts)
                 ]
                 p_f, z_f, s2_f, st, probe_fs = fit_restarts_sharded(
-                    SeFat, mesh, X, y, pack, x0s,
+                    fam, mesh, X, y, pack, x0s,
                     block_size=args.block_size or 8192, **common,
                 )
                 if args.verbose:
@@ -598,7 +641,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
             else:
                 try:
                     cand = fit_one(
-                        SeFat, mesh, X, y, pack,
+                        fam, mesh, X, y, pack,
                         block_size=args.block_size or 8192,
                         state_callback=on_chunk, **common,
                     )
@@ -613,11 +656,11 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
         from .models.streaming import streaming_trained
 
         trained = streaming_trained(
-            SeFat, p_f, z_f, s2_f, X, y, variational=True,
+            fam, p_f, z_f, s2_f, X, y, variational=True,
             block_size=args.block_size or 8192,
         )
     else:
-        model = calc_model(SeFat, p_f, X, z_f, s2_f, variational=True,
+        model = calc_model(fam, p_f, X, z_f, s2_f, variational=True,
                            factorization="chol")
         trained = calc_trained(model, y)
     return TrainResult(trained, p_f, z_f, s2_f)
@@ -653,7 +696,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
     import jax
     import jax.numpy as jnp
 
-    from .kernels import SeFat
+    fam = _family(args)
     from .models.fitc import choose_n_random_inputs
     from .optim import Bailout, make_pack
     from .optim.lbfgs_device import fit_packed_objective
@@ -674,7 +717,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
         rng = np.random.default_rng(seed + r)
         params = build_params(rng)
         key = jax.random.PRNGKey(seed + r)
-        z = choose_n_random_inputs(key, SeFat, params, X, n_inducing)
+        z = choose_n_random_inputs(key, fam, params, X, n_inducing)
         return params, z
 
     last_state = {"st": None}
@@ -718,26 +761,26 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
         """One fit from start r; returns (mode-specific result, st)."""
         params0, z0 = start(r)
         if args.classify:
-            pack = make_pack(SeFat, params0, z0, 1.0, learn_sigma2=False)
+            pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
             if n_classes > 2:
                 from .models.classify_multi import fit_classify_multi
 
                 p, z, st = fit_classify_multi(
-                    SeFat, X, y, pack, n_classes, mesh=mesh,
+                    fam, X, y, pack, n_classes, mesh=mesh,
                     init_state=load_resume_state(pack.x0), **common,
                 )
             elif args.approx == "ep":
                 from .models.classify_ep import fit_classify_ep
 
                 p, z, st = fit_classify_ep(
-                    SeFat, X, y, pack, mesh=mesh,
+                    fam, X, y, pack, mesh=mesh,
                     init_state=load_resume_state(pack.x0), **common,
                 )
             else:
                 from .models.classify import fit_classify
 
                 p, z, st = fit_classify(
-                    SeFat, X, y, pack, mesh=mesh,
+                    fam, X, y, pack, mesh=mesh,
                     block_size=args.block_size,  # None = materialized V
                     init_state=load_resume_state(pack.x0), **common,
                 )
@@ -745,11 +788,11 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
         if args.warp:
             from .models.warped import default_warp_params, fit_warped
 
-            pack = make_pack(SeFat, params0, z0, args.sigma2)
+            pack = make_pack(fam, params0, z0, args.sigma2)
             wp0 = default_warp_params(args.warp, dtype=X.dtype)
             if mesh is None:
                 p, z, s2, wp, st = fit_warped(
-                    SeFat, X, y, pack, wp0, variational=True,
+                    fam, X, y, pack, wp0, variational=True,
                     block_size=block_size,
                     init_state=load_resume_state(
                         jnp.concatenate([
@@ -771,7 +814,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                     def f(x):
                         params, z, sigma2, wp = unpack_w(x)
                         return -(1.0 / n) * sharded_warped_log_evidence(
-                            SeFat, mesh, params, wp, z, sigma2, Xs, ys,
+                            fam, mesh, params, wp, z, sigma2, Xs, ys,
                             mask, variational=True, block_size=block_size,
                         )
 
@@ -784,7 +827,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                 p, z, s2, wp = unpack_w(st.x)
             return (p, z, s2, wp), st, pack
         # PITC
-        pack = make_pack(SeFat, params0, z0, args.sigma2)
+        pack = make_pack(fam, params0, z0, args.sigma2)
         if mesh is None:
             from .models.pitc import pitc_log_evidence
 
@@ -792,7 +835,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                 def f(x):
                     params, z, sigma2 = pack.unpack(x)
                     return -(1.0 / n) * pitc_log_evidence(
-                        SeFat, params, z, sigma2, X, y,
+                        fam, params, z, sigma2, X, y,
                         block_size=args.pitc_block,
                     )
 
@@ -809,7 +852,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                 def f(x):
                     params, z, sigma2 = pack.unpack(x)
                     return -(1.0 / n) * sharded_pitc_log_evidence(
-                        SeFat, mesh, params, z, sigma2, Xs, ys, mask,
+                        fam, mesh, params, z, sigma2, Xs, ys, mask,
                         block_size=args.pitc_block,
                     )
 
@@ -859,22 +902,22 @@ def _unpack_extension_state(args, st, r, X, start):
     """Rebuild (result, pack) from a bailed-out optimizer state."""
     import jax.numpy as jnp
 
-    from .kernels import SeFat
+    fam = _family(args)
     from .optim import make_pack
 
     params0, z0 = start(r)
     if args.classify:
-        pack = make_pack(SeFat, params0, z0, 1.0, learn_sigma2=False)
+        pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
         p, z, _ = pack.unpack(st.x)
         return (p, z, None, None), pack
     if args.warp:
         from .models.warped import default_warp_params, make_warped_pack
 
-        pack = make_pack(SeFat, params0, z0, args.sigma2)
+        pack = make_pack(fam, params0, z0, args.sigma2)
         wp0 = default_warp_params(args.warp, dtype=X.dtype)
         _, unpack_w = make_warped_pack(pack, wp0)
         return unpack_w(st.x), pack
-    pack = make_pack(SeFat, params0, z0, args.sigma2)
+    pack = make_pack(fam, params0, z0, args.sigma2)
     p, z, s2 = pack.unpack(st.x)
     return (p, z, s2, None), pack
 
@@ -888,7 +931,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
     import jax.numpy as jnp
 
     from .io.checkpoint import ModelArtifact, save_model
-    from .kernels import SeFat
+    fam = _family(args)
     from .numerics.linalg import (
         cholesky_upper,
         matmul,
@@ -904,7 +947,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         from .models.classify_multi import multiclass_posterior_state
 
         inducing, coeffs, a_tilde, b_tilde = multiclass_posterior_state(
-            SeFat, p, z, X, y, n_classes,
+            fam, p, z, X, y, n_classes,
         )
         chol_km = inducing.chol_km
         r_mat = chol_km  # unused by the multi-class test path
@@ -920,7 +963,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         # probit predictive in cmd_test
         from .models.classify_ep import ep_posterior_state
 
-        inducing, coeffs, rn = ep_posterior_state(SeFat, p, z, X, y)
+        inducing, coeffs, rn = ep_posterior_state(fam, p, z, X, y)
         r_mat = matmul(rn, inducing.chol_km)
         chol_km = inducing.chol_km
         z = inducing.z
@@ -933,7 +976,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         from .models.classify_stream import stream_classify_parts
 
         inducing, _, _, _, vta, rn, *_ = stream_classify_parts(
-            SeFat, p, z, X, y, block_size=args.block_size,
+            fam, p, z, X, y, block_size=args.block_size,
         )
         coeffs = solve_tri(inducing.chol_km, vta)
         r_mat = matmul(rn, inducing.chol_km)
@@ -943,7 +986,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
     elif args.classify:
         from .models.classify import laplace_mode
 
-        f_hat, a, inducing, v, d = laplace_mode(SeFat, p, z, X, y)
+        f_hat, a, inducing, v, d = laplace_mode(fam, p, z, X, y)
         pi = jax.nn.sigmoid(f_hat)
         w = jnp.maximum(pi * (1.0 - pi), 1e-12)
         d2inv = w / (1.0 + w * d)
@@ -965,7 +1008,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
 
         t = warp(wp, y)
         trained = streaming_trained(
-            SeFat, p, z, s2, X, t, variational=True, block_size=block_size,
+            fam, p, z, s2, X, t, variational=True, block_size=block_size,
         )
         coeffs = trained.coeffs
         chol_km = trained.model.inducing.chol_km
@@ -981,7 +1024,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         from .models.pitc import pitc_coeffs
 
         inducing, r_mat, coeffs = pitc_coeffs(
-            SeFat, p, z, s2, X, y, block_size=args.pitc_block,
+            fam, p, z, s2, X, y, block_size=args.pitc_block,
         )
         chol_km = inducing.chol_km
         z = inducing.z
@@ -989,7 +1032,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         extra["pitc_block"] = np.asarray(args.pitc_block)
 
     art = ModelArtifact(
-        family_name=SeFat.name,
+        family_name=fam.name,
         kernel_params=p,
         inducing=np.asarray(z),
         coeffs=np.asarray(coeffs),

@@ -549,3 +549,68 @@ def test_cli_sharded_2d_mesh(tmp_path, rng):
     res = run_cli(["-cmd", "test", "-model", model_file], test_csv)
     assert res.returncode == 0, res.stderr
     assert len(res.stdout.strip().splitlines()) == 4
+
+
+@pytest.mark.slow
+def test_cli_kernel_selection(tmp_path, rng):
+    """-kernel NAME trains/serves any registered family through the same
+    artifact schema; se_fat-only flags are rejected for other families."""
+    csv, _, _ = make_csv(rng, n=80, d=2)
+    test_csv, _, _ = make_csv(rng, n=5, d=2, with_target=False)
+
+    for kern in ["se_iso", "matern52", "rq", "periodic"]:
+        model_file = str(tmp_path / f"model_{kern}.npz")
+        res = run_cli(
+            ["-cmd", "train", "-model", model_file, "-kernel", kern,
+             "-n-inducing", "6", "-max-iter", "5", "-seed", "3",
+             "-amplitude", "1.5"],
+            csv,
+        )
+        assert res.returncode == 0, (kern, res.stderr[-2000:])
+        from gpr_tpu.io import load_model
+
+        art, _ = load_model(model_file)
+        assert art.family.name == kern
+        res = run_cli(["-cmd", "test", "-model", model_file,
+                       "-with-stddev"], test_csv)
+        assert res.returncode == 0, (kern, res.stderr)
+        for line in res.stdout.strip().splitlines():
+            mean, sd = map(float, line.split(","))
+            assert np.isfinite(mean) and sd > 0
+
+    # device trainer + a classification extension on a non-default kernel
+    model_file = str(tmp_path / "model_cls_kern.npz")
+    Xc = rng.standard_normal((60, 2))
+    yc = (Xc[:, 0] > 0).astype(float)
+    csv_c = "\n".join(
+        ",".join(f"{v:.8f}" for v in list(row) + [t])
+        for row, t in zip(Xc, yc)
+    ) + "\n"
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-kernel", "se_iso",
+         "-trainer", "device", "-classify", "-n-inducing", "6",
+         "-max-iter", "5", "-seed", "3"],
+        csv_c,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = run_cli(["-cmd", "test", "-model", model_file], "1.5,0.0\n-1.5,0.0\n")
+    assert res.returncode == 0, res.stderr
+    p_pos, p_neg = [float(v) for v in res.stdout.strip().splitlines()]
+    assert p_pos > 0.6 > p_neg
+
+    # se_fat-only flags rejected
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad.npz"),
+         "-kernel", "se_iso", "-multiscale"],
+        csv,
+    )
+    assert res.returncode != 0
+    assert "se_fat" in res.stderr
+    # -amplitude rejected for families without a signal-variance hyper
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad2.npz"),
+         "-kernel", "lin_one", "-amplitude", "2.0"],
+        csv,
+    )
+    assert res.returncode != 0
+    assert "signal-variance" in res.stderr
