@@ -12,6 +12,7 @@ independently of either implementation.
 """
 
 import numpy as np
+import pytest
 from scipy.stats import norm
 
 import jax
@@ -181,6 +182,7 @@ def test_ep_evidence_gradients(rng):
     np.testing.assert_allclose(float(g[2][2, 1]), fd, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_sharded_ep_evidence_matches_single(rng):
     """EP over the 8-device mesh == single-device (value and grads);
     n non-divisible exercises the masked-row site path."""

@@ -169,6 +169,7 @@ def test_multiclass_predict_matches_dense_oracle(rng):
     assert (p > 0).all() and (p < 1).all()
 
 
+@pytest.mark.slow
 def test_multiclass_evidence_gradients(rng):
     """AD gradient through the unrolled Newton vs finite differences."""
     X, z, labels, params = _setup(rng, n=16, m=4)

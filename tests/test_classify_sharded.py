@@ -6,6 +6,7 @@ mask path is always exercised."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpr_tpu.kernels import SeIso
 from gpr_tpu.models.classify import (
@@ -106,6 +107,7 @@ def test_fit_classify_mesh_matches_plain(rng):
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_multiclass_evidence_and_grads_match_single(rng):
     """Softmax Laplace over the mesh == single-device (value and grads);
     n non-divisible by 8 exercises the padded-row path through the

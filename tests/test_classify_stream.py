@@ -9,6 +9,7 @@ psum reductions must still match the single-device materialized value.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,7 @@ def _setup(rng, n=53, m=5, d_in=2):
     return X, z, y, params
 
 
+@pytest.mark.slow
 def test_stream_evidence_and_grads_match_materialized(rng):
     X, z, y, params = _setup(rng)
 
@@ -61,6 +63,7 @@ def test_stream_predict_matches_materialized(rng):
     np.testing.assert_allclose(np.asarray(vs), np.asarray(vm), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_stream_evidence_matches_single(rng):
     """mesh + per-shard streaming (blocks that do not divide the shard)
     == single-device materialized, value and grads."""

@@ -23,6 +23,11 @@ from gpr_tpu.parallel.mesh2d import (
     sharded_log_evidence_2d,
 )
 
+# whole-module slow mark: shard_map compiles on 1 CPU dominate — keep for
+# CI/full runs, skip in the quick inner loop
+# (python -m pytest tests/ -m 'not slow')
+pytestmark = pytest.mark.slow
+
 SIGMA2 = 0.3
 
 

@@ -16,6 +16,12 @@ import os
 import numpy as np
 import pytest
 
+# whole-module slow mark: each case compiles a full random workflow —
+# keep for CI/full runs, skip in the quick inner loop
+# (python -m pytest tests/ -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 _PROBE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "probes", "fuzz_api.py",
