@@ -83,7 +83,7 @@ def _probit_moments(y, mu_n, s2_n):
 
 def ep_sweeps(
     v, d, y, mask, *, n_sweeps: int = 20, damping: float = 0.5,
-    allsum=lambda x: x,
+    allsum=lambda x: x, trace: bool = False,
 ):
     """Parallel EP over local rows of the FITC prior K = V V' + diag(d).
 
@@ -92,7 +92,11 @@ def ep_sweeps(
     the cross-row reduction hook (identity / psum) — every cross-row
     object is an m-vector or m x m matrix, so data parallelism is exact.
 
-    Returns (ttau, tnu) after ``n_sweeps`` damped parallel sweeps.
+    Returns (ttau, tnu) after ``n_sweeps`` damped parallel sweeps; with
+    ``trace=True`` returns (ttau, tnu, deltas) where deltas[k] is the
+    rms site-precision change of sweep k — the convergence diagnostic
+    for picking ``n_sweeps`` empirically (parallel EP with damping has
+    no monotone objective; watch the deltas shrink instead).
     """
     m = v.shape[1]
     eye = jnp.eye(m, dtype=v.dtype)
@@ -154,14 +158,20 @@ def ep_sweeps(
         den = jnp.maximum(1.0 - s2_n * d2lZ, 1e-10)
         ttau_new = mask * jnp.maximum(d2lZ / den, 0.0)
         tnu_new = mask * (dlZ + mu_n * d2lZ) / den
-        ttau = (1.0 - damping) * ttau + damping * ttau_new
-        tnu = (1.0 - damping) * tnu + damping * tnu_new
-        return (ttau, tnu), None
+        ttau2 = (1.0 - damping) * ttau + damping * ttau_new
+        tnu2 = (1.0 - damping) * tnu + damping * tnu_new
+        delta = jnp.sqrt(
+            allsum(jnp.sum((ttau2 - ttau) ** 2))
+            / jnp.maximum(allsum(jnp.sum(mask)), 1.0)
+        )
+        return (ttau2, tnu2), delta
 
     z0 = jnp.zeros_like(y)
-    (ttau, tnu), _ = jax.lax.scan(
+    (ttau, tnu), deltas = jax.lax.scan(
         jax.checkpoint(sweep), (z0, z0), None, length=n_sweeps
     )
+    if trace:
+        return ttau, tnu, deltas
     return ttau, tnu
 
 

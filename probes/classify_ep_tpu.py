@@ -46,6 +46,22 @@ def main():
     def f(p, z, X, y):
         return ep_log_evidence(SeIso, p, z, X, y, n_sweeps=20)
 
+    # convergence diagnostic at this scale: rms site-precision change per
+    # damped sweep (models/classify_ep.py ep_sweeps(trace=True))
+    from gpr_tpu.models.classify import _fitc_prior
+    from gpr_tpu.models.classify_ep import ep_sweeps
+
+    @jax.jit
+    def deltas_fn(p, z, X, y):
+        _, v, d = _fitc_prior(SeIso, p, z, X, None)
+        _, _, deltas = ep_sweeps(v, d, y, jnp.ones_like(y), n_sweeps=30,
+                                 trace=True)
+        return deltas
+
+    dl = np.asarray(deltas_fn(p, Z, X, y))
+    print("site-precision rms delta per sweep (30):", flush=True)
+    print("  " + " ".join(f"{v:.2e}" for v in dl), flush=True)
+
     fwd = jax.jit(f)
     t0 = time.perf_counter()
     ev = fwd(p, Z, X, y)

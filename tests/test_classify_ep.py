@@ -261,3 +261,21 @@ def test_ep_training_separates(rng):
     Xt = jnp.asarray([[1.6, 1.6], [-1.6, -1.6]])
     prob, _, _ = ep_predict(SeIso, p_f, z_f, X, y, Xt)
     assert float(prob[0]) > 0.9 and float(prob[1]) < 0.1
+
+
+def test_ep_sweep_trace_converges(rng):
+    """trace=True returns per-sweep rms site-precision deltas that decay
+    geometrically at the damping rate (the convergence diagnostic; on the
+    TPU bench shape the same trace reaches the f32 noise floor by sweep
+    ~22 — probes/classify_ep_tpu.py)."""
+    X, z, y, params = _setup(rng, n=40)
+    _, v, d = _fitc_prior(SeIso, params, z, X, None)
+    ttau, tnu, deltas = ep_sweeps(v, d, y, jnp.ones_like(y), n_sweeps=30,
+                                  trace=True)
+    deltas = np.asarray(deltas)
+    assert deltas.shape == (30,)
+    assert deltas[-1] < 1e-6 * deltas[0]
+    # and the traced run returns the same sites as the plain one
+    t2, n2 = ep_sweeps(v, d, y, jnp.ones_like(y), n_sweeps=30)
+    np.testing.assert_allclose(np.asarray(ttau), np.asarray(t2), rtol=0)
+    np.testing.assert_allclose(np.asarray(tnu), np.asarray(n2), rtol=0)
