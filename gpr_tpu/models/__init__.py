@@ -40,7 +40,22 @@ from .pitc import (
 from .classify import (
     classify_log_evidence,
     classify_predict,
+    fit_classify,
     laplace_mode,
+)
+from .classify_ep import (
+    ep_log_evidence,
+    ep_predict,
+    fit_classify_ep,
+)
+from .classify_multi import (
+    fit_classify_multi,
+    multiclass_log_evidence,
+    multiclass_predict,
+)
+from .classify_stream import (
+    stream_classify_log_evidence,
+    stream_classify_predict,
 )
 from .warped import (
     WarpParams,
