@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(models/classify_multi.py; test output is one "
                         "probability per class).  Requires -trainer "
                         "device|sharded")
+    p.add_argument("-poisson", action="store_true",
+                   help="Poisson count regression (Laplace with exp link "
+                        "over the FITC prior, models/poisson.py): targets "
+                        "must be nonnegative counts; test output is the "
+                        "posterior rate mean (with -with-stddev: "
+                        "rate,rate-stddev; unit exposure — use the library "
+                        "API for exposure offsets).  Requires -trainer "
+                        "device|sharded")
     p.add_argument("-approx", choices=["laplace", "ep"], default="laplace",
                    help="Gaussian approximation for -classify (binary): "
                         "laplace (default; logit likelihood, MacKay probit "
@@ -206,26 +214,30 @@ def cmd_train(args) -> int:
     n, big_dim = inputs.shape
 
     n_extensions = sum(
-        [args.pitc_block is not None, args.warp > 0, bool(args.classify)]
+        [args.pitc_block is not None, args.warp > 0, bool(args.classify),
+         bool(args.poisson)]
     )
     if n_extensions > 1:
         raise SystemExit(
-            "choose at most one of -pitc-block / -warp / -classify"
+            "choose at most one of -pitc-block / -warp / -classify / "
+            "-poisson"
         )
     if n_extensions and args.trainer == "host":
         raise SystemExit(
-            "-pitc-block/-warp/-classify require -trainer device|sharded "
-            "(they train via the device-resident packed objective)"
+            "-pitc-block/-warp/-classify/-poisson require -trainer "
+            "device|sharded (they train via the device-resident packed "
+            "objective)"
         )
     if n_extensions and args.polish:
         raise SystemExit(
             "-polish re-optimizes the FITC regression objective and would "
-            "undo a -pitc-block/-warp/-classify fit — not supported together"
+            "undo a -pitc-block/-warp/-classify/-poisson fit — not "
+            "supported together"
         )
     if n_extensions and args.devices is not None and "x" in str(args.devices):
         raise SystemExit(
-            "-pitc-block/-warp/-classify support 1-D data-parallel meshes "
-            "only (-devices N)"
+            "-pitc-block/-warp/-classify/-poisson support 1-D "
+            "data-parallel meshes only (-devices N)"
         )
 
     n_classes = 2
@@ -275,6 +287,16 @@ def cmd_train(args) -> int:
                                      minlength=n_classes)
                 print(f"classes: {n_classes} "
                       f"(counts {counts.tolist()})", file=sys.stderr)
+    elif args.poisson:
+        # counts, not regression targets: no centering
+        if targets.min() < 0 or not np.all(targets == np.round(targets)):
+            raise SystemExit(
+                "-poisson needs nonnegative integer counts as targets"
+            )
+        target_mean = 0.0
+        if args.verbose:
+            print(f"counts: mean {targets.mean():.3f}, "
+                  f"max {int(targets.max())}", file=sys.stderr)
     else:
         target_mean = float(targets.mean())
         targets = targets - target_mean
@@ -785,6 +807,38 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                     init_state=load_resume_state(pack.x0), **common,
                 )
             return (p, z, None, None), st, pack
+        if args.poisson:
+            pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
+            if mesh is None:
+                from .models.poisson import fit_poisson
+
+                p, z, st = fit_poisson(
+                    fam, X, y, pack,
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+            else:
+                from .parallel import shard_batch
+                from .parallel.classify_sharded import (
+                    sharded_poisson_log_evidence,
+                )
+
+                Xs, ys, mask = shard_batch(mesh, X, y)
+
+                def fg(x, Xs, ys, mask):
+                    def f(x):
+                        params, z, _ = pack.unpack(x)
+                        return -(1.0 / n) * sharded_poisson_log_evidence(
+                            fam, mesh, params, z, Xs, ys, mask,
+                        )
+
+                    return jax.value_and_grad(f)(x)
+
+                st = fit_packed_objective(
+                    fg, pack, (Xs, ys, mask),
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+                p, z, _ = pack.unpack(st.x)
+            return (p, z, None, None), st, pack
         if args.warp:
             from .models.warped import default_warp_params, fit_warped
 
@@ -906,7 +960,7 @@ def _unpack_extension_state(args, st, r, X, start):
     from .optim import make_pack
 
     params0, z0 = start(r)
-    if args.classify:
+    if args.classify or args.poisson:
         pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
         p, z, _ = pack.unpack(st.x)
         return (p, z, None, None), pack
@@ -940,7 +994,28 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
 
     p, z, s2, wp = result
     extra = {}
-    if args.classify and n_classes > 2:
+    if args.poisson:
+        # same collapse as the classifier: coeffs = U^-1 V'a and
+        # r_mat = Rn U serve the latent log-rate posterior through the
+        # standard predictors; cmd_test applies the lognormal moments
+        from .models.poisson import _rate_w, poisson_laplace_mode
+
+        f_hat, a, inducing, v, d = poisson_laplace_mode(fam, p, z, X, y)
+        w = jnp.maximum(
+            _rate_w(f_hat, jnp.zeros_like(y), jnp.ones_like(y)), 1e-12
+        )
+        d2inv = w / (1.0 + w * d)
+        vs = v * jnp.sqrt(d2inv)[:, None]
+        rn = cholesky_upper(
+            jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+            jitter=0.0,
+        )
+        coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        r_mat = matmul(rn, inducing.chol_km)
+        chol_km = inducing.chol_km
+        sigma2 = 0.0
+        extra["poisson"] = np.asarray(1)
+    elif args.classify and n_classes > 2:
         # softmax Laplace: the persistable m-space state (coeffs (m, C) in
         # the standard slot; per-class quadratic forms in the extras) —
         # every n-sized object is reduced away before saving
@@ -1071,6 +1146,29 @@ def cmd_test(args) -> int:
     params = art.kernel_params
 
     mp = MeanPredictor(z=jnp.asarray(art.inducing), coeffs=jnp.asarray(art.coeffs))
+
+    if "poisson" in extra:
+        # Poisson artifact: latent log-rate moments through the standard
+        # predictors, lognormal rate moments at test points
+        cvp = CoVariancePredictor(
+            z=jnp.asarray(art.inducing),
+            chol_km=jnp.asarray(art.chol_km),
+            r_mat=jnp.asarray(art.r_mat),
+        )
+        mu = np.asarray(predict_means(family, params, mp, X))
+        var = np.maximum(np.asarray(
+            predict_variances(family, params, cvp, X, 0.0, predictive=False)
+        ), 0.0)
+        rate = np.exp(mu + 0.5 * var)
+        rate_sd = np.sqrt(np.maximum(
+            (np.exp(var) - 1.0) * np.exp(2.0 * mu + var), 0.0
+        ))
+        for r_i, s_i in zip(rate, rate_sd):
+            if args.with_stddev:
+                print(f"{r_i:f},{s_i:f}")
+            else:
+                print(f"{r_i:f}")
+        return 0
 
     if "classify" in extra and int(extra["classify"]) > 2:
         # softmax Laplace artifact: joint C-variate latent Gaussian per

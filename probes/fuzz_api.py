@@ -111,9 +111,9 @@ def one(rng, i, fam=None, n_max=200, variant=None):
 
     # model-family variants on the same draw (round-3 additions): PITC,
     # warped, Laplace classification (materialized or streaming), EP
-    # classification, softmax multi-class — each composes with every
-    # kernel family, so the fuzz exercises the cross product too
-    variant = int(rng.integers(6)) if variant is None else variant
+    # classification, softmax multi-class, Poisson counts — each composes
+    # with every kernel family, so the fuzz exercises the cross product
+    variant = int(rng.integers(7)) if variant is None else variant
     if variant == 1:
         from gpr_tpu.models.pitc import pitc_log_evidence
         bs = int(rng.integers(1, n + 1))
@@ -181,6 +181,27 @@ def one(rng, i, fam=None, n_max=200, variant=None):
                                          Xt, newton_iters=6, n_samples=64)
         assert bool(jnp.all(jnp.abs(jnp.sum(probs, axis=1) - 1.0) < 1e-3)), \
             f"multiclass predict ({fam.name})"
+    elif variant == 6:
+        from gpr_tpu.models.poisson import (
+            poisson_log_evidence, poisson_predict,
+        )
+        counts = jnp.asarray(
+            rng.poisson(np.exp(np.clip(np.asarray(y), -3, 3))).astype(float)
+        )
+        le = (jnp.asarray(np.log(rng.uniform(0.5, 2.0, n)))
+              if rng.integers(2) else None)
+        lp, gp = jax.value_and_grad(
+            lambda p: poisson_log_evidence(fam, p, Z, X, counts,
+                                           log_exposure=le, newton_iters=8)
+        )(params)
+        assert np.isfinite(float(lp)), f"poisson evidence ({fam.name})"
+        for leaf in jax.tree.leaves(gp):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"poisson grad NaN ({fam.name})"
+        rate, rvar, _, _ = poisson_predict(fam, params, Z, X, counts, Xt,
+                                           log_exposure=le, newton_iters=8)
+        assert bool(jnp.all(rate > 0) and jnp.all(rvar > 0)), \
+            f"poisson predict ({fam.name})"
     return fam.name, n, d, m, variational, factorization, mode, variant
 
 

@@ -614,3 +614,48 @@ def test_cli_kernel_selection(tmp_path, rng):
     )
     assert res.returncode != 0
     assert "signal-variance" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_poisson(tmp_path, rng):
+    """-poisson trains the count model; test output is the posterior rate
+    (device and sharded trainers; bad targets rejected)."""
+    n = 100
+    X = rng.uniform(-2.0, 2.0, (n, 1))
+    f_true = 1.2 * np.sin(X[:, 0] * 1.5)
+    y = rng.poisson(np.exp(f_true)).astype(float)
+    csv = "\n".join(
+        ",".join(f"{v:.8f}" for v in list(row) + [t])
+        for row, t in zip(X, y)
+    ) + "\n"
+
+    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"])]:
+        model_file = str(tmp_path / f"model_pois_{trainer}.npz")
+        res = run_cli(
+            ["-cmd", "train", "-model", model_file, "-n-inducing", "7",
+             "-max-iter", "10", "-seed", "5", "-trainer", trainer,
+             "-poisson", "-verbose", *extra_args],
+            csv,
+        )
+        assert res.returncode == 0, (trainer, res.stderr[-2000:])
+        assert "counts: mean" in res.stderr
+
+        # rates at a high-rate and a low-rate location must order correctly
+        test_csv = "1.0\n-1.0\n"
+        res = run_cli(["-cmd", "test", "-model", model_file,
+                       "-with-stddev"], test_csv)
+        assert res.returncode == 0, res.stderr
+        rows = [list(map(float, line.split(",")))
+                for line in res.stdout.strip().splitlines()]
+        assert len(rows) == 2
+        (r_hi, s_hi), (r_lo, s_lo) = rows
+        assert r_hi > r_lo > 0 and s_hi > 0 and s_lo > 0
+
+    # non-count targets rejected
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad.npz"), "-poisson",
+         "-trainer", "device"],
+        "1.0,0.5\n2.0,1.0\n",
+    )
+    assert res.returncode != 0
+    assert "nonnegative integer counts" in res.stderr

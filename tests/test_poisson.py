@@ -10,6 +10,7 @@ the init and recover the true rate field.
 """
 
 import numpy as np
+import pytest
 from scipy.special import gammaln
 
 import jax
@@ -173,3 +174,40 @@ def test_poisson_training_recovers_rates(rng):
     true_rate = np.exp(1.5 * np.sin(np.asarray(Xt)[:, 0]))
     err = np.mean(np.abs(np.log(np.asarray(rate_mean)) - np.log(true_rate)))
     assert err < 0.5, err  # log-rate tracks the truth
+
+
+@pytest.mark.slow
+def test_sharded_poisson_evidence_matches_single(rng):
+    """Poisson-Laplace over the 8-device mesh == single-device (value and
+    grads), non-divisible n, with exposures."""
+    from gpr_tpu.parallel import make_mesh, sharded_poisson_log_evidence
+    from gpr_tpu.parallel.sharded import shard_batch
+
+    X, z, y, params = _setup(rng, n=93)
+    le = jnp.asarray(np.log(rng.uniform(0.5, 2.0, 93)))
+    mesh = make_mesh()
+    Xs, ys, mask = shard_batch(mesh, X, y)
+    _, les, _ = shard_batch(mesh, X, le)
+
+    single = poisson_log_evidence(SeIso, params, z, X, y, log_exposure=le,
+                                  newton_iters=8)
+    sharded = sharded_poisson_log_evidence(
+        SeIso, mesh, params, z, Xs, ys, mask, log_exposure=les,
+        newton_iters=8)
+    np.testing.assert_allclose(float(sharded), float(single), rtol=1e-10)
+
+    gd = jax.grad(
+        lambda p, z: poisson_log_evidence(
+            SeIso, p, z, X, y, log_exposure=le, newton_iters=5),
+        argnums=(0, 1),
+    )(params, z)
+    gs = jax.jit(jax.grad(
+        lambda p, z: sharded_poisson_log_evidence(
+            SeIso, mesh, p, z, Xs, ys, mask, log_exposure=les,
+            newton_iters=5),
+        argnums=(0, 1),
+    ))(params, z)
+    # bisection-resolution-bounded parity (see test_classify_stream.py)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-12)
