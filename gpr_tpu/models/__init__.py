@@ -57,6 +57,11 @@ from .classify_stream import (
     stream_classify_log_evidence,
     stream_classify_predict,
 )
+from .negbin import (
+    fit_negbin,
+    negbin_log_evidence,
+    negbin_predict,
+)
 from .poisson import (
     fit_poisson,
     poisson_log_evidence,
