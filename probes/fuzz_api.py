@@ -111,9 +111,10 @@ def one(rng, i, fam=None, n_max=200, variant=None):
 
     # model-family variants on the same draw (round-3 additions): PITC,
     # warped, Laplace classification (materialized or streaming), EP
-    # classification, softmax multi-class, Poisson counts — each composes
-    # with every kernel family, so the fuzz exercises the cross product
-    variant = int(rng.integers(7)) if variant is None else variant
+    # classification, softmax multi-class, Poisson counts, NB counts —
+    # each composes with every kernel family, so the fuzz exercises the
+    # cross product
+    variant = int(rng.integers(8)) if variant is None else variant
     if variant == 1:
         from gpr_tpu.models.pitc import pitc_log_evidence
         bs = int(rng.integers(1, n + 1))
@@ -202,6 +203,27 @@ def one(rng, i, fam=None, n_max=200, variant=None):
                                            log_exposure=le, newton_iters=8)
         assert bool(jnp.all(rate > 0) and jnp.all(rvar > 0)), \
             f"poisson predict ({fam.name})"
+    elif variant == 7:
+        from gpr_tpu.models.negbin import (
+            negbin_log_evidence, negbin_predict,
+        )
+        counts = jnp.asarray(
+            rng.poisson(np.exp(np.clip(np.asarray(y), -3, 3))).astype(float)
+        )
+        r0 = jnp.asarray(float(rng.uniform(0.5, 5.0)))
+        ln, gn = jax.value_and_grad(
+            lambda p, r: negbin_log_evidence(fam, p, Z, X, counts, r,
+                                             newton_iters=8),
+            argnums=(0, 1),
+        )(params, r0)
+        assert np.isfinite(float(ln)), f"negbin evidence ({fam.name})"
+        for leaf in jax.tree.leaves(gn):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"negbin grad NaN ({fam.name})"
+        cm, cv, _, _ = negbin_predict(fam, params, Z, X, counts, r0, Xt,
+                                      newton_iters=8)
+        assert bool(jnp.all(cm > 0) and jnp.all(cv > cm)), \
+            f"negbin predict ({fam.name})"
     return fam.name, n, d, m, variational, factorization, mode, variant
 
 
