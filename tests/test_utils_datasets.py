@@ -72,5 +72,9 @@ def test_debug_nans_context():
     with debug_nans(True):
         assert jax.config.jax_debug_nans is True
         with pytest.raises(FloatingPointError):
-            jnp.log(jnp.asarray(-1.0)) + 1.0
+            # a shape no other test uses: the nan check is baked into the
+            # compiled op, and a cached non-checking executable from an
+            # earlier test would otherwise be reused (measured: this test
+            # is order-flaky with a scalar log)
+            jnp.sum(jnp.log(jnp.full((13, 11), -1.0))) + 1.0
     assert jax.config.jax_debug_nans == old
