@@ -57,6 +57,11 @@ from .classify_stream import (
     stream_classify_log_evidence,
     stream_classify_predict,
 )
+from .binomial import (
+    binomial_log_evidence,
+    binomial_predict,
+    fit_binomial,
+)
 from .negbin import (
     fit_negbin,
     negbin_log_evidence,
