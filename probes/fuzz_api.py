@@ -111,10 +111,10 @@ def one(rng, i, fam=None, n_max=200, variant=None):
 
     # model-family variants on the same draw (round-3 additions): PITC,
     # warped, Laplace classification (materialized or streaming), EP
-    # classification, softmax multi-class, Poisson counts, NB counts —
-    # each composes with every kernel family, so the fuzz exercises the
-    # cross product
-    variant = int(rng.integers(8)) if variant is None else variant
+    # classification, softmax multi-class, Poisson counts, NB counts,
+    # binomial proportions — each composes with every kernel family, so
+    # the fuzz exercises the cross product
+    variant = int(rng.integers(9)) if variant is None else variant
     if variant == 1:
         from gpr_tpu.models.pitc import pitc_log_evidence
         bs = int(rng.integers(1, n + 1))
@@ -224,6 +224,27 @@ def one(rng, i, fam=None, n_max=200, variant=None):
                                       newton_iters=8)
         assert bool(jnp.all(cm > 0) and jnp.all(cv > cm)), \
             f"negbin predict ({fam.name})"
+    elif variant == 8:
+        from gpr_tpu.models.binomial import (
+            binomial_log_evidence, binomial_predict,
+        )
+        trials = jnp.asarray(rng.integers(1, 20, n).astype(float))
+        p_t = 1.0 / (1.0 + np.exp(-np.asarray(y)))
+        yb = jnp.asarray(
+            rng.binomial(np.asarray(trials).astype(int), p_t).astype(float)
+        )
+        lb, gb = jax.value_and_grad(
+            lambda p: binomial_log_evidence(fam, p, Z, X, yb, trials,
+                                            newton_iters=8)
+        )(params)
+        assert np.isfinite(float(lb)), f"binomial evidence ({fam.name})"
+        for leaf in jax.tree.leaves(gb):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"binomial grad NaN ({fam.name})"
+        prob, _, varb = binomial_predict(fam, params, Z, X, yb, trials, Xt,
+                                         newton_iters=8)
+        assert bool(jnp.all((prob >= 0) & (prob <= 1))
+                    and jnp.all(varb > 0)), f"binomial predict ({fam.name})"
     return fam.name, n, d, m, variational, factorization, mode, variant
 
 
