@@ -45,14 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-amplitude", type=float, default=1.0,
                    help="initial amplitude level (default: 1.0)")
     p.add_argument("-kernel", default="se_fat",
-                   choices=["se_fat", "se_iso", "matern32", "matern52",
-                            "rq", "periodic", "lin_one", "lin_ard",
-                            "const"],
-                   help="covariance family (default: se_fat, the "
-                        "reference CLI's choice).  Non-se_fat families "
-                        "use their default hyper init (-amplitude still "
-                        "sets the signal variance where the family has "
-                        "one); -dim-red/-log-het-sked/-multiscale are "
+                   help="covariance family: se_fat (default, the "
+                        "reference CLI's choice), se_iso, matern32, "
+                        "matern52, rq, periodic, lin_one, lin_ard, "
+                        "const, or a combinator like "
+                        "'sum(se_iso,lin_ard)' / 'prod(periodic,se_iso)' "
+                        "(nested ok).  Non-se_fat families use their "
+                        "default hyper init (-amplitude still sets the "
+                        "signal variance where the family has one); "
+                        "-dim-red/-log-het-sked/-multiscale are "
                         "se_fat-only")
     p.add_argument("-dim-red", dest="dim_red", type=int, default=None,
                    help="dimensionality reduction (default: none)")
@@ -151,9 +152,9 @@ def build_parser() -> argparse.ArgumentParser:
 def _family(args):
     """The selected kernel family (CLI -kernel; default se_fat, the
     reference CLI's hardwired choice, bin/ocaml_gpr.ml:176-177)."""
-    from .kernels import FAMILIES
+    from .kernels import resolve_family
 
-    return FAMILIES[args.kernel]
+    return resolve_family(args.kernel)
 
 
 def read_samples(stream) -> np.ndarray:

@@ -18,7 +18,7 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels import FAMILIES
+from ..kernels import resolve_family
 
 SCHEMA_VERSION = 1
 
@@ -41,20 +41,58 @@ class ModelArtifact:
 
     @property
     def family(self):
-        return FAMILIES[self.family_name]
+        return resolve_family(self.family_name)
 
 
-def _params_to_arrays(params):
+def _params_to_arrays(params, prefix: str = ""):
+    """Flatten a (possibly nested) params dataclass to dotted-name arrays.
+
+    Combinator params (kernels/combinators.py) hold a tuple of per-term
+    dataclasses under ``terms``; those flatten to ``terms.0.log_ell`` etc.
+    Base-family params keep their round-1 flat names, so old artifacts
+    load unchanged.
+    """
     out, static = {}, {}
     for f in dataclasses.fields(params):
         v = getattr(params, f.name)
-        if v is None:
-            static[f.name] = None
+        key = prefix + f.name
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            o, s = _params_to_arrays(v, key + ".")
+            out.update(o)
+            static.update(s)
+        elif (
+            isinstance(v, tuple)
+            and v
+            and all(dataclasses.is_dataclass(t) for t in v)
+        ):
+            for i, t in enumerate(v):
+                o, s = _params_to_arrays(t, f"{key}.{i}.")
+                out.update(o)
+                static.update(s)
+        elif v is None:
+            static[key] = None
         elif isinstance(v, (int, float)) and not hasattr(v, "shape"):
-            static[f.name] = v
+            static[key] = v
         else:
-            out[f.name] = np.asarray(v)
+            out[key] = np.asarray(v)
     return out, static
+
+
+def _params_from_arrays(family, static: dict, arrays: dict, prefix: str = ""):
+    """Inverse of ``_params_to_arrays``, structure-directed by the family."""
+    terms = getattr(family, "terms", None)
+    if terms is not None:
+        tp = tuple(
+            _params_from_arrays(t, static, arrays, f"{prefix}terms.{i}.")
+            for i, t in enumerate(terms)
+        )
+        return family.Params(terms=tp)
+    kw = {}
+    for src, conv in ((static, lambda v: v), (arrays, jnp.asarray)):
+        for key, v in src.items():
+            if key.startswith(prefix) and "." not in key[len(prefix):]:
+                kw[key[len(prefix):]] = conv(v)
+    return family.Params(**kw)
 
 
 def save_model(path: str, art: ModelArtifact, extra_arrays: dict | None = None):
@@ -94,11 +132,12 @@ def load_model(path: str) -> tuple[ModelArtifact, dict]:
                 f"model schema {manifest['schema_version']} is newer than "
                 f"supported {SCHEMA_VERSION}"
             )
-        family = FAMILIES[manifest["family"]]
-        kw = dict(manifest["params_static"])
-        for name in manifest["params_arrays"]:
-            kw[name] = jnp.asarray(z[f"param__{name}"])
-        params = family.Params(**kw)
+        family = resolve_family(manifest["family"])
+        params = _params_from_arrays(
+            family,
+            manifest["params_static"],
+            {name: z[f"param__{name}"] for name in manifest["params_arrays"]},
+        )
         art = ModelArtifact(
             family_name=manifest["family"],
             kernel_params=params,

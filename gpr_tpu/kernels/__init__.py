@@ -1,4 +1,5 @@
 from .base import KernelFamily, sqdist, weighted_eval
+from .combinators import parse_family, product_family, sum_family
 from .const import Const
 from .lin_ard import LinArd
 from .lin_one import LinOne
@@ -23,10 +24,20 @@ FAMILIES = {
     Periodic.name: Periodic,
 }
 
+def resolve_family(name: str):
+    """Family object for ``name``: a base family or a structural
+    combinator name like ``sum(se_iso,lin_ard)`` (see
+    kernels/combinators.py).  The inverse of ``family.name``."""
+    return parse_family(name, FAMILIES)
+
+
 __all__ = [
     "KernelFamily",
     "sqdist",
     "weighted_eval",
+    "sum_family",
+    "product_family",
+    "resolve_family",
     "Const",
     "LinOne",
     "LinArd",

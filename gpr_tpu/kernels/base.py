@@ -133,6 +133,11 @@ def k_upper_cols(family, params, Z, j0, m_t):
     where every member may hold only O(m^2 / p) of any inducing-sized
     matrix.  ``j0`` may be traced (it is a mesh axis index).
     """
+    own = getattr(family, "k_upper_cols", None)
+    if own is not None:
+        # combinator families compose their terms' column blocks
+        return own(params, Z, j0, m_t)
+
     import jax.numpy as _jnp
     from jax import lax as _lax
 

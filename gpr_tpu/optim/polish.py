@@ -87,16 +87,14 @@ def polish(
         )
         X, y = X[idx], y[idx]
 
+    from ..io.checkpoint import _params_to_arrays
+
     params, z, sigma2 = pack.unpack(np.asarray(x, np.float64))
     arrays = {"X": X.astype(np.float64), "y": y.astype(np.float64),
               "z": np.asarray(z, np.float64)}
-    params_static = {}
-    for f in dataclasses.fields(params):
-        v = getattr(params, f.name)
-        if v is None or (isinstance(v, (int, float)) and not hasattr(v, "shape")):
-            params_static[f.name] = v
-        else:
-            arrays[f"param__{f.name}"] = np.asarray(v, np.float64)
+    params_arrays, params_static = _params_to_arrays(params)
+    for k, v in params_arrays.items():
+        arrays[f"param__{k}"] = np.asarray(v, np.float64)
     manifest = {
         "family": family.name,
         "params_static": params_static,
@@ -162,17 +160,22 @@ def _child(in_path: str, out_path: str) -> int:
         manifest = json.loads(bytes(zf["manifest"].tobytes()).decode())
         data = {k: zf[k] for k in zf.files if k != "manifest"}
 
-    from ..kernels import FAMILIES
+    from ..io.checkpoint import _params_from_arrays
+    from ..kernels import resolve_family
     from .lbfgs import minimize_lbfgs
     from .pack import make_pack
     from .train import make_objective
 
-    family = FAMILIES[manifest["family"]]
-    kw = dict(manifest["params_static"])
-    for k, v in data.items():
-        if k.startswith("param__"):
-            kw[k[len("param__"):]] = v
-    params = family.Params(**kw)
+    family = resolve_family(manifest["family"])
+    params = _params_from_arrays(
+        family,
+        manifest["params_static"],
+        {
+            k[len("param__"):]: v
+            for k, v in data.items()
+            if k.startswith("param__")
+        },
+    )
     pack = make_pack(family, params, data["z"], manifest["sigma2"],
                      learn_sigma2=manifest["learn_sigma2"])
     n = data["X"].shape[0]
