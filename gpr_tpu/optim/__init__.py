@@ -6,7 +6,7 @@ from .lbfgs_device import (
     fit_restarts,
     minimize_lbfgs_device,
 )
-from .pack import HyperPack, make_pack
+from .pack import ExtendedPack, HyperPack, extend_pack, make_pack
 from .polish import PolishReport, polish
 from .sgd_smd import (
     SGDState,

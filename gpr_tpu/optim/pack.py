@@ -29,6 +29,40 @@ class HyperPack:
     learn_sigma2: bool
 
 
+@dataclasses.dataclass(frozen=True)
+class ExtendedPack:
+    """A base pack plus extra (likelihood) parameters appended to the
+    optimization vector — e.g. ordinal cutpoints, which are neither kernel
+    hypers nor sigma2.  ``unpack`` sees only the base coordinates, so the
+    extended pack drops into every base-pack code path;
+    ``unpack_extra`` recovers the appended PyTree."""
+
+    x0: jnp.ndarray
+    unpack: Callable[[jnp.ndarray], tuple[Any, jnp.ndarray, jnp.ndarray]]
+    n_hypers: int
+    learn_sigma2: bool
+    base: HyperPack
+    n_extra: int
+    unpack_extra: Callable[[jnp.ndarray], Any]
+
+
+def extend_pack(pack: HyperPack, extra0) -> ExtendedPack:
+    """Append the leaves of ``extra0`` (any PyTree) after the base pack's
+    coordinates.  Layout: [base coords | extra leaves]."""
+    extra_vec, unravel_extra = ravel_pytree(extra0)
+    n_base = int(pack.x0.shape[0])
+    x0 = jnp.concatenate([pack.x0, extra_vec.astype(pack.x0.dtype)])
+    return ExtendedPack(
+        x0=x0,
+        unpack=lambda x: pack.unpack(x[:n_base]),
+        n_hypers=int(x0.shape[0]),
+        learn_sigma2=pack.learn_sigma2,
+        base=pack,
+        n_extra=int(extra_vec.shape[0]),
+        unpack_extra=lambda x: unravel_extra(x[n_base:]),
+    )
+
+
 def make_pack(
     family,
     params0,
