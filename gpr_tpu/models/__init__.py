@@ -67,6 +67,20 @@ from .negbin import (
     negbin_log_evidence,
     negbin_predict,
 )
+from .ordinal import (
+    cutpoints_from_raw,
+    default_cutpoint_raw,
+    fit_ordinal,
+    ordinal_log_evidence,
+    ordinal_predict,
+)
+from .robust import (
+    fit_t,
+    t_elbo,
+    t_em_sweeps,
+    t_posterior_moments,
+    t_predict,
+)
 from .poisson import (
     fit_poisson,
     poisson_log_evidence,
