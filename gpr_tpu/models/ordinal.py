@@ -285,12 +285,15 @@ def ordinal_predict(
 
 def fit_ordinal(
     family, X, y, pack, cut_raw0, *, newton_iters: int = 20,
-    jitter: float | None = None, normalize: bool = True, **fit_kwargs,
+    jitter: float | None = None, normalize: bool = True, mesh=None,
+    **fit_kwargs,
 ):
     """Joint hyper + inducing + cutpoint training on the ordinal-Laplace
     evidence.  ``pack`` must carry learn_sigma2=False (the latent scale is
     identified by the kernel amplitude against fixed unit probit noise);
-    the cutpoint raws are appended via optim.pack.extend_pack.  Returns
+    the cutpoint raws are appended via optim.pack.extend_pack.  ``mesh``
+    switches to the 1-D data-parallel objective
+    (parallel.classify_sharded.sharded_ordinal_log_evidence).  Returns
     (params, z, cut_raw, state)."""
     if pack.learn_sigma2:
         raise ValueError(
@@ -303,17 +306,38 @@ def fit_ordinal(
     ext = extend_pack(pack, jnp.asarray(cut_raw0))
     scale = 1.0 / X.shape[0] if normalize else 1.0
 
-    def fg(x, X, y):
-        def f(x):
-            params, z, _ = ext.unpack(x)
-            cut_raw = ext.unpack_extra(x)
-            return -scale * ordinal_log_evidence(
-                family, params, z, X, y, cut_raw,
-                newton_iters=newton_iters, jitter=jitter,
-            )
+    if mesh is not None:
+        from ..parallel.classify_sharded import sharded_ordinal_log_evidence
+        from ..parallel.sharded import shard_batch
 
-        return jax.value_and_grad(f)(x)
+        Xs, ys, mask = shard_batch(mesh, X, y)
 
-    st = fit_packed_objective(fg, ext, (X, y), **fit_kwargs)
+        def fg(x, Xs, ys, mask):
+            def f(x):
+                params, z, _ = ext.unpack(x)
+                return -scale * sharded_ordinal_log_evidence(
+                    family, mesh, params, z, Xs, ys, ext.unpack_extra(x),
+                    mask, newton_iters=newton_iters, jitter=jitter,
+                )
+
+            return jax.value_and_grad(f)(x)
+
+        data = (Xs, ys, mask)
+    else:
+
+        def fg(x, X, y):
+            def f(x):
+                params, z, _ = ext.unpack(x)
+                cut_raw = ext.unpack_extra(x)
+                return -scale * ordinal_log_evidence(
+                    family, params, z, X, y, cut_raw,
+                    newton_iters=newton_iters, jitter=jitter,
+                )
+
+            return jax.value_and_grad(f)(x)
+
+        data = (X, y)
+
+    st = fit_packed_objective(fg, ext, data, **fit_kwargs)
     params, z, _ = ext.unpack(st.x)
     return params, z, ext.unpack_extra(st.x), st

@@ -163,14 +163,18 @@ def fit_t(
     variational: bool = False,
     jitter: float | None = None,
     normalize: bool = True,
+    mesh=None,
     **fit_kwargs,
 ):
     """Robust training: alternate packed L-BFGS M-steps (hetero Gaussian
     evidence with the current weights) and mean-field E-steps.
 
     ``pack`` must carry learn_sigma2=True — sigma2 here is the Student-t
-    scale.  Returns (params, z, sigma2, lam_hat, state): lam_hat_i << 1
-    flags row i as an outlier (weight of its residual in every statistic).
+    scale.  ``mesh`` runs both steps 1-D data-parallel
+    (parallel.classify_sharded.sharded_hetero_log_evidence /
+    sharded_t_moments); the returned lam_hat is gathered to host order.
+    Returns (params, z, sigma2, lam_hat, state): lam_hat_i << 1 flags
+    row i as an outlier (weight of its residual in every statistic).
     """
     if not pack.learn_sigma2:
         raise ValueError(
@@ -179,35 +183,87 @@ def fit_t(
         )
     from ..optim.lbfgs_device import fit_packed_objective
 
-    scale = 1.0 / X.shape[0] if normalize else 1.0
+    n = X.shape[0]
+    scale = 1.0 / n if normalize else 1.0
 
-    def fg(x, X, y, lam):
-        def f(x):
-            params, z, sigma2 = pack.unpack(x)
-            return -scale * log_evidence(
-                family, params, z, sigma2 / lam, X, y,
-                variational=variational, jitter=jitter,
+    if mesh is not None:
+        if variational:
+            raise ValueError(
+                "fit_t(mesh=...) implements the standard FITC objective "
+                "only; drop variational=True"
             )
-
-        return jax.value_and_grad(f)(x)
-
-    lam = jnp.ones(y.shape, dtype=X.dtype)
-    cur = pack
-    st = None
-    for _ in range(n_em):
-        st = fit_packed_objective(
-            fg, cur, (X, y, lam), max_iter=m_step_iters, **fit_kwargs
+        from ..parallel.classify_sharded import (
+            sharded_hetero_log_evidence,
+            sharded_t_moments,
         )
-        params, z, sigma2 = pack.unpack(st.x)
-        for _ in range(e_sweeps):
+        from ..parallel.sharded import shard_batch
+
+        Xd, yd, mask = shard_batch(mesh, X, y)
+
+        def fg(x, Xd, yd, mask, lam):
+            def f(x):
+                params, z, sigma2 = pack.unpack(x)
+                return -scale * sharded_hetero_log_evidence(
+                    family, mesh, params, z, sigma2 / lam, Xd, yd, mask,
+                    jitter=jitter,
+                )
+
+            return jax.value_and_grad(f)(x)
+
+        lam = jnp.ones_like(yd)
+
+        def e_step(params, z, sigma2, lam):
+            mu, var = sharded_t_moments(
+                family, mesh, params, z, sigma2, Xd, yd, lam, mask,
+                jitter=jitter,
+            )
+            new = t_lambda_update(yd, mu, var, sigma2, nu)
+            return jnp.where(mask > 0.0, new, 1.0)
+
+        data = lambda lam: (Xd, yd, mask, lam)  # noqa: E731
+
+        def finish(lam):
+            # replicate off the mesh, then drop the pad rows
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            return jax.device_put(lam, rep)[:n]
+    else:
+
+        def fg(x, X, y, lam):
+            def f(x):
+                params, z, sigma2 = pack.unpack(x)
+                return -scale * log_evidence(
+                    family, params, z, sigma2 / lam, X, y,
+                    variational=variational, jitter=jitter,
+                )
+
+            return jax.value_and_grad(f)(x)
+
+        lam = jnp.ones(y.shape, dtype=X.dtype)
+
+        def e_step(params, z, sigma2, lam):
             mu, var, _tr = t_posterior_moments(
                 family, params, z, sigma2, X, y, lam,
                 variational=variational, jitter=jitter,
             )
-            lam = t_lambda_update(y, mu, var, sigma2, nu)
+            return t_lambda_update(y, mu, var, sigma2, nu)
+
+        data = lambda lam: (X, y, lam)  # noqa: E731
+        finish = lambda lam: lam  # noqa: E731
+
+    cur = pack
+    st = None
+    for _ in range(n_em):
+        st = fit_packed_objective(
+            fg, cur, data(lam), max_iter=m_step_iters, **fit_kwargs
+        )
+        params, z, sigma2 = pack.unpack(st.x)
+        for _ in range(e_sweeps):
+            lam = e_step(params, z, sigma2, lam)
         cur = dataclasses.replace(cur, x0=st.x)  # warm-start next M-step
     params, z, sigma2 = pack.unpack(st.x)
-    return params, z, sigma2, lam, st
+    return params, z, sigma2, finish(lam), st
 
 
 def t_predict(

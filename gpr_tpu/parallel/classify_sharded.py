@@ -329,3 +329,178 @@ def sharded_multiclass_log_evidence(
         check_vma=False,
     )
     return fn(params, z, X, labels, mask)
+
+
+def sharded_ordinal_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    X,
+    y,
+    cut_raw,
+    mask=None,
+    *,
+    newton_iters: int = 20,
+    jitter: float | None = None,
+):
+    """Distributed cumulative-probit Laplace evidence (models/ordinal.py
+    over the 1-D data mesh).  Labels shard with the rows; the cutpoint
+    raws replicate (they are a (K-1,) traced vector, differentiable like
+    every other hyper).  Exact vs single-device.
+
+    Wrap in jax.jit(jax.value_and_grad(...)) for training.
+    """
+    from ..models.ordinal import (
+        _ord_loglik,
+        _ord_parts,
+        cutpoints_from_raw,
+        ordinal_newton_scan,
+    )
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, cut_raw, xs, ys, ms):
+        cuts = cutpoints_from_raw(cut_raw)
+        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
+        f_hat, a = ordinal_newton_scan(
+            v, d, ys, cuts, ms, newton_iters=newton_iters, allsum=_allsum
+        )
+        _, w = _ord_parts(f_hat, ys, cuts, ms)
+        w = jnp.maximum(w, 1e-12) * ms
+        e = 1.0 / (1.0 + w * d)
+        pos = w > 0.0
+        vw = v * jnp.where(
+            pos, jnp.sqrt(jnp.where(pos, w * e, 1.0)), 0.0
+        )[:, None]
+        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
+        rm = cholesky_upper(mm, jitter=0.0)
+        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
+        log_lik = _allsum(jnp.sum(ms * _ord_loglik(f_hat, ys, cuts)))
+        return (-0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik
+                - 0.5 * log_det_b)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, cut_raw, X, y, mask)
+
+
+def sharded_hetero_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    noise,
+    X,
+    y,
+    mask=None,
+    *,
+    jitter: float | None = None,
+):
+    """Distributed Gaussian evidence with a PER-ROW noise vector — the
+    M-step objective of the Student-t robust family (models/robust.py):
+    log N(y; 0, V V' + diag(kn_diag - rowsq(V)) + diag(noise)).  ``noise``
+    shards with the rows; every cross-row object is m-space.  Exact vs
+    single-device ``models.fitc.log_evidence`` with vector sigma2.
+
+    Wrap in jax.jit(jax.value_and_grad(...)) for training.
+    """
+    import math as _math
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, xs, ys, ns, ms):
+        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
+        live = ms > 0.0
+        s = jnp.where(live, d + ns, 1.0)
+        is_ = jnp.where(live, 1.0 / s, 0.0)
+        a = v * jnp.sqrt(is_)[:, None]
+        m = v.shape[1]
+        bt = jnp.eye(m, dtype=v.dtype) + _allsum(matmul(a.T, a))
+        r_tilde = cholesky_upper(bt, jitter=0.0)
+        # l1: log|B| - log|Km| telescopes to log|B~| in the whitened form
+        log_det = log_det_tri(r_tilde) + _allsum(
+            jnp.sum(jnp.where(live, jnp.log(s), 0.0))
+        )
+        n_live = _allsum(jnp.sum(ms))
+        l1 = -0.5 * (log_det + n_live * _math.log(2.0 * _math.pi))
+        # l2 via the whitened t = B~^-T V'(is y)
+        isy = is_ * ys
+        u = _allsum(matmul(v.T, isy))
+        t = jax.scipy.linalg.solve_triangular(
+            r_tilde.T, u, lower=True
+        )
+        l2 = -0.5 * (_allsum(jnp.dot(ys, isy)) - jnp.dot(t, t))
+        return l1 + l2
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, X, y, noise, mask)
+
+
+def sharded_t_moments(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    sigma2,
+    X,
+    y,
+    lam,
+    mask=None,
+    *,
+    jitter: float | None = None,
+):
+    """Distributed E-step moments for the Student-t family
+    (models/robust.py ``t_posterior_moments`` over the 1-D data mesh):
+    the m-space factors (whitened B~, u) psum across shards, then every
+    row's exact (mu_i, var_i) is local.  Outputs shard with the rows.
+    """
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, s2, xs, ys, ls, ms):
+        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
+        live = ms > 0.0
+        noise = s2 / jnp.where(live, ls, 1.0)
+        s = jnp.where(live, d + noise, 1.0)
+        is_ = jnp.where(live, 1.0 / s, 0.0)
+        a = v * jnp.sqrt(is_)[:, None]
+        m = v.shape[1]
+        bt = jnp.eye(m, dtype=v.dtype) + _allsum(matmul(a.T, a))
+        r_tilde = cholesky_upper(bt, jitter=0.0)
+        u = _allsum(matmul(v.T, is_ * ys))
+        # coeffs (whitened): B~^-1 u; mean_pred_i = v_i . coeffs
+        t = jax.scipy.linalg.solve_triangular(r_tilde.T, u, lower=True)
+        coeffs = jax.scipy.linalg.solve_triangular(r_tilde, t, lower=False)
+        mean_pred = matmul(v, coeffs)
+        alpha = is_ * (ys - mean_pred)
+        mu = ys - noise * alpha
+        w2 = rows_sqr_norm(solve_tri_right(v, r_tilde))
+        s_inv_diag = is_ * (1.0 - is_ * w2)
+        var = jnp.maximum(noise * (1.0 - noise * s_inv_diag), 1e-12)
+        return mu, var
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return fn(params, z, jnp.asarray(sigma2, X.dtype), X, y, lam, mask)
