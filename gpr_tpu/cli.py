@@ -118,6 +118,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "rate,rate-stddev; unit exposure — use the library "
                         "API for exposure offsets).  Requires -trainer "
                         "device|sharded")
+    p.add_argument("-ordinal", action="store_true",
+                   help="ordinal regression (cumulative probit Laplace "
+                        "with learnable cutpoints, models/ordinal.py): "
+                        "targets must be ordered integer categories "
+                        "0..K-1; test output is one probability per "
+                        "category (with -with-stddev: plus the latent "
+                        "stddev).  Requires -trainer device|sharded")
+    p.add_argument("-student-t", dest="student_t", type=float, default=None,
+                   metavar="NU",
+                   help="robust regression with Student-t noise of NU "
+                        "degrees of freedom (NU > 2; variational EM over "
+                        "the scale mixture, models/robust.py): outlier "
+                        "rows are downweighted automatically; test output "
+                        "is the usual mean (with -with-stddev: the "
+                        "moment-matched predictive stddev).  Requires "
+                        "-trainer device|sharded")
     p.add_argument("-approx", choices=["laplace", "ep"], default="laplace",
                    help="Gaussian approximation for -classify (binary): "
                         "laplace (default; logit likelihood, MacKay probit "
@@ -216,30 +232,45 @@ def cmd_train(args) -> int:
 
     n_extensions = sum(
         [args.pitc_block is not None, args.warp > 0, bool(args.classify),
-         bool(args.poisson)]
+         bool(args.poisson), bool(args.ordinal),
+         args.student_t is not None]
     )
+    _EXT_FLAGS = ("-pitc-block/-warp/-classify/-poisson/-ordinal/"
+                  "-student-t")
     if n_extensions > 1:
         raise SystemExit(
-            "choose at most one of -pitc-block / -warp / -classify / "
-            "-poisson"
+            f"choose at most one of {_EXT_FLAGS.replace('/', ' / ')}"
         )
     if n_extensions and args.trainer == "host":
         raise SystemExit(
-            "-pitc-block/-warp/-classify/-poisson require -trainer "
+            f"{_EXT_FLAGS} require -trainer "
             "device|sharded (they train via the device-resident packed "
             "objective)"
         )
     if n_extensions and args.polish:
         raise SystemExit(
             "-polish re-optimizes the FITC regression objective and would "
-            "undo a -pitc-block/-warp/-classify/-poisson fit — not "
+            f"undo a {_EXT_FLAGS} fit — not "
             "supported together"
         )
     if n_extensions and args.devices is not None and "x" in str(args.devices):
         raise SystemExit(
-            "-pitc-block/-warp/-classify/-poisson support 1-D "
+            f"{_EXT_FLAGS} support 1-D "
             "data-parallel meshes only (-devices N)"
         )
+    if args.student_t is not None:
+        if args.student_t <= 2.0:
+            raise SystemExit(
+                "-student-t NU needs NU > 2 (finite noise variance for "
+                "the moment-matched predictive; the library API accepts "
+                "any NU > 0)"
+            )
+        if args.checkpoint or args.resume:
+            raise SystemExit(
+                "-student-t alternates EM rounds whose scale weights are "
+                "not in the device checkpoint — -checkpoint/-resume are "
+                "not supported (re-run the fit)"
+            )
 
     n_classes = 2
     if args.classify:
@@ -298,6 +329,22 @@ def cmd_train(args) -> int:
         if args.verbose:
             print(f"counts: mean {targets.mean():.3f}, "
                   f"max {int(targets.max())}", file=sys.stderr)
+    elif args.ordinal:
+        # ordered categories, not regression targets: no centering
+        uniq_arr = np.unique(targets)
+        if (not np.all(uniq_arr == np.round(uniq_arr))
+                or uniq_arr.min() < 0 or uniq_arr.max() < 1
+                or uniq_arr.max() >= 1024):
+            raise SystemExit(
+                "-ordinal needs integer category targets 0..K-1 (K >= 2), "
+                f"got values {uniq_arr[:5].tolist()}"
+            )
+        n_classes = int(uniq_arr.max()) + 1
+        target_mean = 0.0
+        if args.verbose:
+            counts = np.bincount(targets.astype(int), minlength=n_classes)
+            print(f"categories: {n_classes} (counts {counts.tolist()})",
+                  file=sys.stderr)
     else:
         target_mean = float(targets.mean())
         targets = targets - target_mean
@@ -376,7 +423,7 @@ def cmd_train(args) -> int:
             return p
 
     X = jnp.asarray(inputs)
-    if args.classify and n_classes > 2:
+    if (args.classify and n_classes > 2) or args.ordinal:
         y = jnp.asarray(targets.astype(np.int32))
     else:
         y = jnp.asarray(targets)
@@ -808,6 +855,35 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                     init_state=load_resume_state(pack.x0), **common,
                 )
             return (p, z, None, None), st, pack
+        if args.ordinal:
+            from .models.ordinal import default_cutpoint_raw, fit_ordinal
+
+            pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
+            cut0 = default_cutpoint_raw(n_classes, dtype=X.dtype)
+            ext_x0 = jnp.concatenate([pack.x0, cut0])
+            p, z, cut_raw, st = fit_ordinal(
+                fam, X, y, pack, cut0, mesh=mesh,
+                init_state=load_resume_state(ext_x0), **common,
+            )
+            return (p, z, None, cut_raw), st, pack
+        if args.student_t is not None:
+            from .models.robust import fit_t
+
+            pack = make_pack(fam, params0, z0, args.sigma2)
+            n_em = 5
+            p, z, s2, lam, st = fit_t(
+                fam, X, y, pack, nu=args.student_t, n_em=n_em, mesh=mesh,
+                m_step_iters=max(5, max_iter // n_em),
+                **{k: v for k, v in common.items() if k != "max_iter"},
+            )
+            if args.verbose:
+                lam_np = np.asarray(lam)
+                print(
+                    f"student-t: {int((lam_np < 0.1).sum())} rows "
+                    f"downweighted below 0.1 (min lam "
+                    f"{float(lam_np.min()):.4f})", file=sys.stderr,
+                )
+            return (p, z, s2, None), st, pack
         if args.poisson:
             pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
             if mesh is None:
@@ -965,6 +1041,19 @@ def _unpack_extension_state(args, st, r, X, start):
         pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
         p, z, _ = pack.unpack(st.x)
         return (p, z, None, None), pack
+    if args.ordinal:
+        from .optim.pack import extend_pack
+
+        pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
+        # K-1 cutpoint raws ride after the base coordinates
+        k1 = int(st.x.shape[0]) - int(pack.x0.shape[0])
+        ext = extend_pack(pack, jnp.zeros((k1,), pack.x0.dtype))
+        p, z, _ = ext.unpack(st.x)
+        return (p, z, None, ext.unpack_extra(st.x)), pack
+    if args.student_t is not None:
+        pack = make_pack(fam, params0, z0, args.sigma2)
+        p, z, s2 = pack.unpack(st.x)
+        return (p, z, s2, None), pack
     if args.warp:
         from .models.warped import default_warp_params, make_warped_pack
 
@@ -995,7 +1084,55 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
 
     p, z, s2, wp = result
     extra = {}
-    if args.poisson:
+    if args.ordinal:
+        # same collapse as the classifier: coeffs = U^-1 V'a and
+        # r_mat = Rn U serve the latent posterior through the standard
+        # predictors; cmd_test integrates the probit cells exactly
+        from .models.ordinal import (
+            _ord_parts,
+            cutpoints_from_raw,
+            ordinal_laplace_mode,
+        )
+
+        cut_raw = wp  # 4th result slot carries the mode state
+        wp = None
+        f_hat, a, inducing, v, d, cuts = ordinal_laplace_mode(
+            fam, p, z, X, y, cut_raw,
+        )
+        _, w = _ord_parts(f_hat, y, cuts, jnp.ones(y.shape, dtype=v.dtype))
+        w = jnp.maximum(w, 1e-12)
+        d2inv = w / (1.0 + w * d)
+        vs = v * jnp.sqrt(d2inv)[:, None]
+        rn = cholesky_upper(
+            jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+            jitter=0.0,
+        )
+        coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        r_mat = matmul(rn, inducing.chol_km)
+        chol_km = inducing.chol_km
+        sigma2 = 0.0
+        extra["ordinal"] = np.asarray(n_classes)
+        extra["cutpoints"] = np.asarray(cuts)
+    elif args.student_t is not None:
+        # the converged robust posterior IS a heteroskedastic-noise FITC
+        # posterior: the standard (coeffs, chol_km, r_mat) serve it
+        # exactly; artifact sigma2 carries the moment-matched t noise
+        # variance so the default test path needs no special casing
+        from .models.fitc import calc_model, calc_trained
+        from .models.robust import t_em_sweeps
+
+        nu = float(args.student_t)
+        lam, _ = t_em_sweeps(fam, p, z, s2, X, y, nu=nu, sweeps=10)
+        model = calc_model(fam, p, X, z, s2 / lam)
+        trained = calc_trained(model, y)
+        coeffs = trained.coeffs
+        chol_km = model.inducing.chol_km
+        r_mat = model.r_mat
+        z = model.inducing.z
+        sigma2 = float(s2) * nu / (nu - 2.0)
+        extra["student_t"] = np.asarray(nu)
+        extra["t_scale"] = np.asarray(float(s2))
+    elif args.poisson:
         # same collapse as the classifier: coeffs = U^-1 V'a and
         # r_mat = Rn U serve the latent log-rate posterior through the
         # standard predictors; cmd_test applies the lognormal moments
@@ -1169,6 +1306,36 @@ def cmd_test(args) -> int:
                 print(f"{r_i:f},{s_i:f}")
             else:
                 print(f"{r_i:f}")
+        return 0
+
+    if "ordinal" in extra:
+        # ordinal artifact: latent (mu, var) through the standard
+        # predictors, then the EXACT Gaussian integral of each probit
+        # cell (models/ordinal.py ordinal_predict's formula); one
+        # probability column per category, -with-stddev appends the
+        # latent stddev
+        from scipy.stats import norm as _norm
+
+        cvp = CoVariancePredictor(
+            z=jnp.asarray(art.inducing),
+            chol_km=jnp.asarray(art.chol_km),
+            r_mat=jnp.asarray(art.r_mat),
+        )
+        mu = np.asarray(predict_means(family, params, mp, X))
+        var = np.maximum(np.asarray(
+            predict_variances(family, params, cvp, X, 0.0, predictive=False)
+        ), 1e-12)
+        cuts = np.asarray(extra["cutpoints"])
+        scale = 1.0 / np.sqrt(1.0 + var)
+        cdf = _norm.cdf((cuts[None, :] - mu[:, None]) * scale[:, None])
+        upper = np.concatenate([cdf, np.ones((len(mu), 1))], axis=1)
+        lower = np.concatenate([np.zeros((len(mu), 1)), cdf], axis=1)
+        probs = np.maximum(upper - lower, 0.0)
+        for p_row, v_i in zip(probs, var):
+            cols = [f"{v:f}" for v in p_row]
+            if args.with_stddev:
+                cols.append(f"{math.sqrt(v_i):f}")
+            print(",".join(cols))
         return 0
 
     if "classify" in extra and int(extra["classify"]) > 2:

@@ -659,3 +659,93 @@ def test_cli_poisson(tmp_path, rng):
     )
     assert res.returncode != 0
     assert "nonnegative integer counts" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_ordinal(tmp_path, rng):
+    """-ordinal trains the cumulative-probit model; test output is one
+    probability per category (+ latent stddev with -with-stddev); device
+    and sharded trainers; bad targets rejected."""
+    n = 120
+    X = np.sort(rng.uniform(-3.0, 3.0, (n, 1)), axis=0)
+    f_true = 2.0 * np.sin(1.3 * X[:, 0])
+    y = np.digitize(f_true + 0.2 * rng.standard_normal(n), [-1.0, 1.0])
+    csv = "\n".join(
+        f"{x:.8f},{t:d}" for x, t in zip(X[:, 0], y)
+    ) + "\n"
+
+    for trainer, extra_args in [("device", []),
+                                ("sharded", ["-devices", "4"])]:
+        model_file = str(tmp_path / f"model_ord_{trainer}.npz")
+        res = run_cli(
+            ["-cmd", "train", "-model", model_file, "-n-inducing", "8",
+             "-max-iter", "12", "-seed", "5", "-trainer", trainer,
+             "-kernel", "se_iso", "-ordinal", "-verbose", *extra_args],
+            csv,
+        )
+        assert res.returncode == 0, (trainer, res.stderr[-2000:])
+        assert "categories: 3" in res.stderr
+
+        # probe the sine extremes (f ~ -2 / 0 / +2), well inside each cell
+        res = run_cli(["-cmd", "test", "-model", model_file,
+                       "-with-stddev"], "0.0\n-1.2\n1.2\n")
+        assert res.returncode == 0, res.stderr
+        rows = [list(map(float, line.split(",")))
+                for line in res.stdout.strip().splitlines()]
+        assert len(rows) == 3 and all(len(r) == 4 for r in rows)
+        for r in rows:
+            assert abs(sum(r[:3]) - 1.0) < 1e-6 and r[3] > 0
+        assert np.argmax(rows[0][:3]) == 1
+        assert np.argmax(rows[1][:3]) == 0
+        assert np.argmax(rows[2][:3]) == 2
+
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad.npz"), "-ordinal",
+         "-trainer", "device"],
+        "1.0,0.5\n2.0,1.0\n",
+    )
+    assert res.returncode != 0
+    assert "integer category targets" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_student_t(tmp_path, rng):
+    """-student-t NU downweights gross outliers; the served mean tracks
+    the clean function; NU <= 2 and -checkpoint are rejected."""
+    n = 150
+    X = np.sort(rng.uniform(-3.0, 3.0, (n, 1)), axis=0)
+    f_true = 2.0 * np.sin(1.3 * X[:, 0])
+    y = f_true + 0.1 * rng.standard_normal(n)
+    bad = rng.choice(n, 8, replace=False)
+    y[bad] += rng.choice([-1, 1], 8) * 6.0
+    csv = "\n".join(
+        f"{x:.8f},{t:.8f}" for x, t in zip(X[:, 0], y)
+    ) + "\n"
+
+    model_file = str(tmp_path / "model_t.npz")
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "8",
+         "-max-iter", "40", "-seed", "5", "-trainer", "device",
+         "-kernel", "se_iso", "-student-t", "4", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "downweighted" in res.stderr
+
+    xs = np.linspace(-3, 3, 13)
+    res = run_cli(["-cmd", "test", "-model", model_file],
+                  "\n".join(str(v) for v in xs) + "\n")
+    assert res.returncode == 0, res.stderr
+    mu = np.array([float(l) for l in res.stdout.strip().splitlines()])
+    rmse = float(np.sqrt(np.mean((mu - 2.0 * np.sin(1.3 * xs)) ** 2)))
+    assert rmse < 0.25, rmse
+
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-student-t", "1.5",
+         "-trainer", "device"], csv)
+    assert res.returncode != 0 and "NU > 2" in res.stderr
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-student-t", "4",
+         "-trainer", "device", "-checkpoint", str(tmp_path / "c.npz")],
+        csv)
+    assert res.returncode != 0 and "not supported" in res.stderr
