@@ -84,8 +84,13 @@ def pitc_stream_stats(
         kd = family.k_diag(params, x_b)
         v = matmul(knm, u_inv) * mask_b[:, None]
 
-        # exact within-block covariance with the family's exact diagonal
-        kbb = family.k_cross(params, x_b, x_b)
+        # exact within-block covariance with the family's exact diagonal.
+        # k_upper_inputs, NOT k_cross(x_b, x_b): k_cross expects the
+        # kernel-specific inducing representation on its second argument
+        # (lin_ard pre-scales, se_fat projects and carries per-inducing
+        # multiscales) — raw rows there mis-scale lin_ard and shape-crash
+        # se_fat multiscales (caught by the CI fuzz, round-3 s5)
+        kbb = family.k_upper_inputs(params, x_b)
         eye = jnp.eye(b, dtype=bool)
         kbb = jnp.where(eye, kd[:, None], kbb)
         live2 = mask_b[:, None] * mask_b[None, :]

@@ -18,7 +18,7 @@ import numpy as np
 
 from gpr_tpu.kernels import (
     Const, LinArd, LinOne, Matern32, Matern52, Periodic, RatQuad, SeFat,
-    SeIso,
+    SeIso, product_family, sum_family,
 )
 from gpr_tpu.models import calc_model, calc_trained, calc_stats, log_evidence
 from gpr_tpu.models.predict import (
@@ -30,7 +30,10 @@ from gpr_tpu.optim import make_pack, train
 from gpr_tpu.optim.lbfgs_device import fit, fit_restarts
 
 FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, RatQuad,
-            Periodic, SeFat]
+            Periodic, SeFat,
+            # combinators compose with every engine path (round-3 s5)
+            sum_family(SeIso, LinArd, Const),
+            product_family(Periodic, SeIso)]
 
 
 def one(rng, i, fam=None, n_max=200, variant=None):
@@ -114,7 +117,7 @@ def one(rng, i, fam=None, n_max=200, variant=None):
     # classification, softmax multi-class, Poisson counts, NB counts,
     # binomial proportions — each composes with every kernel family, so
     # the fuzz exercises the cross product
-    variant = int(rng.integers(9)) if variant is None else variant
+    variant = int(rng.integers(11)) if variant is None else variant
     if variant == 1:
         from gpr_tpu.models.pitc import pitc_log_evidence
         bs = int(rng.integers(1, n + 1))
@@ -245,6 +248,47 @@ def one(rng, i, fam=None, n_max=200, variant=None):
                                          newton_iters=8)
         assert bool(jnp.all((prob >= 0) & (prob <= 1))
                     and jnp.all(varb > 0)), f"binomial predict ({fam.name})"
+    elif variant == 9:
+        from gpr_tpu.models.ordinal import (
+            default_cutpoint_raw, ordinal_log_evidence, ordinal_predict,
+        )
+        n_c = int(rng.integers(2, 6))
+        qs = np.quantile(np.asarray(y), np.linspace(0, 1, n_c + 1)[1:-1])
+        yo = jnp.asarray(np.digitize(np.asarray(y), qs).astype(np.int32))
+        cr0 = default_cutpoint_raw(n_c, dtype=X.dtype)
+        lo, go = jax.value_and_grad(
+            lambda p, cr: ordinal_log_evidence(fam, p, Z, X, yo, cr,
+                                               newton_iters=8),
+            argnums=(0, 1),
+        )(params, cr0)
+        assert np.isfinite(float(lo)), f"ordinal evidence ({fam.name})"
+        for leaf in jax.tree.leaves(go):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"ordinal grad NaN ({fam.name})"
+        probs, _, varo = ordinal_predict(fam, params, Z, X, yo, cr0, Xt,
+                                         newton_iters=8)
+        assert bool(jnp.all(jnp.abs(jnp.sum(probs, axis=1) - 1.0) < 1e-6)
+                    and jnp.all(varo > 0)), f"ordinal predict ({fam.name})"
+    elif variant == 10:
+        from gpr_tpu.models.robust import (
+            t_em_sweeps, t_posterior_moments, t_predict,
+        )
+        nu = float(rng.uniform(2.5, 10.0))
+        lam, pair = t_em_sweeps(fam, params, Z, sigma2, X, y, nu=nu,
+                                sweeps=4)
+        assert bool(jnp.all(jnp.isfinite(lam)) and jnp.all(lam > 0)), \
+            f"t lam ({fam.name})"
+        lt, gt = jax.value_and_grad(
+            lambda p: log_evidence(fam, p, Z, sigma2 / lam, X, y)
+        )(params)
+        assert np.isfinite(float(lt)), f"t hetero evidence ({fam.name})"
+        for leaf in jax.tree.leaves(gt):
+            assert bool(jnp.all(jnp.isfinite(leaf))), \
+                f"t grad NaN ({fam.name})"
+        mu_t, var_t, nv = t_predict(fam, params, Z, sigma2, X, y, lam, Xt,
+                                    nu=nu)
+        assert bool(jnp.all(jnp.isfinite(mu_t)) and jnp.all(var_t > 0)), \
+            f"t predict ({fam.name})"
     return fam.name, n, d, m, variational, factorization, mode, variant
 
 

@@ -48,9 +48,9 @@ def test_fuzz_random_draws(seed):
 
 @pytest.mark.parametrize(
     "variant",
-    [1, 2, 3, 4, 5, 6, 7, 8],
+    [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
     ids=["pitc", "warped", "classify", "classify-ep", "multiclass",
-         "poisson", "negbin", "binomial"],
+         "poisson", "negbin", "binomial", "ordinal", "student-t"],
 )
 def test_fuzz_model_variants(variant):
     """Each round-3 model family forced, on a random kernel-family draw."""

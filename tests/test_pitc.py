@@ -157,3 +157,27 @@ def test_predictions(rng):
     _, r2, c2 = streaming_coeffs(SeIso, p, Z, SIGMA2, X, y, block_size=48)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-8,
                                atol=1e-12)
+
+
+def test_pitc_one_block_exact_gp_lin_ard(rng):
+    """Regression for the CI-fuzz find (round-3 s5): the within-block
+    covariance must come from k_upper_inputs, not k_cross(x_b, x_b) —
+    k_cross expects the pre-scaled lin_ard inducing rep on its second
+    argument, so raw rows there silently dropped one 1/ell factor.  One
+    block covering all rows == the exact dense GP evidence."""
+    from scipy.stats import multivariate_normal
+
+    from gpr_tpu.kernels import LinArd
+
+    n = 18
+    X = jnp.asarray(rng.standard_normal((n, 3)))
+    z = LinArd.inducing_from_inputs(
+        LinArd.Params(log_ells=jnp.asarray([0.3, -0.2, 0.1])), X[:5]
+    )
+    params = LinArd.Params(log_ells=jnp.asarray([0.3, -0.2, 0.1]))
+    y = jnp.asarray(rng.standard_normal(n))
+    sigma2 = 0.4
+    lp = pitc_log_evidence(LinArd, params, z, sigma2, X, y, block_size=n)
+    K = np.asarray(LinArd.k_upper_inputs(params, X)) + sigma2 * np.eye(n)
+    truth = multivariate_normal.logpdf(np.asarray(y), np.zeros(n), K)
+    np.testing.assert_allclose(float(lp), truth, rtol=1e-9)
