@@ -86,26 +86,42 @@ def _log_phi(z):
     return -0.5 * z * z - _LOG_SQRT_2PI
 
 
+def _log1mexp(r, eps):
+    """log(1 - exp(r)) for r <= -eps, stable at BOTH ends and NaN-free in
+    the unselected where-branches (every branch input is substituted with
+    a safe value — the repo-wide double-where rule, CLAUDE.md): near 0
+    log1p(-exp(r)) rounds exp(r) to 1 (f32 already at r = -1e-12) and
+    emits -inf whose cotangent poisons the whole gradient."""
+    r = jnp.minimum(r, -eps)
+    near = r > -0.6931471805599453  # log 2: switch point (Maechler 2012)
+    r_n = jnp.where(near, r, -1.0)
+    r_f = jnp.where(near, -1.0, r)
+    return jnp.where(
+        near, jnp.log(-jnp.expm1(r_n)), jnp.log1p(-jnp.exp(r_f))
+    )
+
+
 def _log_cell(z0, z1, has_lo, has_hi):
     """log(Phi(z1) - Phi(z0)) with boundary masks, stable in both tails.
 
     Masked bounds must carry a *safe* finite z (the caller substitutes 0)
-    so no inf/nan enters any branch under AD.
+    AND the both-bounds branch must see safe inputs when a boundary mask
+    deselects it — an f32 row with z0 == z1 == 0 in the dead branch
+    otherwise produces -inf there and NaN gradients through the where.
     """
-    # both-bounds branch: flip so the difference is between lower-tail
-    # CDFs (log_ndtr is accurate there); Phi(z1)-Phi(z0) = Phi(-z0)-Phi(-z1)
+    eps = jnp.finfo(z1.dtype).eps
+    both_sel = has_lo & has_hi
+    # flip so the difference is between lower-tail CDFs (log_ndtr is
+    # accurate there); Phi(z1)-Phi(z0) = Phi(-z0)-Phi(-z1)
     flip = (z0 + z1) > 0.0
-    a = jnp.where(flip, -z1, z0)
-    b = jnp.where(flip, -z0, z1)
+    a = jnp.where(both_sel, jnp.where(flip, -z1, z0), -1.0)
+    b = jnp.where(both_sel, jnp.where(flip, -z0, z1), 1.0)
     la = log_ndtr(a)
     lb = log_ndtr(b)
-    # la <= lb; guard exact ties (degenerate cell) away from log1p(-1)
-    ratio = jnp.minimum(la - lb, -1e-12)
-    both = lb + jnp.log1p(-jnp.exp(ratio))
+    both = lb + _log1mexp(la - lb, eps)
     only_hi = log_ndtr(z1)  # k = 0: cell is Phi(z1)
     only_lo = log_ndtr(-z0)  # k = K-1: cell is 1 - Phi(z0)
-    out = jnp.where(has_lo, jnp.where(has_hi, both, only_lo), only_hi)
-    return out
+    return jnp.where(has_lo, jnp.where(has_hi, both, only_lo), only_hi)
 
 
 def _bounds(f, y, cuts):
