@@ -31,6 +31,14 @@ Gaussian evidence + 0.5 sum(E[log lam] - log lam_hat) - KL(q(lam)||p(lam)))
 — it must increase across E-steps at fixed hypers, which the tests
 assert; it is also the model-selection score for nu.
 
+Identifiability caveat (measured on TPU, probes/robust_tpu.py): FITC's
+per-point diagonal slack r_i = k_ii - q_ii is idiosyncratic PRIOR
+variance, i.e. a competing explanation for an outlier.  lam_hat flags a
+row only when its deviation exceeds what r_i + sigma2 can absorb —
+under-covered inducing sets (r_i ~ sf2) hide moderate outliers.  If
+identification matters, check that r is small on the fitted model (it
+is a field of ModelState) or raise m.
+
 Validated against a dense oracle for the heteroskedastic posterior, ELBO
 monotonicity, and an outlier-recovery comparison where the Gaussian fit
 measurably breaks (tests/test_robust.py).
