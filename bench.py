@@ -514,6 +514,53 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"classify-multi: FAILED {type(e).__name__}: {e}")
 
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        from gpr_tpu.models.ordinal import ordinal_log_evidence
+
+        score = jnp.sum(X[:, :2], axis=1)
+        yo = jnp.digitize(score, jnp.asarray([-1.0, 0.0, 1.0], dtype)
+                          ).astype(jnp.int32)
+        cr = jnp.asarray([-1.0, 0.0, 0.0], dtype)
+
+        def f_ord(params, z, cr, X, yo):
+            return ordinal_log_evidence(SeIso, params, z, X, yo, cr,
+                                        newton_iters=15)
+
+        vgo = jax.jit(jax.value_and_grad(f_ord, argnums=(0, 1, 2)))
+        to, _, firsto, outo = timeit(vgo, params, Z, cr, X, yo, iters=2,
+                                     batches=2)
+        log(f"ordinal evidence+grad (K=4, 15 Newton steps): "
+            f"{to*1e3:.0f} ms/iter (first {firsto:.1f}s, evidence "
+            f"{float(outo[0]):.1f})")
+    except Exception as e:  # noqa: BLE001
+        log(f"ordinal: FAILED {type(e).__name__}: {e}")
+
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        from gpr_tpu.models.robust import t_em_sweeps
+
+        em = jax.jit(lambda params, z, X, y: t_em_sweeps(
+            SeIso, params, z, jnp.asarray(0.1, dtype), X, y, nu=4.0,
+            sweeps=1)[0])
+        tem, _, firstem, lam_b = timeit(em, params, Z, X, y, iters=3,
+                                        batches=2)
+
+        def f_t(params, z, X, y, lam):
+            return log_evidence(SeIso, params, z,
+                                jnp.asarray(0.1, dtype) / lam, X, y)
+
+        vgt = jax.jit(jax.value_and_grad(f_t, argnums=(0, 1)))
+        tt, _, firstt, _ = timeit(vgt, params, Z, X, y, lam_b, iters=3,
+                                  batches=2)
+        log(f"student-t E-step {tem*1e3:.0f} ms/sweep + M-step "
+            f"evidence+grad {tt*1e3:.0f} ms/iter (firsts "
+            f"{firstem:.1f}s/{firstt:.1f}s)")
+    except Exception as e:  # noqa: BLE001
+        log(f"student-t: FAILED {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "fitc_train_s_per_iter_1Mx8_m300",
         "value": round(best, 4),
