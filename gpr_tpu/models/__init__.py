@@ -80,6 +80,7 @@ from .robust import (
     t_em_sweeps,
     t_posterior_moments,
     t_predict,
+    t_select_nu,
 )
 from .poisson import (
     fit_poisson,

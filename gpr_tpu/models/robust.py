@@ -158,6 +158,35 @@ def t_em_sweeps(
     return lam, (a_all[-1], b_all[-1])
 
 
+def t_select_nu(
+    family, params, z, sigma2, X, y, *, nu_grid=(2.5, 3.0, 4.0, 6.0, 10.0,
+                                                 20.0, 50.0),
+    sweeps: int = 10, variational: bool = False,
+    jitter: float | None = None,
+):
+    """Degrees-of-freedom selection by the mean-field ELBO at fixed
+    hypers: run the EM sweeps per candidate nu and score each converged
+    q(lam) with its own bound.  Returns (best_nu, {nu: elbo}).
+
+    The ELBO is the variational model-selection score — heavier-tailed
+    residuals push it toward small nu, clean Gaussian residuals toward
+    large (the tests assert both directions).  Typical use: fit once with
+    a moderate nu, select, refit if the choice differs materially.
+    """
+    scores = {}
+    for nu in nu_grid:
+        _, pair = t_em_sweeps(
+            family, params, z, sigma2, X, y, nu=float(nu), sweeps=sweeps,
+            variational=variational, jitter=jitter,
+        )
+        scores[float(nu)] = float(
+            t_elbo(family, params, z, sigma2, X, y, pair,
+                   variational=variational, jitter=jitter)(float(nu))
+        )
+    best = max(scores, key=scores.get)
+    return best, scores
+
+
 def fit_t(
     family,
     X,

@@ -135,3 +135,27 @@ def test_t_em_is_jittable(rng):
     lam = run(y)
     assert np.isfinite(np.asarray(lam)).all()
     assert (np.asarray(lam) > 0).all()
+
+
+def test_nu_selection_direction(rng):
+    """The ELBO score must point the right way: heavy-tailed (t(2.5))
+    noise prefers a small nu, clean Gaussian noise a large one.  n must
+    be large enough for tail events to actually occur (at n ~ 80 a tame
+    t draw legitimately scores like a Gaussian — measured)."""
+    from gpr_tpu.models.robust import t_select_nu
+
+    n = 300
+    X = jnp.asarray(np.sort(rng.uniform(-3, 3, n))[:, None])
+    f = np.sin(2.0 * np.asarray(X[:, 0]))
+    sigma2 = 0.04
+    grid = (2.5, 4.0, 10.0, 50.0)
+
+    y_t = jnp.asarray(f + np.sqrt(sigma2) * rng.standard_t(2.5, n))
+    y_g = jnp.asarray(f + np.sqrt(sigma2) * rng.standard_normal(n))
+    params = SeIso.Params(log_ell=jnp.asarray(-0.3), log_sf2=jnp.asarray(0.0))
+    z = X[:: n // 10][:10]
+
+    nu_t, sc_t = t_select_nu(SeIso, params, z, sigma2, X, y_t, nu_grid=grid)
+    nu_g, sc_g = t_select_nu(SeIso, params, z, sigma2, X, y_g, nu_grid=grid)
+    assert nu_t <= 4.0, (nu_t, sc_t)
+    assert nu_g >= 10.0, (nu_g, sc_g)
