@@ -55,9 +55,67 @@ from jax.scipy.special import digamma, gammaln
 from .fitc import calc_model, calc_trained, log_evidence
 
 
+def _t_moments_blocked(
+    family, params, z, sigma2, X, y, lam, block_size, jitter,
+):
+    """Streaming exact hetero moments: the same closed forms as
+    t_posterior_moments, but Knm never materializes — one stream_stats
+    pass (per-row noise is now a first-class streaming input) for the
+    m-space factors, then one lax.map pass emitting each row's (mu, var).
+    Memory O(n + block x m): the robust family at n >> HBM."""
+    from ..numerics.linalg import inv_tri_upper
+    from .streaming import streaming_coeffs
+
+    noise = sigma2 / lam
+    inducing, r_mat, coeffs = streaming_coeffs(
+        family, params, z, noise, X, y, block_size=block_size, jitter=jitter
+    )
+    u_inv = inv_tri_upper(inducing.chol_km)
+    r_inv = inv_tri_upper(r_mat)
+
+    n = X.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    if pad:
+        Xp = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        yp = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        nzp = jnp.concatenate([noise, jnp.ones((pad,), noise.dtype)])
+    else:
+        Xp, yp, nzp = X, y, noise
+    xb = Xp.reshape(nb, block_size, X.shape[1])
+    yb = yp.reshape(nb, block_size)
+    nzb = nzp.reshape(nb, block_size)
+
+    from ..numerics.linalg import matmul as _mm
+    from ..numerics.linalg import rows_sqr_norm as _rowsq
+
+    def blk(args):
+        x_b, y_b, nz_b = args
+        knm = family.k_cross(params, x_b, inducing.z)
+        kd = family.k_diag(params, x_b)
+        v = _mm(knm, u_inv)
+        r = kd - _rowsq(v)
+        s = r + nz_b
+        is_ = 1.0 / s
+        mean_pred = _mm(knm, coeffs)
+        alpha = is_ * (y_b - mean_pred)
+        mu = y_b - nz_b * alpha
+        w2 = _rowsq(_mm(knm, r_inv))
+        s_inv_diag = is_ * (1.0 - is_ * w2)
+        var = jnp.maximum(nz_b * (1.0 - nz_b * s_inv_diag), 1e-12)
+        return mu, var
+
+    mu, var = jax.lax.map(blk, (xb, yb, nzb))
+    return (
+        mu.reshape(-1)[:n],
+        var.reshape(-1)[:n],
+        (inducing, r_mat, coeffs),
+    )
+
+
 def t_posterior_moments(
     family, params, z, sigma2, X, y, lam, *, variational: bool = False,
-    jitter: float | None = None,
+    jitter: float | None = None, block_size: int | None = None,
 ):
     """(mu, var_latent, trained): the EXACT posterior of f_train under the
     model prior K = Q + diag(r) and noise Lam_n = sigma2/lam.
@@ -73,7 +131,15 @@ def t_posterior_moments(
       cov   = K - K S^-1 K  = K S^-1 Lam_n, so
       var_i = Lam_n_i (1 - Lam_n_i (S^-1)_ii),
       (S^-1)_ii = is_i (1 - is_i w2_i),  w2 = rowsq(Knm R^-1).
+
+    ``block_size`` streams the same formulas (Knm never materializes;
+    the third return is then the (inducing, r_mat, coeffs) triple
+    instead of a TrainedState) — use it when n outgrows HBM.
     """
+    if block_size is not None:
+        return _t_moments_blocked(
+            family, params, z, sigma2, X, y, lam, block_size, jitter
+        )
     from ..numerics.linalg import rows_sqr_norm as _rowsq
     from ..numerics.linalg import solve_tri_right as _str
 
@@ -140,14 +206,16 @@ def t_elbo(
 def t_em_sweeps(
     family, params, z, sigma2, X, y, *, nu: float = 4.0, sweeps: int = 10,
     variational: bool = False, jitter: float | None = None,
+    block_size: int | None = None,
 ):
     """Fixed-hyper mean-field EM: alternate exact q(f) and q(lam) updates.
-    Jit-compatible (lax.scan).  Returns (lam_hat, (a, b))."""
+    Jit-compatible (lax.scan).  ``block_size`` streams each E-step so Knm
+    never materializes (n >> HBM).  Returns (lam_hat, (a, b))."""
 
     def step(lam, _):
         mu, var, _tr = t_posterior_moments(
             family, params, z, sigma2, X, y, lam,
-            variational=variational, jitter=jitter,
+            variational=variational, jitter=jitter, block_size=block_size,
         )
         a = jnp.full_like(lam, (nu + 1.0) / 2.0)
         b = (nu + (jnp.square(y - mu) + var) / sigma2) / 2.0
@@ -201,6 +269,7 @@ def fit_t(
     jitter: float | None = None,
     normalize: bool = True,
     mesh=None,
+    block_size: int | None = None,
     **fit_kwargs,
 ):
     """Robust training: alternate packed L-BFGS M-steps (hetero Gaussian
@@ -210,6 +279,9 @@ def fit_t(
     scale.  ``mesh`` runs both steps 1-D data-parallel
     (parallel.classify_sharded.sharded_hetero_log_evidence /
     sharded_t_moments); the returned lam_hat is gathered to host order.
+    ``block_size`` streams both single-device steps (per-row noise is a
+    first-class streaming input, models/streaming.py) so Knm never
+    materializes — the robust family at n >> HBM.
     Returns (params, z, sigma2, lam_hat, state): lam_hat_i << 1 flags
     row i as an outlier (weight of its residual in every statistic).
     """
@@ -217,6 +289,11 @@ def fit_t(
         raise ValueError(
             "fit_t learns the t scale through the pack's sigma2 slot: "
             "build the pack with learn_sigma2=True"
+        )
+    if mesh is not None and block_size is not None:
+        raise ValueError(
+            "fit_t streams per shard via mesh=... alone; block_size "
+            "composes with the single-device path only"
         )
     from ..optim.lbfgs_device import fit_packed_objective
 
@@ -270,6 +347,14 @@ def fit_t(
         def fg(x, X, y, lam):
             def f(x):
                 params, z, sigma2 = pack.unpack(x)
+                if block_size is not None:
+                    from .streaming import streaming_log_evidence
+
+                    return -scale * streaming_log_evidence(
+                        family, params, z, sigma2 / lam, X, y,
+                        variational=variational, jitter=jitter,
+                        block_size=block_size,
+                    )
                 return -scale * log_evidence(
                     family, params, z, sigma2 / lam, X, y,
                     variational=variational, jitter=jitter,
@@ -283,6 +368,7 @@ def fit_t(
             mu, var, _tr = t_posterior_moments(
                 family, params, z, sigma2, X, y, lam,
                 variational=variational, jitter=jitter,
+                block_size=block_size,
             )
             return t_lambda_update(y, mu, var, sigma2, nu)
 

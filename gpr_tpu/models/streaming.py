@@ -105,6 +105,20 @@ def stream_stats(
     u_inv = inv_tri_upper(inducing.chol_km)
     xb, yb, maskb = _pad_blocks(X, y, mask, block_size)
 
+    # Per-row noise (sigma2 of shape (n,)): the heteroskedastic evidence —
+    # the Student-t M-step at n >> HBM, or user-supplied measurement
+    # errors.  Streams on the AD path only (the hand-fused VJP and the
+    # Pallas kernel assume a scalar); differentiable w.r.t. the vector.
+    if jnp.ndim(sigma2) == 1:
+        if impl == "pallas":
+            raise ValueError(
+                "per-row sigma2 streams on impl='scan' only"
+            )
+        nzb = _pad_blocks(X, sigma2, mask, block_size)[1]  # y-slot blocking
+        grad_impl = "ad"
+    else:
+        nzb = None
+
     if impl == "pallas":
         # fused Pallas forward + hand-VJP backward (differentiable); runs in
         # interpreter mode off-TPU so CPU CI covers the kernel math
@@ -140,7 +154,12 @@ def stream_stats(
     save_kernel = remat_policy == "save_kernel"
 
     def body(carry, blk):
-        x_b, y_b, mask_b = blk
+        if nzb is None:
+            x_b, y_b, mask_b = blk
+            noise_b = sigma2
+        else:
+            x_b, y_b, mask_b, noise_b = blk
+            noise_b = noise_b.astype(inducing.z.dtype)
         x_b = x_b.astype(inducing.z.dtype)  # bf16 storage mode upcast
         y_b = y_b.astype(inducing.z.dtype)
         mask_b = mask_b.astype(inducing.z.dtype)
@@ -156,7 +175,7 @@ def stream_stats(
         # log, reciprocal): a plain mask-multiply leaves inf derivatives that
         # turn into NaN via inf * 0 in the backward pass.
         live = mask_b > 0
-        s = jnp.where(live, r + sigma2, 1.0)
+        s = jnp.where(live, r + noise_b, 1.0)
         is_ = mask_b / s
         sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
         a = v * sqrt_is[:, None]  # whitened rows: (V sqrt(is)) tile
@@ -186,8 +205,9 @@ def stream_stats(
         jnp.zeros((), _acc_dtype()),
         jnp.zeros((), _acc_dtype()),
     )
+    xs = (xb, yb, maskb) if nzb is None else (xb, yb, maskb, nzb)
     (gram, u_vec, lds, yiy, isr, cnt), _ = jax.lax.scan(
-        body, init, (xb, yb, maskb), unroll=unroll
+        body, init, xs, unroll=unroll
     )
     return StreamStats(
         gram=gram, u_vec=u_vec, log_det_s=lds, y_is_y=yiy, is_r_sum=isr, n=cnt

@@ -159,3 +159,58 @@ def test_nu_selection_direction(rng):
     nu_g, sc_g = t_select_nu(SeIso, params, z, sigma2, X, y_g, nu_grid=grid)
     assert nu_t <= 4.0, (nu_t, sc_t)
     assert nu_g >= 10.0, (nu_g, sc_g)
+
+
+def test_streaming_hetero_evidence_matches_dense(rng):
+    """Per-row noise is a first-class streaming input: value AND grads
+    (incl. the noise-vector cotangent) match the materialized evidence at
+    an arbitrary block partition."""
+    from gpr_tpu.models.streaming import streaming_log_evidence
+
+    X, z, y = _setup(rng, n=37)
+    noise = jnp.asarray(rng.uniform(0.1, 1.0, 37))
+
+    def f_d(p, nz):
+        return log_evidence(SeIso, p, z, nz, X, y)
+
+    def f_s(p, nz):
+        return streaming_log_evidence(SeIso, p, z, nz, X, y, block_size=8)
+
+    ld, gd = jax.value_and_grad(f_d, argnums=(0, 1))(PARAMS, noise)
+    ls, gs = jax.value_and_grad(f_s, argnums=(0, 1))(PARAMS, noise)
+    np.testing.assert_allclose(float(ls), float(ld), rtol=1e-11)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_blocked_t_moments_match_materialized(rng):
+    X, z, y = _setup(rng, n=41)
+    lam = jnp.asarray(rng.uniform(0.2, 2.0, 41))
+    mu_d, var_d, _ = t_posterior_moments(SeIso, PARAMS, z, 0.3, X, y, lam)
+    mu_b, var_b, _ = t_posterior_moments(
+        SeIso, PARAMS, z, 0.3, X, y, lam, block_size=7
+    )
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_d),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_d),
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_fit_t_streaming_matches_materialized(rng):
+    X, z0, y = _setup(rng, n=60)
+    yn = np.asarray(y).copy()
+    yn[[5, 40]] += [6.0, -5.0]
+    y = jnp.asarray(yn)
+    pack = make_pack(SeIso, PARAMS, z0, 0.4)
+    p_m, z_m, s2_m, lam_m, st_m = fit_t(
+        SeIso, X, y, pack, nu=4.0, n_em=3, m_step_iters=10
+    )
+    p_s, z_s, s2_s, lam_s, st_s = fit_t(
+        SeIso, X, y, pack, nu=4.0, n_em=3, m_step_iters=10, block_size=16
+    )
+    np.testing.assert_allclose(np.asarray(st_s.x), np.asarray(st_m.x),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lam_s), np.asarray(lam_m),
+                               rtol=1e-6, atol=1e-8)
