@@ -140,12 +140,23 @@ def binomial_laplace_mode(
 
 def binomial_log_evidence(
     family, params, z, X, y, trials, *, newton_iters: int = 15,
-    jitter: float | None = None,
+    jitter: float | None = None, block_size: int | None = None,
 ):
     """Laplace marginal likelihood, differentiable w.r.t. (params, z)
     through the unrolled Newton mode.  At trials == 1 this equals
     classify_log_evidence(..., y in {-1,+1}) up to the (absent there)
-    binomial coefficient — which is 0 for N = 1."""
+    binomial coefficient — which is 0 for N = 1.  ``block_size`` streams
+    through the generic Laplace core (unbounded n)."""
+    if block_size is not None:
+        from .classify_stream import stream_laplace_log_evidence
+
+        return stream_laplace_log_evidence(
+            family, params, z, X, (y, trials),
+            parts=lambda f, lik, mb: _bin_parts(f, lik[0], lik[1], mb),
+            loglik=lambda f, lik: _bin_loglik(f, lik[0], lik[1]),
+            block_size=block_size, newton_iters=newton_iters,
+            jitter=jitter,
+        )
     f_hat, a, inducing, v, d = binomial_laplace_mode(
         family, params, z, X, y, trials, newton_iters=newton_iters,
         jitter=jitter,
@@ -191,11 +202,13 @@ def binomial_predict(
 
 def fit_binomial(
     family, X, y, trials, pack, *, newton_iters: int = 15,
-    jitter: float | None = None, normalize: bool = True, **fit_kwargs,
+    jitter: float | None = None, normalize: bool = True,
+    block_size: int | None = None, **fit_kwargs,
 ):
     """Hyper + inducing training on the binomial-Laplace evidence
     (optim.fit_packed_objective conventions; pack must carry
-    learn_sigma2=False).  Returns (params, z, state)."""
+    learn_sigma2=False).  ``block_size`` streams the objective
+    (unbounded n).  Returns (params, z, state)."""
     if pack.learn_sigma2:
         raise ValueError(
             "the binomial likelihood has no sigma2: build the pack with "
@@ -211,6 +224,7 @@ def fit_binomial(
             return -scale * binomial_log_evidence(
                 family, params, z, X, y, trials,
                 newton_iters=newton_iters, jitter=jitter,
+                block_size=block_size,
             )
 
         return jax.value_and_grad(f)(x)

@@ -97,16 +97,34 @@ def stream_prior_diag(family, params, z, u_inv, xb, d_floor=1e-8):
     return d
 
 
+def _binary_parts(f, lik, maskb):
+    """(dl/df, W) of the logit likelihood over blocked rows — the default
+    hook; other Laplace likelihoods plug in their own (poisson/binomial/
+    ordinal streaming, see ``stream_laplace_parts``)."""
+    (yb,) = lik
+    pi = jax.nn.sigmoid(f)
+    w = maskb * jnp.maximum(pi * (1.0 - pi), 1e-12)
+    grad = maskb * (0.5 * (yb + 1.0) - pi)
+    return grad, w
+
+
 def newton_scan_stream(
-    family, params, z, u_inv, d, xb, yb, maskb, *,
-    newton_iters: int = 15, allsum=lambda x: x,
+    family, params, z, u_inv, d, xb, lik, maskb, *,
+    newton_iters: int = 15, allsum=lambda x: x, parts=None,
 ):
     """Blockwise Newton mode-finding; (f_hat, a) as (nb, block) arrays.
 
     Same iteration as classify.newton_scan (stabilized GPML alg 3.1 with
     one round of iterative refinement and the exact concave line maximum)
-    with every V product expressed as a sweep.
+    with every V product expressed as a sweep.  ``lik`` is the tuple of
+    blocked per-row likelihood data (a bare array means binary labels in
+    {-1,+1}); ``parts(f, lik, maskb) -> (grad, W)`` supplies any
+    log-concave likelihood — masked rows must come back zeroed.
     """
+    if not isinstance(lik, tuple):
+        lik = (lik,)
+    if parts is None:
+        parts = _binary_parts
     m = z.shape[0]
     sweep = _make_sweep(family, params, z, u_inv, xb, allsum)
     eye = jnp.eye(m, dtype=xb.dtype)
@@ -117,9 +135,8 @@ def newton_scan_stream(
 
     def step(carry, _):
         f, a = carry
-        pi = jax.nn.sigmoid(f)
-        w = maskb * jnp.maximum(pi * (1.0 - pi), 1e-12)
-        grad = maskb * (0.5 * (yb + 1.0) - pi)
+        grad, w = parts(f, lik, maskb)
+        w = maskb * jnp.maximum(w, 1e-12)
         b = w * f + grad
         # double-where gate (masked w = 0; sqrt cotangent at 0 is inf)
         sw = maskb * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
@@ -187,15 +204,12 @@ def newton_scan_stream(
         afn = allsum(jnp.sum(a * f_n))
         ann = allsum(jnp.sum(a_n * f_n))
         df = f_n - f
-        yp = 0.5 * (yb + 1.0)
 
         def dpsi(s):
-            pi_s = jax.nn.sigmoid(f + s * df)
+            g_s, _ = parts(f + s * df, lik, maskb)
             quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
                       + 2.0 * s * ann)
-            return -0.5 * quad_p + allsum(
-                jnp.sum(maskb * (yp - pi_s) * df)
-            )
+            return -0.5 * quad_p + allsum(jnp.sum(g_s * df))
 
         def bis(_, lohi):
             lo, hi = lohi
@@ -212,38 +226,47 @@ def newton_scan_stream(
         f = (1.0 - s) * f + s * f_n
         return (f, a), None
 
-    f0 = jnp.zeros_like(yb)
+    f0 = jnp.zeros_like(maskb)  # float, whatever the label dtype
     (f_hat, a), _ = jax.lax.scan(
-        jax.checkpoint(step), (f0, jnp.zeros_like(yb)), None,
+        jax.checkpoint(step), (f0, jnp.zeros_like(maskb)), None,
         length=newton_iters,
     )
     return f_hat, a
 
 
-def stream_classify_parts(
-    family, params, z, X, y, *, block_size: int = 8192,
-    newton_iters: int = 15, jitter: float | None = None, mask=None,
-    allsum=lambda x: x,
+def stream_laplace_parts(
+    family, params, z, X, lik_rows, *, parts, loglik,
+    block_size: int = 8192, newton_iters: int = 15,
+    jitter: float | None = None, mask=None, allsum=lambda x: x,
 ):
-    """Mode + the m-space posterior epilogue, one streaming pass each.
+    """Generic streaming Laplace: mode + the m-space posterior epilogue,
+    one streaming pass each, for ANY log-concave likelihood.
 
-    Returns (inducing, f_hat, a, d, vta, rn, log_det_b, log_lik, quad)
-    with f_hat/a/d as (nb, block) arrays, vta = V'a, R'R = I + Vw'Vw at
-    the mode — everything the evidence and the predictor state need.
+    ``lik_rows`` is a tuple of (n,) per-row likelihood data (labels,
+    trial counts, exposures, ...); ``parts(f, lik, maskb) -> (grad, W)``
+    and ``loglik(f, lik) -> per-row log p(y|f)`` plug the likelihood in
+    (binary/poisson/binomial/ordinal wrappers below and in their
+    modules).  Returns (inducing, f_hat, a, d, vta, rn, log_det_b,
+    log_lik, quad) with f_hat/a/d as (nb, block) arrays, vta = V'a,
+    R'R = I + Vw'Vw at the mode — everything the evidence and the
+    predictor state need.  Memory O(n + block x m) at any n.
     """
     inducing = calc_inducing(family, params, z, jitter)
     u_inv = inv_tri_upper(inducing.chol_km)
-    xb, yb, maskb = _pad_blocks(X, y, mask, block_size)
+    xb, first, maskb = _pad_blocks(X, lik_rows[0], mask, block_size)
+    lik = (first,) + tuple(
+        _pad_blocks(X, arr, mask, block_size)[1] for arr in lik_rows[1:]
+    )
     d = stream_prior_diag(family, params, z, u_inv, xb)
 
     f_hat, a = newton_scan_stream(
-        family, params, z, u_inv, d, xb, yb, maskb,
-        newton_iters=newton_iters, allsum=allsum,
+        family, params, z, u_inv, d, xb, lik, maskb,
+        newton_iters=newton_iters, allsum=allsum, parts=parts,
     )
 
     m = z.shape[0]
-    pi = jax.nn.sigmoid(f_hat)
-    w = maskb * jnp.maximum(pi * (1.0 - pi), 1e-12)
+    _, w = parts(f_hat, lik, maskb)
+    w = maskb * jnp.maximum(w, 1e-12)
     e = 1.0 / (1.0 + w * d)
     swe = maskb * jnp.sqrt(jnp.where(w > 0.0, w, 1.0) * e)
 
@@ -261,9 +284,41 @@ def stream_classify_parts(
     rn = cholesky_upper(jnp.eye(m, dtype=xb.dtype) + mm, jitter=0.0)
 
     log_det_b = allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rn)
-    log_lik = allsum(jnp.sum(maskb * _log_sigmoid(yb * f_hat)))
+    log_lik = allsum(jnp.sum(maskb * loglik(f_hat, lik)))
     quad = allsum(jnp.sum(a * f_hat))
     return inducing, f_hat, a, d, vta, rn, log_det_b, log_lik, quad
+
+
+def stream_laplace_log_evidence(
+    family, params, z, X, lik_rows, *, parts, loglik,
+    block_size: int = 8192, newton_iters: int = 15,
+    jitter: float | None = None, mask=None, allsum=lambda x: x,
+):
+    """-0.5 a'f + log lik - 0.5 log|B| from the generic streaming parts —
+    == the family's materialized Laplace evidence to roundoff at any
+    block partition."""
+    *_, log_det_b, log_lik, quad = stream_laplace_parts(
+        family, params, z, X, lik_rows, parts=parts, loglik=loglik,
+        block_size=block_size, newton_iters=newton_iters, jitter=jitter,
+        mask=mask, allsum=allsum,
+    )
+    return -0.5 * quad + log_lik - 0.5 * log_det_b
+
+
+def stream_classify_parts(
+    family, params, z, X, y, *, block_size: int = 8192,
+    newton_iters: int = 15, jitter: float | None = None, mask=None,
+    allsum=lambda x: x,
+):
+    """Binary instance of ``stream_laplace_parts`` (kept as the named
+    public surface the CLI artifact writer uses)."""
+    return stream_laplace_parts(
+        family, params, z, X, (y,),
+        parts=_binary_parts,
+        loglik=lambda f, lik: _log_sigmoid(lik[0] * f),
+        block_size=block_size, newton_iters=newton_iters, jitter=jitter,
+        mask=mask, allsum=allsum,
+    )
 
 
 def stream_classify_log_evidence(

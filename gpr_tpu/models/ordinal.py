@@ -242,10 +242,24 @@ def ordinal_laplace_mode(
 
 def ordinal_log_evidence(
     family, params, z, X, y, cut_raw, *, newton_iters: int = 20,
-    jitter: float | None = None,
+    jitter: float | None = None, block_size: int | None = None,
 ):
     """Laplace marginal likelihood, differentiable w.r.t.
-    (params, z, cut_raw) through the unrolled Newton mode."""
+    (params, z, cut_raw) through the unrolled Newton mode.
+    ``block_size`` streams through the generic Laplace core
+    (models/classify_stream.py) — unbounded n; the cutpoints ride as a
+    traced closure of the likelihood hooks."""
+    if block_size is not None:
+        from .classify_stream import stream_laplace_log_evidence
+
+        cuts = cutpoints_from_raw(cut_raw)
+        return stream_laplace_log_evidence(
+            family, params, z, X, (y,),
+            parts=lambda f, lik, mb: _ord_parts(f, lik[0], cuts, mb),
+            loglik=lambda f, lik: _ord_loglik(f, lik[0], cuts),
+            block_size=block_size, newton_iters=newton_iters,
+            jitter=jitter,
+        )
     f_hat, a, inducing, v, d, cuts = ordinal_laplace_mode(
         family, params, z, X, y, cut_raw, newton_iters=newton_iters,
         jitter=jitter,
@@ -302,6 +316,7 @@ def ordinal_predict(
 def fit_ordinal(
     family, X, y, pack, cut_raw0, *, newton_iters: int = 20,
     jitter: float | None = None, normalize: bool = True, mesh=None,
+    block_size: int | None = None,
     **fit_kwargs,
 ):
     """Joint hyper + inducing + cutpoint training on the ordinal-Laplace
@@ -315,6 +330,11 @@ def fit_ordinal(
         raise ValueError(
             "the ordinal likelihood has no sigma2: build the pack with "
             "make_pack(..., learn_sigma2=False)"
+        )
+    if mesh is not None and block_size is not None:
+        raise ValueError(
+            "fit_ordinal streams per shard via mesh=... alone; block_size "
+            "composes with the single-device path only"
         )
     from ..optim.lbfgs_device import fit_packed_objective
     from ..optim.pack import extend_pack
@@ -348,6 +368,7 @@ def fit_ordinal(
                 return -scale * ordinal_log_evidence(
                     family, params, z, X, y, cut_raw,
                     newton_iters=newton_iters, jitter=jitter,
+                    block_size=block_size,
                 )
 
             return jax.value_and_grad(f)(x)

@@ -150,16 +150,38 @@ def poisson_laplace_mode(
     return f_hat, a, inducing, v, d
 
 
+def _pois_loglik(f, y, le):
+    eta = f + le
+    return (y * eta - jnp.exp(jnp.clip(eta, -_F_CLAMP, _F_CLAMP))
+            - jax.scipy.special.gammaln(y + 1.0))
+
+
 def poisson_log_evidence(
     family, params, z, X, y, *, log_exposure=None, newton_iters: int = 20,
-    jitter: float | None = None,
+    jitter: float | None = None, block_size: int | None = None,
 ):
     """Laplace marginal likelihood (GPML eq. 3.32 with the Poisson
     likelihood), differentiable w.r.t. (params, z) through the unrolled
     Newton mode.  Includes the -log y! constant so values are comparable
-    across models."""
+    across models.  ``block_size`` streams the whole computation through
+    the generic Laplace core (models/classify_stream.py) — Knm never
+    materializes, so n is unbounded."""
     le = (jnp.zeros_like(y) if log_exposure is None
           else jnp.asarray(log_exposure))
+    if block_size is not None:
+        from .classify_stream import stream_laplace_log_evidence
+
+        def parts(f, lik, maskb):
+            yb, leb = lik
+            w = _rate_w(f, leb, maskb)
+            return maskb * (yb - w), w
+
+        return stream_laplace_log_evidence(
+            family, params, z, X, (y, le), parts=parts,
+            loglik=lambda f, lik: _pois_loglik(f, lik[0], lik[1]),
+            block_size=block_size, newton_iters=newton_iters,
+            jitter=jitter,
+        )
     f_hat, a, inducing, v, d = poisson_laplace_mode(
         family, params, z, X, y, log_exposure=le,
         newton_iters=newton_iters, jitter=jitter,
@@ -170,11 +192,7 @@ def poisson_log_evidence(
     mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
     rm = cholesky_upper(mm, jitter=0.0)
     log_det_b = jnp.sum(jnp.log1p(w * d)) + log_det_tri(rm)
-    eta = f_hat + le
-    log_lik = jnp.sum(
-        y * eta - jnp.exp(jnp.clip(eta, -_F_CLAMP, _F_CLAMP))
-        - jax.scipy.special.gammaln(y + 1.0)
-    )
+    log_lik = jnp.sum(_pois_loglik(f_hat, y, le))
     return -0.5 * jnp.dot(a, f_hat) + log_lik - 0.5 * log_det_b
 
 
@@ -214,11 +232,13 @@ def poisson_predict(
 
 def fit_poisson(
     family, X, y, pack, *, log_exposure=None, newton_iters: int = 20,
-    jitter: float | None = None, normalize: bool = True, **fit_kwargs,
+    jitter: float | None = None, normalize: bool = True,
+    block_size: int | None = None, **fit_kwargs,
 ):
     """Hyper + inducing training on the Poisson-Laplace evidence with the
     device L-BFGS (optim.fit_packed_objective conventions; pack must
     carry learn_sigma2=False — there is no Gaussian noise hyper).
+    ``block_size`` streams the objective (unbounded n).
     Returns (params, z, state)."""
     if pack.learn_sigma2:
         raise ValueError(
@@ -235,6 +255,7 @@ def fit_poisson(
             return -scale * poisson_log_evidence(
                 family, params, z, X, y, log_exposure=log_exposure,
                 newton_iters=newton_iters, jitter=jitter,
+                block_size=block_size,
             )
 
         return jax.value_and_grad(f)(x)

@@ -95,3 +95,66 @@ def test_sharded_stream_evidence_matches_single(rng):
     for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-12)
+
+
+def test_generic_stream_matches_materialized_all_families(rng):
+    """The generic streaming Laplace core (stream_laplace_*) reproduces
+    every materialized family evidence — value AND grads — at an
+    arbitrary block partition: poisson (with exposures), binomial,
+    ordinal (cutpoint grads included)."""
+    from gpr_tpu.models.binomial import binomial_log_evidence
+    from gpr_tpu.models.ordinal import ordinal_log_evidence
+    from gpr_tpu.models.poisson import poisson_log_evidence
+
+    n = 41
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    z = jnp.asarray(rng.standard_normal((6, 2)))
+    params = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.3))
+    f_lat = np.sin(np.asarray(X).sum(1))
+
+    # poisson with exposures
+    counts = jnp.asarray(rng.poisson(np.exp(f_lat)).astype(np.float64))
+    le = jnp.asarray(np.log(rng.uniform(0.5, 2.0, n)))
+
+    def fp(p, zz, which):
+        return poisson_log_evidence(
+            SeIso, p, zz, X, counts, log_exposure=le, newton_iters=12,
+            block_size=7 if which else None,
+        )
+
+    ld, gd = jax.value_and_grad(lambda p, zz: fp(p, zz, False),
+                                argnums=(0, 1))(params, z)
+    ls, gs = jax.value_and_grad(lambda p, zz: fp(p, zz, True),
+                                argnums=(0, 1))(params, z)
+    np.testing.assert_allclose(float(ls), float(ld), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=1e-11)
+
+    # binomial
+    trials = jnp.asarray(rng.integers(1, 20, n).astype(np.float64))
+    yb = jnp.asarray(rng.binomial(
+        np.asarray(trials).astype(int), 1.0 / (1.0 + np.exp(-f_lat))
+    ).astype(np.float64))
+    ld = binomial_log_evidence(SeIso, params, z, X, yb, trials,
+                               newton_iters=12)
+    ls = binomial_log_evidence(SeIso, params, z, X, yb, trials,
+                               newton_iters=12, block_size=13)
+    np.testing.assert_allclose(float(ls), float(ld), rtol=1e-10)
+
+    # ordinal (cutpoint grads through the streamed hooks)
+    yo = jnp.asarray(np.digitize(f_lat, [-0.5, 0.5]).astype(np.int32))
+    cr = jnp.asarray([-0.4, 0.1])
+
+    def fo(p, cr, bs):
+        return ordinal_log_evidence(SeIso, p, z, X, yo, cr,
+                                    newton_iters=12, block_size=bs)
+
+    ld, gd = jax.value_and_grad(lambda p, c: fo(p, c, None),
+                                argnums=(0, 1))(params, cr)
+    ls, gs = jax.value_and_grad(lambda p, c: fo(p, c, 7),
+                                argnums=(0, 1))(params, cr)
+    np.testing.assert_allclose(float(ls), float(ld), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=1e-11)
