@@ -863,6 +863,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
             ext_x0 = jnp.concatenate([pack.x0, cut0])
             p, z, cut_raw, st = fit_ordinal(
                 fam, X, y, pack, cut0, mesh=mesh,
+                block_size=args.block_size,  # None = materialized V
                 init_state=load_resume_state(ext_x0), **common,
             )
             return (p, z, None, cut_raw), st, pack
@@ -1096,18 +1097,35 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
 
         cut_raw = wp  # 4th result slot carries the mode state
         wp = None
-        f_hat, a, inducing, v, d, cuts = ordinal_laplace_mode(
-            fam, p, z, X, y, cut_raw,
-        )
-        _, w = _ord_parts(f_hat, y, cuts, jnp.ones(y.shape, dtype=v.dtype))
-        w = jnp.maximum(w, 1e-12)
-        d2inv = w / (1.0 + w * d)
-        vs = v * jnp.sqrt(d2inv)[:, None]
-        rn = cholesky_upper(
-            jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
-            jitter=0.0,
-        )
-        coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        if args.block_size:
+            # streaming state: V never materializes (the generic Laplace
+            # core); vta = V'a and Rn come out of the epilogue sweep
+            from .models.classify_stream import stream_laplace_parts
+            from .models.ordinal import _ord_loglik
+
+            cuts = cutpoints_from_raw(cut_raw)
+            inducing, _, _, _, vta, rn, *_ = stream_laplace_parts(
+                fam, p, z, X, (y,),
+                parts=lambda f, lik, mb: _ord_parts(f, lik[0], cuts, mb),
+                loglik=lambda f, lik: _ord_loglik(f, lik[0], cuts),
+                block_size=args.block_size,
+            )
+            coeffs = solve_tri(inducing.chol_km, vta)
+        else:
+            f_hat, a, inducing, v, d, cuts = ordinal_laplace_mode(
+                fam, p, z, X, y, cut_raw,
+            )
+            _, w = _ord_parts(
+                f_hat, y, cuts, jnp.ones(y.shape, dtype=v.dtype)
+            )
+            w = jnp.maximum(w, 1e-12)
+            d2inv = w / (1.0 + w * d)
+            vs = v * jnp.sqrt(d2inv)[:, None]
+            rn = cholesky_upper(
+                jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+                jitter=0.0,
+            )
+            coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
         r_mat = matmul(rn, inducing.chol_km)
         chol_km = inducing.chol_km
         sigma2 = 0.0

@@ -749,3 +749,27 @@ def test_cli_student_t(tmp_path, rng):
          "-trainer", "device", "-checkpoint", str(tmp_path / "c.npz")],
         csv)
     assert res.returncode != 0 and "not supported" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_ordinal_streaming(tmp_path, rng):
+    """-ordinal -block-size B: trains AND writes the artifact through the
+    generic streaming Laplace core (V never materializes); served
+    probabilities still sum to 1."""
+    n = 90
+    X = np.sort(rng.uniform(-3.0, 3.0, (n, 1)), axis=0)
+    y = np.digitize(2.0 * np.sin(1.3 * X[:, 0]), [-1.0, 1.0])
+    csv = "\n".join(f"{x:.8f},{t:d}" for x, t in zip(X[:, 0], y)) + "\n"
+    model_file = str(tmp_path / "model_ord_stream.npz")
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-n-inducing", "6",
+         "-max-iter", "6", "-seed", "5", "-trainer", "device",
+         "-kernel", "se_iso", "-ordinal", "-block-size", "32"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = run_cli(["-cmd", "test", "-model", model_file], "0.0\n1.2\n")
+    assert res.returncode == 0, res.stderr
+    rows = [list(map(float, line.split(",")))
+            for line in res.stdout.strip().splitlines()]
+    assert len(rows) == 2 and all(abs(sum(r) - 1.0) < 1e-6 for r in rows)
