@@ -293,11 +293,6 @@ def cmd_train(args) -> int:
                 "-classify needs 0/1, -1/+1, or integer 0..C-1 targets, "
                 f"got values {sorted(uniq)[:5]}"
             )
-        if n_classes > 2 and args.block_size:
-            raise SystemExit(
-                "-block-size (streaming Newton) supports binary -classify "
-                "only; the softmax Laplace materializes V"
-            )
         if args.approx == "ep" and n_classes > 2:
             raise SystemExit(
                 "-approx ep supports binary -classify only (multi-class "
@@ -837,6 +832,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
 
                 p, z, st = fit_classify_multi(
                     fam, X, y, pack, n_classes, mesh=mesh,
+                    block_size=args.block_size,  # None = materialized V
                     init_state=load_resume_state(pack.x0), **common,
                 )
             elif args.approx == "ep":
@@ -1175,11 +1171,22 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         # softmax Laplace: the persistable m-space state (coeffs (m, C) in
         # the standard slot; per-class quadratic forms in the extras) —
         # every n-sized object is reduced away before saving
-        from .models.classify_multi import multiclass_posterior_state
+        if args.block_size:
+            # streaming state: V never materializes (the Grams-only
+            # F_c = diag(q_c) V M_c route, classify_multi_stream.py)
+            from .models.classify_multi_stream import (
+                stream_multiclass_state as multiclass_posterior_state,
+            )
 
-        inducing, coeffs, a_tilde, b_tilde = multiclass_posterior_state(
-            fam, p, z, X, y, n_classes,
-        )
+            inducing, coeffs, a_tilde, b_tilde = multiclass_posterior_state(
+                fam, p, z, X, y, n_classes, block_size=args.block_size,
+            )
+        else:
+            from .models.classify_multi import multiclass_posterior_state
+
+            inducing, coeffs, a_tilde, b_tilde = multiclass_posterior_state(
+                fam, p, z, X, y, n_classes,
+            )
         chol_km = inducing.chol_km
         r_mat = chol_km  # unused by the multi-class test path
         z = inducing.z

@@ -57,6 +57,11 @@ from .classify_stream import (
     stream_classify_log_evidence,
     stream_classify_predict,
 )
+from .classify_multi_stream import (
+    stream_multiclass_log_evidence,
+    stream_multiclass_predict,
+    stream_multiclass_state,
+)
 from .binomial import (
     binomial_log_evidence,
     binomial_predict,

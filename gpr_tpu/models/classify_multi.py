@@ -386,13 +386,15 @@ def multiclass_predict(
 def fit_classify_multi(
     family, X, labels, pack, n_classes: int, *, newton_iters: int = 15,
     jitter: float | None = None, normalize: bool = True, mesh=None,
-    **fit_kwargs,
+    block_size: int | None = None, **fit_kwargs,
 ):
     """Hyper + inducing training of the softmax Laplace classifier with the
     device L-BFGS (optim.fit_packed_objective conventions).  Build ``pack``
     with ``learn_sigma2=False`` (no Gaussian noise in the likelihood).
     With ``mesh``, X/labels shard over the data axis and the objective is
-    parallel.sharded_multiclass_log_evidence.
+    parallel.sharded_multiclass_log_evidence.  ``block_size`` streams the
+    Newton iteration (models/classify_multi_stream.py) so V never
+    materializes — n unbounded per device, composes with ``mesh``.
 
     Returns ``(params, z, state)``.
     """
@@ -405,9 +407,20 @@ def fit_classify_multi(
 
     scale = 1.0 / X.shape[0] if normalize else 1.0
     if mesh is None:
+        if block_size is not None:
+            from .classify_multi_stream import (
+                stream_multiclass_log_evidence,
+            )
+
         def fg(x, X, labels):
             def f(x):
                 params, z, _ = pack.unpack(x)
+                if block_size is not None:
+                    return -scale * stream_multiclass_log_evidence(
+                        family, params, z, X, labels, n_classes,
+                        block_size=block_size, newton_iters=newton_iters,
+                        jitter=jitter,
+                    )
                 return -scale * multiclass_log_evidence(
                     family, params, z, X, labels, n_classes,
                     newton_iters=newton_iters, jitter=jitter,
@@ -430,6 +443,7 @@ def fit_classify_multi(
                 return -scale * sharded_multiclass_log_evidence(
                     family, mesh, params, z, Xs, ls, n_classes, mask,
                     newton_iters=newton_iters, jitter=jitter,
+                    block_size=block_size,
                 )
 
             return jax.value_and_grad(f)(x)

@@ -295,6 +295,7 @@ def sharded_multiclass_log_evidence(
     *,
     newton_iters: int = 15,
     jitter: float | None = None,
+    block_size: int | None = None,
 ):
     """Distributed softmax-Laplace evidence (models/classify_multi.py over
     the 1-D data mesh).  ``labels`` (n,) ints shard with the rows; every
@@ -302,6 +303,11 @@ def sharded_multiclass_log_evidence(
     m-vector / m x m / (Cm, Cm) matrix or scalar, so psum as the
     ``allsum`` hook is exact.  Collective volume per Newton step:
     C m x m Grams + C(C+1)/2 coupling blocks + a few (m, C) panels.
+
+    ``block_size`` streams the per-shard Newton
+    (models/classify_multi_stream.py with psum as the reduction hook):
+    per-device memory drops from the local (n/devices, m) V to
+    O(block x m), so n is unbounded across the mesh AND within each shard.
 
     Wrap in jax.jit(jax.value_and_grad(...)) for training.
     """
@@ -312,6 +318,28 @@ def sharded_multiclass_log_evidence(
 
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
+
+    if block_size is not None:
+        from ..models.classify_multi_stream import (
+            stream_multiclass_log_evidence,
+        )
+
+        def shard_fn_stream(params, z, xs, lbl, ms):
+            return stream_multiclass_log_evidence(
+                family, params, z, xs, lbl, n_classes,
+                block_size=block_size, newton_iters=newton_iters,
+                jitter=jitter, mask=ms, allsum=_allsum,
+            )
+
+        fn = jax.shard_map(
+            shard_fn_stream,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                      P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(params, z, X, labels, mask)
 
     def shard_fn(params, z, xs, lbl, ms):
         inducing, v, d = _fitc_prior(family, params, z, xs, jitter)

@@ -185,6 +185,18 @@ def one(rng, i, fam=None, n_max=200, variant=None):
                                          Xt, newton_iters=6, n_samples=64)
         assert bool(jnp.all(jnp.abs(jnp.sum(probs, axis=1) - 1.0) < 1e-3)), \
             f"multiclass predict ({fam.name})"
+        if rng.integers(2):
+            from gpr_tpu.models.classify_multi_stream import (
+                stream_multiclass_log_evidence,
+            )
+            bs = int(rng.integers(4, n + 1))
+            ls = stream_multiclass_log_evidence(
+                fam, params, Z, X, labels, n_c, block_size=bs,
+                newton_iters=6,
+            )
+            assert abs(float(ls) - float(lm)) < 1e-5 * max(
+                1.0, abs(float(lm))
+            ), f"multiclass stream != materialized ({fam.name}, bs={bs})"
     elif variant == 6:
         from gpr_tpu.models.poisson import (
             poisson_log_evidence, poisson_predict,

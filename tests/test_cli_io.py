@@ -474,10 +474,17 @@ def test_cli_classify(tmp_path, rng):
 
 
 @pytest.mark.slow
-def test_cli_classify_multiclass(tmp_path, rng):
+@pytest.mark.parametrize("stream_flags", [
+    pytest.param([], id="materialized"),
+    pytest.param(["-block-size", "32"], id="streaming",
+                 marks=pytest.mark.slow),
+])
+def test_cli_classify_multiclass(tmp_path, rng, stream_flags):
     """Integer 0..C-1 targets route to the softmax Laplace: the artifact
     carries the m-space multi-class state and -cmd test prints one
-    probability per class that picks the right blob."""
+    probability per class that picks the right blob.  The streaming
+    variant trains AND persists through classify_multi_stream.py (V
+    never materializes) into the identical artifact schema."""
     C, n_per = 3, 30
     centers = np.array([[2.5, 0.0], [-1.5, 2.5], [-1.5, -2.5]])
     Xn = np.concatenate([
@@ -495,7 +502,7 @@ def test_cli_classify_multiclass(tmp_path, rng):
     res = run_cli(
         ["-cmd", "train", "-model", model_file, "-n-inducing", "9",
          "-max-iter", "10", "-seed", "7", "-trainer", "device",
-         "-classify", "-verbose"],
+         "-classify", "-verbose"] + stream_flags,
         csv,
     )
     assert res.returncode == 0, res.stderr[-2000:]
