@@ -1,3 +1,11 @@
+from .hmc import (
+    HMCResult,
+    bulk_ess,
+    hmc,
+    predict_hmc_mixture,
+    sample_posterior,
+    split_rhat,
+)
 from .lbfgs import LBFGSHostState, LBFGSResult, minimize_lbfgs
 from .priors import field_priors, normal, soft_box
 from .lbfgs_device import (

@@ -1,0 +1,372 @@
+"""Fully Bayesian hyperparameters: HMC over the (sparse-GP) evidence.
+
+The reference is pure maximum likelihood — GSL BFGS2 finds one hyper point
+(lib/fitc_gp.ml:1532-1671) and every prediction conditions on it.  This
+module samples the hyper POSTERIOR instead: p(theta | X, y) ~ exp(L(theta))
+p(theta), with L the same log evidence the optimizers use and p(theta) any
+``optim.priors`` log density.  Predictions then mix over the samples
+(:func:`predict_hmc_mixture`), which widens intervals exactly where the
+evidence surface is flat — the bench synthetic's noise-model/broad-kernel
+band (MANUAL section 7) is the textbook case for it.
+
+TPU-first design:
+
+- One transition = ``n_leapfrog`` evidence gradients; the whole sampler
+  (three warmup/sampling scans, leapfrog inner scan, dual-averaging state)
+  is a single jitted graph — no host round-trips between steps.
+- Chains are VMAPPED: ``n_chains`` independent trajectories batch their
+  (n, m) Gram GEMMs onto the MXU together, so chains are nearly free until
+  memory binds.  Cross-chain split R-hat comes out of the same run.
+- The potential is any ``x -> (U, dU)`` pair, so :func:`make_objective`
+  output plugs in directly — dense, streaming (``block_size=``, unbounded
+  n), or sharded objectives all work unchanged.
+
+Adaptation follows Hoffman & Gelman (2014) dual averaging toward a target
+acceptance rate, with a Stan-style regularized diagonal mass estimated from
+first-phase warmup draws.  Nonfinite proposals are rejected (divergence
+guard), never propagated.
+
+f32 caution (measured elsewhere in this repo, see optim/train.py): the MH
+accept step compares total-evidence values, so at |L| ~ 1e6 the f32 evidence
+resolves differences only to ~0.06 nats.  Sample with ``n <~ 1e5`` rows per
+evidence in f32, or run x64 on host — unlike optimization there is no
+``normalize=`` escape (scaling U tempers the posterior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCResult:
+    """Posterior draws plus the diagnostics needed to trust them."""
+
+    samples: jnp.ndarray  # (n_chains, n_samples, d) post-warmup draws
+    potential: jnp.ndarray  # (n_chains, n_samples) U = -log posterior
+    accept_rate: jnp.ndarray  # (n_chains,) mean MH accept prob, sampling phase
+    step_size: jnp.ndarray  # (n_chains,) adapted leapfrog step
+    inv_mass: jnp.ndarray  # (n_chains, d) adapted diagonal inverse mass
+    rhat: np.ndarray  # (d,) split-chain R-hat
+    ess: np.ndarray  # (d,) bulk effective sample size
+
+    @property
+    def flat(self) -> jnp.ndarray:
+        """All chains pooled: (n_chains * n_samples, d)."""
+        return self.samples.reshape(-1, self.samples.shape[-1])
+
+
+def _leapfrog(u_and_grad, x, p, grad, eps, inv_mass, n_steps):
+    """n_steps of leapfrog; returns (x', p', U', dU')."""
+
+    def body(carry, _):
+        x, p, grad = carry
+        p_half = p - 0.5 * eps * grad
+        x_new = x + eps * inv_mass * p_half
+        u_new, grad_new = u_and_grad(x_new)
+        p_new = p_half - 0.5 * eps * grad_new
+        return (x_new, p_new, grad_new), u_new
+
+    (x, p, grad), us = lax.scan(body, (x, p, grad), None, length=n_steps)
+    return x, p, us[-1], grad
+
+
+def _transition(u_and_grad, state, key, log_eps, inv_mass, n_leapfrog):
+    """One HMC proposal + MH accept.  state = (x, U, dU).
+
+    Returns (state', accept_prob).  Nonfinite proposal energies get accept
+    probability 0 (divergence guard) and the where-gated state update never
+    touches them.
+    """
+    x, u, grad = state
+    key_mom, key_acc = jax.random.split(key)
+    eps = jnp.exp(log_eps)
+    # Momentum ~ N(0, M) with M = 1/inv_mass: kinetic = 0.5 p' inv_mass p.
+    p = jax.random.normal(key_mom, x.shape, x.dtype) / jnp.sqrt(inv_mass)
+    h0 = u + 0.5 * jnp.sum(inv_mass * p * p)
+    x_new, p_new, u_new, grad_new = _leapfrog(
+        u_and_grad, x, p, grad, eps, inv_mass, n_leapfrog
+    )
+    h1 = u_new + 0.5 * jnp.sum(inv_mass * p_new * p_new)
+    log_alpha = jnp.where(jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf)
+    alpha = jnp.exp(log_alpha)
+    accept = jnp.log(jax.random.uniform(key_acc, (), x.dtype)) < log_alpha
+    new_state = (
+        jnp.where(accept, x_new, x),
+        jnp.where(accept, u_new, u),
+        jnp.where(accept, grad_new, grad),
+    )
+    return new_state, alpha
+
+
+def _dual_avg_init(log_eps0):
+    # (t, h_bar, log_eps, log_eps_bar, mu)
+    return (
+        jnp.asarray(0.0),
+        jnp.asarray(0.0),
+        log_eps0,
+        jnp.asarray(0.0),
+        log_eps0 + jnp.log(10.0),
+    )
+
+
+def _dual_avg_update(da, alpha, target):
+    """Hoffman & Gelman (2014) eq. 6 constants."""
+    t, h_bar, _, log_eps_bar, mu = da
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    t = t + 1.0
+    h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (target - alpha) / (t + t0)
+    log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+    w = t ** (-kappa)
+    log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+    return (t, h_bar, log_eps, log_eps_bar, mu)
+
+
+def hmc(
+    u_and_grad: Callable[[Any], tuple[Any, Any]],
+    x0,
+    key,
+    *,
+    n_samples: int = 500,
+    n_warmup: int = 500,
+    n_leapfrog: int = 24,
+    n_chains: int = 4,
+    init_step: float = 0.1,
+    target_accept: float = 0.8,
+    chain_jitter: float = 0.5,
+) -> HMCResult:
+    """Sample exp(-U) with adaptive HMC.  ``u_and_grad(x) -> (U, dU)`` is
+    exactly what ``make_objective`` returns (U = negative log posterior over
+    the packed vector), so a GP hyper posterior is one call:
+
+        neg_l_and_grad, _ = make_objective(family, X, y, pack, log_prior=lp)
+        res = hmc(neg_l_and_grad, pack.x0, key)
+
+    Chains start at ``x0`` plus N(0, chain_jitter^2) offsets and run batched
+    under vmap.  The full sampler is one jitted graph; only the diagnostics
+    (R-hat, ESS) are computed on host afterwards.
+    """
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 1:
+        raise ValueError("hmc expects a flat (packed) vector x0")
+    d = x0.shape[0]
+    n_w1 = max(n_warmup // 2, 1)
+    n_w2 = max(n_warmup - n_w1, 1)
+    dtype = x0.dtype
+
+    key_init, key_run = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
+    x_init = x0[None, :] + chain_jitter * jax.random.normal(
+        key_init, (n_chains, d), dtype
+    )
+    chain_keys = jax.random.split(key_run, n_chains)
+
+    def one_chain(x0c, keyc):
+        u0, g0 = u_and_grad(x0c)
+        state0 = (x0c, u0, g0)
+        log_eps0 = jnp.asarray(jnp.log(init_step), dtype)
+        unit_mass = jnp.ones((d,), dtype)
+
+        # Warmup phase 1: adapt step size under unit mass; Welford-accumulate
+        # position moments for the mass estimate.
+        def w1_body(carry, k):
+            state, da, cnt, mean, m2 = carry
+            state, alpha = _transition(
+                u_and_grad, state, k, da[2], unit_mass, n_leapfrog
+            )
+            da = _dual_avg_update(da, alpha, target_accept)
+            cnt = cnt + 1.0
+            delta = state[0] - mean
+            mean = mean + delta / cnt
+            m2 = m2 + delta * (state[0] - mean)
+            return (state, da, cnt, mean, m2), None
+
+        keys1 = jax.random.split(keyc, n_w1 + n_w2 + n_samples + 1)[1:]
+        carry = (
+            state0,
+            _dual_avg_init(log_eps0),
+            jnp.asarray(0.0, dtype),
+            jnp.zeros((d,), dtype),
+            jnp.zeros((d,), dtype),
+        )
+        (state, da, cnt, _, m2), _ = lax.scan(w1_body, carry, keys1[:n_w1])
+
+        # Stan-style regularized diagonal mass: shrink the sample variance
+        # toward a small constant so short warmups cannot zero a scale.
+        var = m2 / jnp.maximum(cnt - 1.0, 1.0)
+        inv_mass = (cnt / (cnt + 5.0)) * var + (5.0 / (cnt + 5.0)) * 1e-3
+        inv_mass = jnp.where(jnp.isfinite(inv_mass) & (inv_mass > 0), inv_mass, 1.0)
+
+        # Warmup phase 2: re-adapt the step under the new metric (restart
+        # dual averaging from the phase-1 smoothed step).
+        def w2_body(carry, k):
+            state, da = carry
+            state, alpha = _transition(
+                u_and_grad, state, k, da[2], inv_mass, n_leapfrog
+            )
+            da = _dual_avg_update(da, alpha, target_accept)
+            return (state, da), None
+
+        da2 = _dual_avg_init(da[3])
+        (state, da2), _ = lax.scan(
+            w2_body, (state, da2), keys1[n_w1 : n_w1 + n_w2]
+        )
+        log_eps_final = da2[3]
+
+        # Sampling: fixed kernel, collect draws.
+        def s_body(state, k):
+            state, alpha = _transition(
+                u_and_grad, state, k, log_eps_final, inv_mass, n_leapfrog
+            )
+            return state, (state[0], state[1], alpha)
+
+        _, (xs, us, alphas) = lax.scan(s_body, state, keys1[n_w1 + n_w2 :])
+        return xs, us, jnp.mean(alphas), jnp.exp(log_eps_final), inv_mass
+
+    run = jax.jit(jax.vmap(one_chain))
+    samples, potential, accept_rate, step_size, inv_mass = run(
+        x_init, chain_keys
+    )
+    samples_h = np.asarray(samples)
+    return HMCResult(
+        samples=samples,
+        potential=potential,
+        accept_rate=accept_rate,
+        step_size=step_size,
+        inv_mass=inv_mass,
+        rhat=split_rhat(samples_h),
+        ess=bulk_ess(samples_h),
+    )
+
+
+def split_rhat(samples: np.ndarray) -> np.ndarray:
+    """Split-chain potential scale reduction (Gelman et al., BDA3 eq. 11.4).
+    samples: (n_chains, n_samples, d) -> (d,).  Values near 1 indicate the
+    chains agree; > ~1.05 means run longer."""
+    c, s, d = samples.shape
+    half = s // 2
+    if half < 2:
+        return np.full((d,), np.nan)
+    split = samples[:, : 2 * half].reshape(c * 2, half, d).astype(np.float64)
+    means = split.mean(axis=1)  # (2c, d)
+    w = split.var(axis=1, ddof=1).mean(axis=0)  # (d,)
+    b = half * means.var(axis=0, ddof=1)  # (d,)
+    var_plus = (half - 1) / half * w + b / half
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.sqrt(var_plus / w)
+
+
+def bulk_ess(samples: np.ndarray) -> np.ndarray:
+    """Effective sample size via Geyer's initial monotone positive sequence
+    on the chain-averaged autocorrelation (the rank-normalization refinement
+    is skipped; this is the classic estimator)."""
+    c, s, d = samples.shape
+    if s < 4:
+        return np.full((d,), np.nan)
+    x = samples.astype(np.float64)
+    x = x - x.mean(axis=1, keepdims=True)
+    # FFT autocovariance per chain/coordinate.
+    nfft = int(2 ** np.ceil(np.log2(2 * s)))
+    f = np.fft.rfft(x, n=nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :s].real / s
+    var0 = acov[:, 0].mean(axis=0)  # (d,)
+    rho = acov.mean(axis=0) / np.where(var0 > 0, var0, 1.0)  # (s, d)
+    ess = np.empty(d)
+    for j in range(d):
+        # Sum paired autocorrelations while the pairs stay positive and
+        # monotonically decreasing (Geyer 1992).
+        pair_sum = rho[0:-1:2, j] + rho[1::2, j]
+        pos = np.minimum.accumulate(np.maximum(pair_sum, 0.0))
+        k = np.argmax(pos <= 0.0) if np.any(pos <= 0.0) else pos.shape[0]
+        tau = max(2.0 * np.sum(pos[:k]) - 1.0, 1.0 / s)
+        ess[j] = c * s / tau
+    return ess
+
+
+def sample_posterior(
+    family,
+    X,
+    targets,
+    pack,
+    key,
+    *,
+    log_prior=None,
+    variational: bool = False,
+    block_size: int | None = None,
+    **hmc_kwargs,
+) -> HMCResult:
+    """HMC over the GP hyper posterior: builds the library objective
+    (un-normalized — scaling the potential would temper the posterior) and
+    samples it.  ``block_size=`` streams the evidence, so the posterior of a
+    past-HBM dataset is samplable; see the module docstring for the f32
+    accept-resolution caveat at large |L|."""
+    from .train import make_objective
+
+    neg_l_and_grad, _ = make_objective(
+        family, X, targets, pack,
+        variational=variational, block_size=block_size, log_prior=log_prior,
+    )
+    return hmc(neg_l_and_grad, pack.x0, key, **hmc_kwargs)
+
+
+def predict_hmc_mixture(
+    family,
+    pack,
+    samples,
+    X,
+    targets,
+    x_test,
+    *,
+    variational: bool = False,
+    thin: int = 1,
+    predictive: bool = True,
+):
+    """Posterior-predictive moments mixed over hyper draws.
+
+    For each (thinned) draw theta_s, condition the model and read the
+    predictive mean/variance; the mixture is exact in its first two moments
+    (law of total variance):
+
+        mean = E_s[mu_s]
+        var  = E_s[var_s + mu_s^2] - mean^2
+
+    Runs as ``lax.map`` over draws — sequential, so test-set memory stays
+    one draw wide at any sample count.  Returns (mean, var), each (n_test,).
+    """
+    from ..models.fitc import calc_model, calc_trained
+    from ..models.predict import (
+        co_variance_predictor, mean_predictor, predict_means,
+        predict_variances,
+    )
+
+    samples = jnp.asarray(samples)
+    if samples.ndim == 3:
+        samples = samples.reshape(-1, samples.shape[-1])
+    samples = samples[::thin]
+
+    @jax.jit
+    def moments(xs, X, targets, x_test):
+        def one(xvec):
+            params, z, sigma2 = pack.unpack(xvec)
+            model = calc_model(
+                family, params, X, z, sigma2, variational=variational
+            )
+            trained = calc_trained(model, targets)
+            mu = predict_means(family, params, mean_predictor(trained), x_test)
+            var = predict_variances(
+                family, params, co_variance_predictor(model), x_test, sigma2,
+                predictive=predictive,
+            )
+            return mu, var
+
+        mus, vars_ = lax.map(one, xs)
+        mean = jnp.mean(mus, axis=0)
+        var = jnp.mean(vars_ + mus * mus, axis=0) - mean * mean
+        return mean, var
+
+    return moments(samples, X, targets, x_test)
