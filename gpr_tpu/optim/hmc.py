@@ -36,6 +36,7 @@ evidence in f32, or run x64 on host — unlike optimization there is no
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -165,11 +166,45 @@ def hmc(
         key_init, (n_chains, d), dtype
     )
     chain_keys = jax.random.split(key_run, n_chains)
+    log_eps0 = jnp.asarray(np.log(init_step), dtype)
+
+    samples, potential, accept_rate, step_size, inv_mass = _run_chains(
+        u_and_grad, x_init, chain_keys, log_eps0,
+        n_w1, n_w2, n_samples, n_leapfrog, float(target_accept),
+    )
+    samples_h = np.asarray(samples)
+    return HMCResult(
+        samples=samples,
+        potential=potential,
+        accept_rate=accept_rate,
+        step_size=step_size,
+        inv_mass=inv_mass,
+        rhat=split_rhat(samples_h),
+        ess=bulk_ess(samples_h),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "u_and_grad", "n_w1", "n_w2", "n_samples", "n_leapfrog",
+        "target_accept",
+    ),
+)
+def _run_chains(
+    u_and_grad, x_init, chain_keys, log_eps0,
+    n_w1, n_w2, n_samples, n_leapfrog, target_accept,
+):
+    """Vmapped chain runner.  ``u_and_grad`` and the phase lengths are
+    static, so repeated calls with the same objective reuse the compiled
+    executable — essential on the remote-compile TPU backend, where every
+    retrace is a fresh multi-second AOT compile."""
+    d = x_init.shape[-1]
+    dtype = x_init.dtype
 
     def one_chain(x0c, keyc):
         u0, g0 = u_and_grad(x0c)
         state0 = (x0c, u0, g0)
-        log_eps0 = jnp.asarray(jnp.log(init_step), dtype)
         unit_mass = jnp.ones((d,), dtype)
 
         # Warmup phase 1: adapt step size under unit mass; Welford-accumulate
@@ -228,20 +263,7 @@ def hmc(
         _, (xs, us, alphas) = lax.scan(s_body, state, keys1[n_w1 + n_w2 :])
         return xs, us, jnp.mean(alphas), jnp.exp(log_eps_final), inv_mass
 
-    run = jax.jit(jax.vmap(one_chain))
-    samples, potential, accept_rate, step_size, inv_mass = run(
-        x_init, chain_keys
-    )
-    samples_h = np.asarray(samples)
-    return HMCResult(
-        samples=samples,
-        potential=potential,
-        accept_rate=accept_rate,
-        step_size=step_size,
-        inv_mass=inv_mass,
-        rhat=split_rhat(samples_h),
-        ess=bulk_ess(samples_h),
-    )
+    return jax.vmap(one_chain)(x_init, chain_keys)
 
 
 def split_rhat(samples: np.ndarray) -> np.ndarray:
