@@ -95,7 +95,12 @@ def _transition(u_and_grad, state, key, log_eps, inv_mass, n_leapfrog):
         u_and_grad, x, p, grad, eps, inv_mass, n_leapfrog
     )
     h1 = u_new + 0.5 * jnp.sum(inv_mass * p_new * p_new)
-    log_alpha = jnp.where(jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1), -jnp.inf)
+    # Gate on the full energy DIFFERENCE: h0 nonfinite (a poisoned state
+    # that slipped past the init guard) must yield alpha=0, not NaN, or the
+    # dual-averaging state is NaN for the rest of the run.
+    log_alpha = jnp.where(
+        jnp.isfinite(h0 - h1), jnp.minimum(0.0, h0 - h1), -jnp.inf
+    )
     alpha = jnp.exp(log_alpha)
     accept = jnp.log(jax.random.uniform(key_acc, (), x.dtype)) < log_alpha
     new_state = (
@@ -130,10 +135,11 @@ def _dual_avg_update(da, alpha, target):
 
 
 def hmc(
-    u_and_grad: Callable[[Any], tuple[Any, Any]],
+    u_and_grad: Callable[..., tuple[Any, Any]],
     x0,
     key,
     *,
+    data: tuple = (),
     n_samples: int = 500,
     n_warmup: int = 500,
     n_leapfrog: int = 24,
@@ -142,16 +148,26 @@ def hmc(
     target_accept: float = 0.8,
     chain_jitter: float = 0.5,
 ) -> HMCResult:
-    """Sample exp(-U) with adaptive HMC.  ``u_and_grad(x) -> (U, dU)`` is
-    exactly what ``make_objective`` returns (U = negative log posterior over
-    the packed vector), so a GP hyper posterior is one call:
+    """Sample exp(-U) with adaptive HMC.  ``u_and_grad(x, *data) -> (U, dU)``
+    is the negative log posterior over the packed vector and its gradient;
+    ``make_objective``'s closure form works for small problems:
 
         neg_l_and_grad, _ = make_objective(family, X, y, pack, log_prior=lp)
         res = hmc(neg_l_and_grad, pack.x0, key)
 
+    **Large data must go through ``data=``**, not a closure: the sampler is
+    one jitted graph with ``u_and_grad`` static, so closure-captured arrays
+    lower to embedded HLO constants, which remote-compile TPU backends
+    reject at ~MB scale (CLAUDE.md invariant).  ``data`` is threaded through
+    as jit operands and passed as trailing arguments to ``u_and_grad``
+    (:func:`sample_posterior` does this automatically).
+
     Chains start at ``x0`` plus N(0, chain_jitter^2) offsets and run batched
-    under vmap.  The full sampler is one jitted graph; only the diagnostics
-    (R-hat, ESS) are computed on host afterwards.
+    under vmap; a chain whose jittered start has nonfinite potential or
+    gradient is shrunk toward ``x0`` (offset halved, up to 30 times) before
+    sampling, so one poisoned init cannot freeze a chain.  The full sampler
+    is one jitted graph; only the diagnostics (R-hat, ESS) are computed on
+    host afterwards.
     """
     x0 = jnp.asarray(x0)
     if x0.ndim != 1:
@@ -169,7 +185,7 @@ def hmc(
     log_eps0 = jnp.asarray(np.log(init_step), dtype)
 
     samples, potential, accept_rate, step_size, inv_mass = _run_chains(
-        u_and_grad, x_init, chain_keys, log_eps0,
+        u_and_grad, tuple(data), x0, x_init, chain_keys, log_eps0,
         n_w1, n_w2, n_samples, n_leapfrog, float(target_accept),
     )
     samples_h = np.asarray(samples)
@@ -192,18 +208,40 @@ def hmc(
     ),
 )
 def _run_chains(
-    u_and_grad, x_init, chain_keys, log_eps0,
+    u_and_grad, data, x0, x_init, chain_keys, log_eps0,
     n_w1, n_w2, n_samples, n_leapfrog, target_accept,
 ):
     """Vmapped chain runner.  ``u_and_grad`` and the phase lengths are
     static, so repeated calls with the same objective reuse the compiled
     executable — essential on the remote-compile TPU backend, where every
-    retrace is a fresh multi-second AOT compile."""
+    retrace is a fresh multi-second AOT compile.  ``data`` is a pytree of
+    jit OPERANDS forwarded as ``u_and_grad(x, *data)`` — large arrays must
+    ride here, not inside the (static, hence trace-embedded) callable."""
     d = x_init.shape[-1]
     dtype = x_init.dtype
 
+    def ug(x):
+        return u_and_grad(x, *data)
+
     def one_chain(x0c, keyc):
-        u0, g0 = u_and_grad(x0c)
+        u0, g0 = ug(x0c)
+
+        # A jittered start with nonfinite potential/gradient would freeze the
+        # chain (alpha = 0 forever): halve its offset from x0 until finite.
+        def shrink_cond(carry):
+            _, u, g, i = carry
+            bad = ~(jnp.isfinite(u) & jnp.all(jnp.isfinite(g)))
+            return bad & (i < 30)
+
+        def shrink_body(carry):
+            x, _, _, i = carry
+            x_new = x0 + 0.5 * (x - x0)
+            u_new, g_new = ug(x_new)
+            return (x_new, u_new, g_new, i + 1)
+
+        x0c, u0, g0, _ = lax.while_loop(
+            shrink_cond, shrink_body, (x0c, u0, g0, jnp.asarray(0))
+        )
         state0 = (x0c, u0, g0)
         unit_mass = jnp.ones((d,), dtype)
 
@@ -212,7 +250,7 @@ def _run_chains(
         def w1_body(carry, k):
             state, da, cnt, mean, m2 = carry
             state, alpha = _transition(
-                u_and_grad, state, k, da[2], unit_mass, n_leapfrog
+                ug, state, k, da[2], unit_mass, n_leapfrog
             )
             da = _dual_avg_update(da, alpha, target_accept)
             cnt = cnt + 1.0
@@ -242,7 +280,7 @@ def _run_chains(
         def w2_body(carry, k):
             state, da = carry
             state, alpha = _transition(
-                u_and_grad, state, k, da[2], inv_mass, n_leapfrog
+                ug, state, k, da[2], inv_mass, n_leapfrog
             )
             da = _dual_avg_update(da, alpha, target_accept)
             return (state, da), None
@@ -256,7 +294,7 @@ def _run_chains(
         # Sampling: fixed kernel, collect draws.
         def s_body(state, k):
             state, alpha = _transition(
-                u_and_grad, state, k, log_eps_final, inv_mass, n_leapfrog
+                ug, state, k, log_eps_final, inv_mass, n_leapfrog
             )
             return state, (state[0], state[1], alpha)
 
@@ -306,7 +344,10 @@ def bulk_ess(samples: np.ndarray) -> np.ndarray:
         pos = np.minimum.accumulate(np.maximum(pair_sum, 0.0))
         k = np.argmax(pos <= 0.0) if np.any(pos <= 0.0) else pos.shape[0]
         tau = max(2.0 * np.sum(pos[:k]) - 1.0, 1.0 / s)
-        ess[j] = c * s / tau
+        # Antithetic/noise-dominated chains can push tau below 1; cap the
+        # estimate at the draw count so diagnostics never report more
+        # effective samples than actual ones.
+        ess[j] = min(c * s / tau, float(c * s))
     return ess
 
 
@@ -329,11 +370,62 @@ def sample_posterior(
     accept-resolution caveat at large |L|."""
     from .train import make_objective
 
+    # return_raw + data= threads (X, targets) through as jit OPERANDS of the
+    # sampler graph; a data-capturing closure would lower them to embedded
+    # HLO constants, which the remote-compile TPU backend rejects at ~MB
+    # scale (CLAUDE.md invariant).
     neg_l_and_grad, _ = make_objective(
         family, X, targets, pack,
         variational=variational, block_size=block_size, log_prior=log_prior,
+        return_raw=True,
     )
-    return hmc(neg_l_and_grad, pack.x0, key, **hmc_kwargs)
+    return hmc(
+        neg_l_and_grad, pack.x0, key, data=(X, targets), **hmc_kwargs
+    )
+
+
+# Compiled-moments cache for predict_hmc_mixture, keyed by identity of the
+# (unhashable: HyperPack holds arrays) family/pack plus the static flags.
+# Caching the objects themselves keeps them alive so ids cannot be reused.
+# Without this every predict call retraces, and on the remote-compile TPU
+# backend each retrace is a fresh multi-second AOT compile.
+_MIXTURE_CACHE: dict = {}
+
+
+def _mixture_moments_fn(family, pack, variational, predictive):
+    from ..models.fitc import calc_model, calc_trained
+    from ..models.predict import (
+        co_variance_predictor, mean_predictor, predict_means,
+        predict_variances,
+    )
+
+    cache_key = (id(family), id(pack), bool(variational), bool(predictive))
+    hit = _MIXTURE_CACHE.get(cache_key)
+    if hit is not None and hit[0] is family and hit[1] is pack:
+        return hit[2]
+
+    @jax.jit
+    def moments(xs, X, targets, x_test):
+        def one(xvec):
+            params, z, sigma2 = pack.unpack(xvec)
+            model = calc_model(
+                family, params, X, z, sigma2, variational=variational
+            )
+            trained = calc_trained(model, targets)
+            mu = predict_means(family, params, mean_predictor(trained), x_test)
+            var = predict_variances(
+                family, params, co_variance_predictor(model), x_test, sigma2,
+                predictive=predictive,
+            )
+            return mu, var
+
+        mus, vars_ = lax.map(one, xs)
+        mean = jnp.mean(mus, axis=0)
+        var = jnp.mean(vars_ + mus * mus, axis=0) - mean * mean
+        return mean, var
+
+    _MIXTURE_CACHE[cache_key] = (family, pack, moments)
+    return moments
 
 
 def predict_hmc_mixture(
@@ -359,36 +451,13 @@ def predict_hmc_mixture(
 
     Runs as ``lax.map`` over draws — sequential, so test-set memory stays
     one draw wide at any sample count.  Returns (mean, var), each (n_test,).
+    The compiled moments graph is cached per (family, pack, flags), so
+    repeated predictions reuse the executable (see ``_MIXTURE_CACHE``).
     """
-    from ..models.fitc import calc_model, calc_trained
-    from ..models.predict import (
-        co_variance_predictor, mean_predictor, predict_means,
-        predict_variances,
-    )
-
     samples = jnp.asarray(samples)
     if samples.ndim == 3:
         samples = samples.reshape(-1, samples.shape[-1])
     samples = samples[::thin]
 
-    @jax.jit
-    def moments(xs, X, targets, x_test):
-        def one(xvec):
-            params, z, sigma2 = pack.unpack(xvec)
-            model = calc_model(
-                family, params, X, z, sigma2, variational=variational
-            )
-            trained = calc_trained(model, targets)
-            mu = predict_means(family, params, mean_predictor(trained), x_test)
-            var = predict_variances(
-                family, params, co_variance_predictor(model), x_test, sigma2,
-                predictive=predictive,
-            )
-            return mu, var
-
-        mus, vars_ = lax.map(one, xs)
-        mean = jnp.mean(mus, axis=0)
-        var = jnp.mean(vars_ + mus * mus, axis=0) - mean * mean
-        return mean, var
-
+    moments = _mixture_moments_fn(family, pack, variational, predictive)
     return moments(samples, X, targets, x_test)

@@ -100,7 +100,7 @@ def _prepare(
 
 def make_objective(
     family, X, targets, pack, *, variational=False, factorization=None,
-    normalize=False, block_size=None, log_prior=None,
+    normalize=False, block_size=None, log_prior=None, return_raw=False,
 ):
     """Jitted (value, grad) of the NEGATIVE evidence over the packed vector,
     plus a jitted trained-state reconstruction for reporting.
@@ -121,6 +121,11 @@ def make_objective(
     into MAP estimation: the prior is added to the log evidence (the
     reference has no prior mechanism; a steep prior doubles as a soft box
     bound).  Differentiated along with everything else.
+
+    ``return_raw=True`` returns the underlying jitted ``f(x, X, targets)``
+    forms instead of the data-bound ``f(x)`` closures — for callers (HMC)
+    that embed the objective in a larger jitted graph and must thread the
+    data through as operands rather than capture it.
     """
     scale = 1.0 / X.shape[0] if normalize else 1.0
 
@@ -152,6 +157,8 @@ def make_objective(
                 variational=variational, block_size=block_size,
             )
 
+        if return_raw:
+            return _neg_l_and_grad, _trained_of
         return (
             lambda x: _neg_l_and_grad(x, X, targets),
             lambda x: _trained_of(x, X, targets),
@@ -179,6 +186,8 @@ def make_objective(
         )
         return calc_trained(model, targets)
 
+    if return_raw:
+        return _neg_l_and_grad, _trained_of
     return (
         lambda x: _neg_l_and_grad(x, X, targets),
         lambda x: _trained_of(x, X, targets),
