@@ -23,12 +23,14 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 N, D, M = 1_000_000, 8, 300
+N_FALLBACK = 100_000  # reduced headline shape if the full shape fails
 BASELINE_S_PER_ITER = 10.0
 # Remote-compile latency through the tunnel is wildly variable (5 s - 9 min
 # observed for identical graphs); stop starting new measurement paths once
@@ -43,6 +45,37 @@ def over_budget():
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def log_failure(name, e):
+    """Full traceback to stderr — the round-3 bench printed only the first
+    exception line, which left a FAILED_PRECONDITION undiagnosable."""
+    log(f"{name}: FAILED {type(e).__name__}: {e}")
+    log(traceback.format_exc().rstrip())
+
+
+def preflight(attempts=3, backoff_s=30.0):
+    """Tiny dispatch to prove the device path works BEFORE any 1M-row
+    compile.  The round-3 bench burned its whole budget on doomed full-shape
+    compiles after the tunnel went bad (FAILED_PRECONDITION — also raised
+    when another process holds the single-user TPU tunnel); this detects a
+    dead backend in one small compile and retries around transient holds.
+    Returns the seconds the successful dispatch took, or None."""
+    for i in range(attempts):
+        try:
+            t0 = time.perf_counter()
+            a = jnp.ones((128, 128), jnp.float32)
+            got = float(np.asarray(jnp.matmul(a, a))[0, 0])
+            dt = time.perf_counter() - t0
+            assert got == 128.0, got
+            log(f"preflight: ok in {dt:.1f}s (attempt {i + 1})")
+            return dt
+        except Exception as e:  # noqa: BLE001 - diagnose and retry
+            log_failure(f"preflight attempt {i + 1}/{attempts}", e)
+            if i + 1 < attempts and not over_budget():
+                log(f"preflight: backing off {backoff_s:.0f}s")
+                time.sleep(backoff_s)
+    return None
 
 
 def sync(out):
@@ -213,6 +246,17 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')} "
         f"x{jax.device_count()}")
 
+    if preflight() is None:
+        # The backend cannot run a 128x128 matmul: every further compile is
+        # doomed.  Emit the diagnosis instead of burning the budget.
+        print(json.dumps({
+            "metric": "fitc_train_s_per_iter_1Mx8_m300",
+            "value": float("nan"), "unit": "s/iter", "vs_baseline": 0.0,
+            "note": "preflight failed: device backend cannot execute a "
+                    "tiny matmul (see stderr for full tracebacks)",
+        }))
+        return
+
     rng = np.random.default_rng(0)
     dtype = jnp.float32
     X = jnp.asarray(rng.standard_normal((N, D)), dtype)
@@ -239,20 +283,44 @@ def main():
 
     results = {}
     evidences = {}
+    note = None
     for name, f in [("streaming", f_streaming), ("dense", f_dense)]:
         if results and over_budget():
             log(f"{name}: skipped (over {BUDGET_S:.0f}s budget)")
             continue
+        vg = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))
+        for attempt in (1, 2):  # one retry: transient tunnel holds recover
+            try:
+                t, lat, first, out = timeit(vg, params, Z, sigma2, X, y)
+                log(f"{name}: {t*1e3:.1f} ms/iter pipelined, {lat*1e3:.1f} "
+                    f"ms latency (first call {first:.1f}s, evidence "
+                    f"{float(out[0]):.1f})")
+                results[name] = t
+                evidences[name] = float(out[0])
+                break
+            except Exception as e:  # noqa: BLE001 - report, retry once
+                log_failure(f"{name} (attempt {attempt})", e)
+                if attempt == 1 and not over_budget():
+                    log(f"{name}: retrying after 20s backoff")
+                    time.sleep(20.0)
+
+    if not results:
+        # Reduced-shape fallback: a number with a note beats a NaN.  The
+        # streaming path's cost is linear in n, so the 100k measurement
+        # extrapolates to the 1M headline by n-ratio (noted as such).
         try:
-            vg = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))
-            t, lat, first, out = timeit(vg, params, Z, sigma2, X, y)
-            log(f"{name}: {t*1e3:.1f} ms/iter pipelined, {lat*1e3:.1f} ms "
-                f"latency (first call {first:.1f}s, evidence "
-                f"{float(out[0]):.1f})")
-            results[name] = t
-            evidences[name] = float(out[0])
-        except Exception as e:  # noqa: BLE001 - report and keep best path
-            log(f"{name}: FAILED {type(e).__name__}: {e}")
+            nf = N_FALLBACK
+            Xf, yf = X[:nf], y[:nf]
+            vgf = jax.jit(jax.value_and_grad(f_streaming, argnums=(0, 1, 2)))
+            t, lat, first, out = timeit(vgf, params, Z, sigma2, Xf, yf)
+            log(f"fallback streaming n={nf}: {t*1e3:.1f} ms/iter pipelined "
+                f"(first {first:.1f}s, evidence {float(out[0]):.1f})")
+            results["streaming_degraded"] = t * (N / nf)
+            note = (f"degraded: full 1M shape failed (see stderr); value is "
+                    f"the n={nf} streaming measurement x{N // nf} linear "
+                    f"extrapolation")
+        except Exception as e:  # noqa: BLE001
+            log_failure(f"fallback streaming n={N_FALLBACK}", e)
 
     # accuracy line (driver-visible, VERDICT round-2 #10): f32 evidence
     # error vs the f64 truth at the fixed seed.  The truth for the
@@ -287,9 +355,12 @@ def main():
         log(f"f64 truth: FAILED {type(e).__name__}: {e}")
 
     if not results:
-        print(json.dumps({"metric": "fitc_train_s_per_iter_1Mx8_m300",
-                          "value": float("nan"), "unit": "s/iter",
-                          "vs_baseline": 0.0}))
+        print(json.dumps({
+            "metric": "fitc_train_s_per_iter_1Mx8_m300",
+            "value": float("nan"), "unit": "s/iter", "vs_baseline": 0.0,
+            "note": "all legs failed incl. reduced-shape fallback, but "
+                    "preflight passed — see stderr tracebacks",
+        }))
         return
 
     best = min(results.values())
@@ -561,12 +632,56 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"student-t: FAILED {type(e).__name__}: {e}")
 
-    print(json.dumps({
+    # secondary: HMC over the hyper posterior (the round-3 Bayesian layer)
+    # at the f32-healthy reduced shape (n=1e5: full-evidence MH accept is
+    # clean there; at 1M the f32 accept resolution ~0.25 nats gates it —
+    # probes/hmc_tpu.py).  Budget-gated and LAST among compiles.
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        from gpr_tpu.optim import make_objective, make_pack
+        from gpr_tpu.optim.hmc import hmc
+
+        nh, n_leap, n_w, n_s = 100_000, 8, 20, 20
+        pack_h = make_pack(SeIso, params, Z, 0.1, learn_inducing=False)
+        raw_h, _ = make_objective(
+            SeIso, X[:nh], y[:nh], pack_h, variational=True,
+            return_raw=True,
+        )
+        t0 = time.perf_counter()
+        res_h = hmc(
+            raw_h, pack_h.x0, jax.random.PRNGKey(5),
+            data=(X[:nh], y[:nh]),
+            n_samples=n_s, n_warmup=n_w, n_leapfrog=n_leap,
+            n_chains=1, chain_jitter=0.05, init_step=0.02,
+        )
+        first_h = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_h = hmc(
+            raw_h, pack_h.x0, jax.random.PRNGKey(6),
+            data=(X[:nh], y[:nh]),
+            n_samples=n_s, n_warmup=n_w, n_leapfrog=n_leap,
+            n_chains=1, chain_jitter=0.05, init_step=0.02,
+        )
+        wall_h = time.perf_counter() - t0
+        ms_leap = wall_h / ((n_w + n_s) * n_leap) * 1e3
+        ess_s = float(res_h.ess.min()) / wall_h
+        log(f"hmc hyper posterior (n={nh}, {n_leap} leapfrog): "
+            f"{ms_leap:.1f} ms/leapfrog, min-ESS {ess_s:.2f}/s, "
+            f"accept={float(res_h.accept_rate[0]):.2f} "
+            f"(first incl. compile {first_h:.1f}s)")
+    except Exception as e:  # noqa: BLE001
+        log(f"hmc: FAILED {type(e).__name__}: {e}")
+
+    out_line = {
         "metric": "fitc_train_s_per_iter_1Mx8_m300",
         "value": round(best, 4),
         "unit": "s/iter",
         "vs_baseline": round(BASELINE_S_PER_ITER / best, 2),
-    }))
+    }
+    if note:
+        out_line["note"] = note
+    print(json.dumps(out_line))
 
 
 if __name__ == "__main__":

@@ -51,7 +51,12 @@ def main():
     # Hyper-only posterior (inducing fixed): 3 coordinates, the regime a
     # user samples after fit_restarts has placed Z.
     pack = make_pack(SeIso, p0, Z, 0.01, learn_inducing=False)
-    neg_l_and_grad, _ = make_objective(SeIso, X, y, pack, variational=True)
+    # return_raw: hmc() must receive the (x, X, y) form and thread the data
+    # through as operands (data=) — a closure-captured 32 MB X lowers to an
+    # embedded HLO constant and the remote compiler rejects it (HTTP 413).
+    raw, _ = make_objective(SeIso, X, y, pack, variational=True,
+                            return_raw=True)
+    neg_l_and_grad = lambda x: raw(x, X, y)  # noqa: E731 - direct probes
 
     t0 = time.perf_counter()
     u, g = neg_l_and_grad(pack.x0)
@@ -63,7 +68,7 @@ def main():
 
     t0 = time.perf_counter()
     res = hmc(
-        neg_l_and_grad, pack.x0, jax.random.PRNGKey(7),
+        raw, pack.x0, jax.random.PRNGKey(7), data=(X, y),
         n_samples=N_SAMPLES, n_warmup=N_WARMUP, n_leapfrog=N_LEAPFROG,
         n_chains=1, chain_jitter=0.05, init_step=0.02,
     )
@@ -76,7 +81,7 @@ def main():
     # Steady-state cost: re-run the already-compiled sampler.
     t0 = time.perf_counter()
     res = hmc(
-        neg_l_and_grad, pack.x0, jax.random.PRNGKey(8),
+        raw, pack.x0, jax.random.PRNGKey(8), data=(X, y),
         n_samples=N_SAMPLES, n_warmup=N_WARMUP, n_leapfrog=N_LEAPFROG,
         n_chains=1, chain_jitter=0.05, init_step=0.02,
     )
@@ -102,12 +107,14 @@ def main():
     # The scale where full-evidence f32 MH is healthy: n = 1e5.
     n_small = 100_000
     pack_s = make_pack(SeIso, p0, Z, 0.01, learn_inducing=False)
-    neg_s, _ = make_objective(
-        SeIso, X[:n_small], y[:n_small], pack_s, variational=True
+    raw_s, _ = make_objective(
+        SeIso, X[:n_small], y[:n_small], pack_s, variational=True,
+        return_raw=True,
     )
     t0 = time.perf_counter()
     res_s = hmc(
-        neg_s, pack_s.x0, jax.random.PRNGKey(9),
+        raw_s, pack_s.x0, jax.random.PRNGKey(9),
+        data=(X[:n_small], y[:n_small]),
         n_samples=40, n_warmup=40, n_leapfrog=N_LEAPFROG,
         n_chains=1, chain_jitter=0.05, init_step=0.02,
     )
@@ -122,9 +129,11 @@ def main():
     # Streaming (compensated two-sum accumulation, models/stream_grad.py):
     # if the cross-tile rounding dominates the dense path's U noise floor,
     # block_size= is the design answer for f32 HMC at large n.
-    neg_st, _ = make_objective(
-        SeIso, X, y, pack, variational=True, block_size=65536
+    raw_st, _ = make_objective(
+        SeIso, X, y, pack, variational=True, block_size=65536,
+        return_raw=True,
     )
+    neg_st = lambda x: raw_st(x, X, y)  # noqa: E731 - direct probes
     t0 = time.perf_counter()
     u_st = neg_st(pack.x0)
     np.asarray(u_st)
@@ -141,7 +150,7 @@ def main():
           f"nats (dense above)", flush=True)
     t0 = time.perf_counter()
     res_st = hmc(
-        neg_st, pack.x0, jax.random.PRNGKey(10),
+        raw_st, pack.x0, jax.random.PRNGKey(10), data=(X, y),
         n_samples=N_SAMPLES, n_warmup=N_WARMUP, n_leapfrog=N_LEAPFROG,
         n_chains=1, chain_jitter=0.05, init_step=0.02,
     )
