@@ -37,6 +37,9 @@ from gpr_tpu.models.streaming import evidence_from_stats, stream_stats
 
 N, D, M = 1_000_000, 8, 300
 BLOCK = 16384
+# the manual mirror reshapes (no padding), so its block must divide N;
+# 20000 x 50 blocks is close enough to the production 16384 for attribution
+MBLOCK = 20000
 TRUTH = -2123659.4  # all-f64, jitter 1e-6 (bench.py cached)
 TRUTH_F32JIT = None  # filled from r4_f32_epilog_decomp.py output if known
 
@@ -120,8 +123,8 @@ def main():
             u, jnp.eye(m, dtype=km.dtype), lower=False
         )
 
-        xb = X.reshape(-1, BLOCK, D)
-        yb = y.reshape(-1, BLOCK)
+        xb = X.reshape(-1, MBLOCK, D)
+        yb = y.reshape(-1, MBLOCK)
 
         def body(carry, blk):
             x_b, y_b = blk
