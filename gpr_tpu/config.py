@@ -27,6 +27,16 @@ class Config:
     # NOTE: read at trace time — changing it does not invalidate already-
     # compiled jit caches; set it before building jitted objectives.
     matmul_precision: str = "highest"
+    # Precision for the whitened ACCUMULATION GEMMs in the streaming
+    # evidence (gram += a'a, u_vec += v'(is*y)).  None = follow
+    # matmul_precision.  Measured (probes/r4_tpu_error_split.py, 1M x 8
+    # m=300 on v5e): escalating ONLY these from HIGH to HIGHEST moves the
+    # evidence by exactly 0.0 nats — the whitened products are O(1) and
+    # well-conditioned — while the kernel sqdist and whitening GEMMs carry
+    # ~250 of the ~290-nat f32-HIGH error.  So 'high' here under
+    # matmul_precision='highest' buys back ~16% of forward GEMM time at no
+    # measured accuracy cost.
+    acc_precision: str | None = "high"
     # 'qr' | 'chol' | 'auto': how to factor B = Km + Knm' D^-1 Knm.
     # 'qr' reproduces the reference's Foster-2009 stacked QR
     # (lib/fitc_gp.ml:168-183); 'chol' is the cheap, shardable normal-equations

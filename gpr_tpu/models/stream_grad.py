@@ -35,7 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..numerics.linalg import matmul, rows_sqr_norm
+from ..numerics.linalg import matmul, matmul_acc, rows_sqr_norm
 
 _CACHE: dict = {}
 
@@ -88,8 +88,8 @@ def _forward_scan(family, params, z, u_inv, sigma2, xb, yb, maskb, unroll):
         sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
         a = v * sqrt_is[:, None]
         terms = (
-            matmul(a.T, a).astype(acc),
-            matmul(v.T, is_ * y_b).astype(acc),
+            matmul_acc(a.T, a).astype(acc),
+            matmul_acc(v.T, is_ * y_b).astype(acc),
             jnp.sum(mask_b * jnp.log(s)).astype(acc),
             jnp.sum(is_ * y_b * y_b).astype(acc),
             jnp.sum(is_ * r).astype(acc),

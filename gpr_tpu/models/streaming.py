@@ -34,6 +34,7 @@ from ..numerics.linalg import (
     inv_tri_upper,
     log_det_tri,
     matmul,
+    matmul_acc,
     rows_sqr_norm,
     solve_tri,
 )
@@ -180,8 +181,8 @@ def stream_stats(
         sqrt_is = jnp.where(live, jnp.sqrt(jnp.where(live, is_, 1.0)), 0.0)
         a = v * sqrt_is[:, None]  # whitened rows: (V sqrt(is)) tile
         gram, u_vec, lds, yiy, isr, cnt = carry
-        gram = gram + matmul(a.T, a).astype(_acc_dtype())
-        u_vec = u_vec + matmul(v.T, is_ * y_b).astype(_acc_dtype())
+        gram = gram + matmul_acc(a.T, a).astype(_acc_dtype())
+        u_vec = u_vec + matmul_acc(v.T, is_ * y_b).astype(_acc_dtype())
         lds = lds + jnp.sum(mask_b * jnp.log(s)).astype(_acc_dtype())
         yiy = yiy + jnp.sum(is_ * y_b * y_b).astype(_acc_dtype())
         isr = isr + jnp.sum(is_ * r).astype(_acc_dtype())

@@ -33,6 +33,21 @@ def matmul(a, b):
     return jnp.matmul(a, b, precision=_precision())
 
 
+def matmul_acc(a, b):
+    """MXU matmul for whitened-accumulation GEMMs (config.acc_precision).
+
+    The streaming evidence's ``gram += a'a`` / ``u_vec += v'(is*y)`` sites
+    are measured insensitive to GEMM precision (see config.acc_precision);
+    everything else should use :func:`matmul`.
+    """
+    name = config.acc_precision or config.matmul_precision
+    return jnp.matmul(a, b, precision={
+        "highest": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "default": lax.Precision.DEFAULT,
+    }[name])
+
+
 def cholesky_upper(a: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
     """Upper-triangular U with ``a + jitter*I = U^T U``.
 
