@@ -329,18 +329,18 @@ def main():
     # the cached value is confirmed by three independent recomputes
     # (round-2 NEXT.md, two round-3 sessions).  Any config change falls
     # back to recomputing.
+    # config pin with f32 tolerance: float(f32(0.1)) != 0.1, so an
+    # exact tuple compare silently falls through to the ~680 s host
+    # recompute on EVERY run (measured; it ate the round-3 budget)
+    pinned = ((N, D, M) == (1_000_000, 8, 300)) and all(
+        abs(float(a) - b) < 1e-6
+        for a, b in [(params.log_ell, 0.5), (params.log_sf2, 0.0),
+                     (sigma2, 0.1)]
+    )
     try:
         if over_budget():
             raise TimeoutError("over budget")
         t0 = time.perf_counter()
-        # config pin with f32 tolerance: float(f32(0.1)) != 0.1, so an
-        # exact tuple compare silently falls through to the ~680 s host
-        # recompute on EVERY run (measured; it ate the round-3 budget)
-        pinned = ((N, D, M) == (1_000_000, 8, 300)) and all(
-            abs(float(a) - b) < 1e-6
-            for a, b in [(params.log_ell, 0.5), (params.log_sf2, 0.0),
-                         (sigma2, 0.1)]
-        )
         if pinned:
             truth, how = -2123659.4, "cached truth (config-pinned)"
         else:
@@ -353,6 +353,42 @@ def main():
         log(f"f64-truth evidence {truth:.1f}; f32 error: {deltas} ({how})")
     except Exception as e:  # noqa: BLE001
         log(f"f64 truth: FAILED {type(e).__name__}: {e}")
+
+    # accurate-mode line (VERDICT round-4 #3): the opt-in high-accuracy
+    # evidence+grad — kernel/whitening GEMMs at HIGHEST, accumulation GEMMs
+    # at the measured-insensitive HIGH (config.acc_precision), backward at
+    # HIGH, explicit reference jitter 1e-6 (the f32 diag-scaled jitter
+    # policy alone biases the evidence +56.5 nats at this shape;
+    # probes/r4_accurate_mode2.py).  Measured: +307 -> +5.9 nats (2.8e-6
+    # relative, under the 1e-5 bar) for ~+34% cost
+    # (probes/r4_accurate_mode*.py); this leg makes the delta and cost
+    # driver-visible each round.  One fresh compile — needs budget headroom.
+    try:
+        if time.perf_counter() - _START > BUDGET_S - 300:
+            raise TimeoutError("insufficient budget headroom")
+        from gpr_tpu.models.streaming import streaming_log_evidence
+
+        config.matmul_precision = "highest"
+
+        def f_acc(params, z, sigma2, X, y):
+            return streaming_log_evidence(
+                SeIso, params, z, sigma2, X, y, block_size=16384,
+                grad_variant="ug", grad_precision=jax.lax.Precision.HIGH,
+                jitter=1e-6,
+            )
+
+        vg_acc = jax.jit(jax.value_and_grad(f_acc, argnums=(0, 1, 2)))
+        t, lat, first, out = timeit(vg_acc, params, Z, sigma2, X, y)
+        ev_acc = float(out[0])
+        truth_acc = -2123659.4 if pinned else None
+        err_txt = (f"evidence err {ev_acc - truth_acc:+.1f} vs f64 truth"
+                   if truth_acc is not None else f"evidence {ev_acc:.1f}")
+        log(f"accurate mode (matmul=highest, acc/grad=high, jitter 1e-6): "
+            f"{t*1e3:.1f} ms/iter, {err_txt} (first {first:.1f}s)")
+    except Exception as e:  # noqa: BLE001
+        log(f"accurate mode: FAILED {type(e).__name__}: {e}")
+    finally:
+        config.matmul_precision = "high"
 
     if not results:
         print(json.dumps({
