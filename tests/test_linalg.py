@@ -123,3 +123,35 @@ def test_block_diag_padded(rng):
     assert bd.data.shape == (2, 5, 5)
     np.testing.assert_allclose(np.asarray(bd.data[0][:3, :3]), b1)
     np.testing.assert_allclose(np.asarray(bd.data[1]), b2)
+
+
+def test_matmul_acc_precision_wiring():
+    """config.acc_precision drives ONLY matmul_acc; matmul keeps the global.
+
+    The precision attribute is checked in the traced jaxpr (it is a no-op
+    numerically on CPU), pinning the accumulation-GEMM knob introduced after
+    probes/r4_tpu_error_split.py measured those GEMMs precision-insensitive.
+    """
+    import jax
+    from gpr_tpu.config import config
+    from gpr_tpu.numerics.linalg import matmul, matmul_acc
+
+    def prec_of(fn):
+        # fresh lambda per trace: make_jaxpr caches on function identity, so
+        # re-tracing the same function after a config change returns the
+        # stale jaxpr (the documented trace-time-config caveat, config.py)
+        wrapped = lambda a, b: fn(a, b)  # noqa: E731
+        jaxpr = jax.make_jaxpr(wrapped)(jnp.ones((4, 4)), jnp.ones((4, 4)))
+        (eqn,) = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+        return eqn.params["precision"]
+
+    old_mp, old_ap = config.matmul_precision, config.acc_precision
+    try:
+        config.matmul_precision = "highest"
+        config.acc_precision = "high"
+        assert prec_of(matmul) == (jax.lax.Precision.HIGHEST,) * 2
+        assert prec_of(matmul_acc) == (jax.lax.Precision.HIGH,) * 2
+        config.acc_precision = None  # None = follow the global
+        assert prec_of(matmul_acc) == (jax.lax.Precision.HIGHEST,) * 2
+    finally:
+        config.matmul_precision, config.acc_precision = old_mp, old_ap
