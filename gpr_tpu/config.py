@@ -37,6 +37,11 @@ class Config:
     # matmul_precision='highest' buys back ~16% of forward GEMM time at no
     # measured accuracy cost.
     acc_precision: str | None = "high"
+    # Streaming-backward GEMM sites to demote to single-pass (DEFAULT)
+    # precision, from {"ui_bar", "vg", "knm_bar"} (stream_grad.py).  Probed
+    # per site by probes/r4_bwd_demote.py; default () = no demotion.  Like
+    # every precision knob this is read at trace time.
+    bwd_demote_sites: tuple = ()
     # 'qr' | 'chol' | 'auto': how to factor B = Km + Knm' D^-1 Knm.
     # 'qr' reproduces the reference's Foster-2009 stacked QR
     # (lib/fitc_gp.ml:168-183); 'chol' is the cheap, shardable normal-equations

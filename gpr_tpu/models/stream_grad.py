@@ -35,6 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import config
 from ..numerics.linalg import matmul, matmul_acc, rows_sqr_norm
 
 _CACHE: dict = {}
@@ -192,6 +193,13 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
         return jnp.matmul(a, b, precision=bwd_precision) \
             if bwd_precision is not None else matmul(a, b)
 
+    def site_mm(site, a, b):
+        # per-site demotion to single-pass bf16 (config.bwd_demote_sites,
+        # read at trace time) — probes/r4_bwd_demote.py measures each site
+        if site in config.bwd_demote_sites:
+            return jnp.matmul(a, b, precision=jax.lax.Precision.DEFAULT)
+        return bmm(a, b)
+
     @jax.custom_vjp
     def core(params, z, u_inv, sigma2, xb, yb, maskb):
         return fwd_stats(params, z, u_inv, sigma2, xb, yb, maskb)
@@ -292,7 +300,7 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
                 v, vg = vw[:, :m], vw[:, m:]
             elif bwd_variant == "ug":
                 v = matmul(knm, u_inv)
-                vg = bmm(knm, ug)
+                vg = site_mm("vg", knm, ug)
             else:
                 v = matmul(knm, u_inv)
             r = kd - rows_sqr_norm(v)
@@ -325,10 +333,10 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             kd_bar = r_bar
             vbar = vbar - 2.0 * v * r_bar[:, None]
 
-            knm_bar = bmm(vbar, u_inv_t)
+            knm_bar = site_mm("knm_bar", vbar, u_inv_t)
             p_bar_t, z_bar_t = pull((knm_bar, kd_bar))
 
-            ui_bar_t = bmm(knm.T, vbar)
+            ui_bar_t = site_mm("ui_bar", knm.T, vbar)
             s2_bar_t = jnp.sum(s_bar_live)
 
             grads_t = (p_bar_t, z_bar_t, ui_bar_t, s2_bar_t)

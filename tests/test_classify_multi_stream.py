@@ -56,6 +56,7 @@ def test_stream_evidence_matches_materialized(rng, block_size):
     np.testing.assert_allclose(float(ev_s), float(ev), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_stream_gradients_match_materialized(rng):
     """Hyper AND inducing-coordinate gradients through the streaming
     Newton scan == the materialized path.  rtol 1e-7: the reverse pass

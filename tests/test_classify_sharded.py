@@ -60,6 +60,7 @@ def test_sharded_classify_gradients_match_single(rng):
                                    rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_classify_predict_matches_single(rng):
     X, Z, y, p = data(rng, n=90, m=7)
     Xt = jnp.asarray(rng.standard_normal((13, X.shape[1])))

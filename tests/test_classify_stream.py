@@ -97,6 +97,7 @@ def test_sharded_stream_evidence_matches_single(rng):
                                    rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_generic_stream_matches_materialized_all_families(rng):
     """The generic streaming Laplace core (stream_laplace_*) reproduces
     every materialized family evidence — value AND grads — at an

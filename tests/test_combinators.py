@@ -158,6 +158,7 @@ def test_streaming_parity(rng):
         np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sum_kernel_is_integrated_linear_mean(rng):
     """const + lin_one + se_iso extrapolates a linear trend that a plain
     se_iso reverts to zero on — the working 'mean function' story

@@ -4,6 +4,7 @@ jit, compared against the host-driven trainer."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpr_tpu.kernels import SeIso
 from gpr_tpu.models import calc_model, calc_trained, log_evidence
@@ -154,6 +155,7 @@ def test_fit_restarts_picks_best_start(rng):
     assert float(st_r.f) <= min(singles) + 1e-3
 
 
+@pytest.mark.slow
 def test_fit_restarts_subsample_probes(rng):
     """Subsampled probes rank basins on cheap data, then the winner
     retrains on the full set — the result must be competitive with

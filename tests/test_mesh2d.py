@@ -20,7 +20,14 @@ def data(rng, n=400, m=16, d=3):
     return X, Z, y, p
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+# inner loop keeps one mesh shape; the degenerate/transposed shapes are
+# slow-tier (each costs a fresh ~15 s shard_map compile on the 1-CPU box)
+@pytest.mark.parametrize("shape", [
+    (2, 4),
+    pytest.param((4, 2), marks=pytest.mark.slow),
+    pytest.param((8, 1), marks=pytest.mark.slow),
+    pytest.param((1, 8), marks=pytest.mark.slow),
+])
 @pytest.mark.parametrize("variational", [False, True])
 def test_2d_matches_single_device(rng, shape, variational):
     X, Z, y, p = data(rng)
@@ -52,6 +59,7 @@ def test_2d_gradients(rng):
                                    atol=1e-10)
 
 
+@pytest.mark.slow
 def test_2d_se_fat_padded_n(rng):
     n, m = 201, 8  # n not divisible by data axis
     X = jnp.asarray(rng.standard_normal((n, 5)))

@@ -162,6 +162,7 @@ def test_ordinal_predict_probs(rng):
         np.testing.assert_allclose(probs[:, k], mc, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_ordinal_boundary_hardening(rng):
     """Rows far past either cutpoint (|f| >> b) must keep finite evidence
     and gradients — the log-space cell mass is the point."""

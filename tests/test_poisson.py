@@ -151,6 +151,7 @@ def test_poisson_evidence_gradients(rng):
     np.testing.assert_allclose(float(g[2][1, 1]), fd, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_poisson_training_recovers_rates(rng):
     """1-D rate field: training raises the evidence and the predicted
     rates track the truth."""

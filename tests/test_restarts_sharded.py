@@ -91,6 +91,7 @@ def test_fit_restarts_sharded_matches_sequential(rng):
     assert not bool(st_s.failed)
 
 
+@pytest.mark.slow
 def test_fit_restarts_sharded_subsampled(rng):
     X, y, pack = _problem(rng, n=512)
     mesh = make_mesh(4)
@@ -110,6 +111,7 @@ def test_fit_restarts_sharded_subsampled(rng):
     assert np.isfinite(float(s2_s)) and float(s2_s) > 0
 
 
+@pytest.mark.slow
 def test_fit_restarts_sharded_2d_mesh(rng):
     """On a 2-D (data x model) mesh the probes shard over the data axis
     and the continuation runs tensor-parallel (fit_sharded_2d) — the

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpr_tpu.io import load_model, save_model
 from gpr_tpu.io.checkpoint import ModelArtifact
@@ -45,6 +46,7 @@ def test_individual_stats_match_combined(rng):
         )
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(tmp_path, rng):
     """Interrupt a GP training run mid-way, checkpoint, restore, continue —
     the final objective must match an uninterrupted run."""
