@@ -156,3 +156,34 @@ def test_custom_vjp_y_cotangent_matches_ad(rng):
     g_ad = jax.grad(lambda y: f(y, "ad"))(y)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ad),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_bwd_demote_sites_wiring(rng):
+    """config.bwd_demote_sites moves exactly the named backward GEMMs to
+    DEFAULT precision (checked in the lowered HLO; numerically a no-op on
+    CPU), and never touches the forward or the un-named sites."""
+    from gpr_tpu.config import config
+
+    X = jnp.asarray(rng.standard_normal((128, 3)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    Z = jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)
+    p = SeIso.Params(log_ell=jnp.asarray(0.2, jnp.float32),
+                     log_sf2=jnp.asarray(0.1, jnp.float32))
+
+    def lowered_default_dots(sites):
+        old = config.bwd_demote_sites
+        config.bwd_demote_sites = sites
+        try:
+            def f(p_, z, s2):
+                return streaming_log_evidence(
+                    SeIso, p_, z, s2, X, y, block_size=64,
+                    grad_variant="ug")
+            txt = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2))).lower(
+                p, Z, jnp.float32(0.3)).as_text()
+            return txt.count("precision = [DEFAULT, DEFAULT]")
+        finally:
+            config.bwd_demote_sites = old
+
+    base = lowered_default_dots(())
+    assert lowered_default_dots(("ui_bar",)) == base + 1
+    assert lowered_default_dots(("ui_bar", "vg", "knm_bar")) == base + 3
