@@ -65,6 +65,9 @@ def preflight(attempts=3, backoff_s=30.0):
         try:
             t0 = time.perf_counter()
             a = jnp.ones((128, 128), jnp.float32)
+            # bare jnp.matmul on purpose: this probes ONLY that the device
+            # can compile+execute, and 128.0 is exact even in one bf16 pass;
+            # precision-sensitive code must use numerics.linalg.matmul
             got = float(np.asarray(jnp.matmul(a, a))[0, 0])
             dt = time.perf_counter() - t0
             assert got == 128.0, got
@@ -244,7 +247,8 @@ def main():
     # accumulation GEMMs at single-pass bf16: measured indistinguishable at
     # this shape (evidence err +306.9 either way, grad rel-err 5.83e-04 vs
     # the accurate mode for both) and 7.5% faster (29.6 vs 32.0 ms/iter,
-    # probes/r4_fast_acc_default.py); the library default stays 'high'.
+    # probes/r4_fast_acc_default.py); the library default stays None
+    # (follow matmul_precision) — only the bench shape is measured.
     config.acc_precision = "default"
 
     dev = jax.devices()[0]
@@ -371,6 +375,11 @@ def main():
     try:
         if time.perf_counter() - _START > BUDGET_S - 300:
             raise TimeoutError("insufficient budget headroom")
+        if not ("streaming" in results or "dense" in results):
+            # both full-shape legs failed (we are on the degraded/NaN
+            # path) — another 1M-shape compile is almost certainly doomed
+            # and would burn the remaining budget
+            raise RuntimeError("full 1M shape failed; leg skipped")
         from gpr_tpu.models.streaming import streaming_log_evidence
 
         config.matmul_precision = "highest"

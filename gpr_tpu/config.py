@@ -28,19 +28,25 @@ class Config:
     # compiled jit caches; set it before building jitted objectives.
     matmul_precision: str = "highest"
     # Precision for the whitened ACCUMULATION GEMMs in the streaming
-    # evidence (gram += a'a, u_vec += v'(is*y)).  None = follow
-    # matmul_precision.  Measured (probes/r4_tpu_error_split.py, 1M x 8
-    # m=300 on v5e): escalating ONLY these from HIGH to HIGHEST moves the
-    # evidence by exactly 0.0 nats — the whitened products are O(1) and
-    # well-conditioned — while the kernel sqdist and whitening GEMMs carry
-    # ~250 of the ~290-nat f32-HIGH error.  So 'high' here under
-    # matmul_precision='highest' buys back ~16% of forward GEMM time at no
-    # measured accuracy cost.
-    acc_precision: str | None = "high"
+    # evidence (gram += a'a, u_vec += v'(is*y)).  None (default) = follow
+    # matmul_precision, so a user who asks for HIGHEST gets it everywhere.
+    # Measured opt-in (probes/r4_tpu_error_split.py, 1M x 8 m=300 SeIso on
+    # v5e): 'high' here under matmul_precision='highest' moves the evidence
+    # by exactly 0.0 nats — the whitened products are O(1) and
+    # well-conditioned at that shape — while buying back ~16% of forward
+    # GEMM time; the kernel sqdist and whitening GEMMs carry ~250 of the
+    # ~290-nat f32-HIGH error.  Validated at the bench shape only; a
+    # low-noise problem (tiny sigma2) scales the whitened rows by 1/sqrt(s),
+    # so this stays an explicit dial rather than the library default.
+    acc_precision: str | None = None
     # Streaming-backward GEMM sites to demote to single-pass (DEFAULT)
     # precision, from {"ui_bar", "vg", "knm_bar"} (stream_grad.py).  Probed
     # per site by probes/r4_bwd_demote.py; default () = no demotion.  Like
-    # every precision knob this is read at trace time.
+    # every precision knob this is read at trace time.  Applies to the
+    # streaming custom-VJP backward only (grad_impl='cv', the default path);
+    # the 'vg' site exists only under grad_variant='ug' — other variants
+    # fuse that GEMM, leaving the entry inert.  Unknown names raise at
+    # trace time (stream_grad.site_mm).
     bwd_demote_sites: tuple = ()
     # 'qr' | 'chol' | 'auto': how to factor B = Km + Knm' D^-1 Knm.
     # 'qr' reproduces the reference's Foster-2009 stacked QR

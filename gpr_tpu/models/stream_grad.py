@@ -195,7 +195,16 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
 
     def site_mm(site, a, b):
         # per-site demotion to single-pass bf16 (config.bwd_demote_sites,
-        # read at trace time) — probes/r4_bwd_demote.py measures each site
+        # read at trace time) — probes/r4_bwd_demote.py measures each site.
+        # A typo'd site name would otherwise be a silent no-op and any
+        # speed/accuracy delta attributed to it would be noise.
+        unknown = set(config.bwd_demote_sites) - {"ui_bar", "vg", "knm_bar"}
+        if unknown:
+            raise ValueError(
+                f"unknown bwd_demote_sites {sorted(unknown)}; valid: "
+                f"['knm_bar', 'ui_bar', 'vg'] (and 'vg' only fires under "
+                f"grad_variant='ug')"
+            )
         if site in config.bwd_demote_sites:
             return jnp.matmul(a, b, precision=jax.lax.Precision.DEFAULT)
         return bmm(a, b)

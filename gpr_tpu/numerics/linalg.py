@@ -20,12 +20,25 @@ from jax import lax
 from ..config import config
 
 
+_PRECISIONS = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}
+
+
+def _to_precision(name: str) -> lax.Precision:
+    try:
+        return _PRECISIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown matmul precision {name!r}; valid: "
+            f"{sorted(_PRECISIONS)}"
+        ) from None
+
+
 def _precision():
-    return {
-        "highest": lax.Precision.HIGHEST,
-        "high": lax.Precision.HIGH,
-        "default": lax.Precision.DEFAULT,
-    }[config.matmul_precision]
+    return _to_precision(config.matmul_precision)
 
 
 def matmul(a, b):
@@ -40,12 +53,11 @@ def matmul_acc(a, b):
     are measured insensitive to GEMM precision (see config.acc_precision);
     everything else should use :func:`matmul`.
     """
-    name = config.acc_precision or config.matmul_precision
-    return jnp.matmul(a, b, precision={
-        "highest": lax.Precision.HIGHEST,
-        "high": lax.Precision.HIGH,
-        "default": lax.Precision.DEFAULT,
-    }[name])
+    return jnp.matmul(
+        a, b,
+        precision=_to_precision(config.acc_precision
+                                or config.matmul_precision),
+    )
 
 
 def cholesky_upper(a: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:

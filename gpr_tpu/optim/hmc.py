@@ -388,8 +388,11 @@ def sample_posterior(
 # (unhashable: HyperPack holds arrays) family/pack plus the static flags.
 # Caching the objects themselves keeps them alive so ids cannot be reused.
 # Without this every predict call retraces, and on the remote-compile TPU
-# backend each retrace is a fresh multi-second AOT compile.
+# backend each retrace is a fresh multi-second AOT compile.  Bounded FIFO:
+# a sweep that fits many models (fresh pack per fit) must not accumulate
+# packs + compiled executables without limit.
 _MIXTURE_CACHE: dict = {}
+_MIXTURE_CACHE_MAX = 8
 
 
 def _mixture_moments_fn(family, pack, variational, predictive):
@@ -424,6 +427,8 @@ def _mixture_moments_fn(family, pack, variational, predictive):
         var = jnp.mean(vars_ + mus * mus, axis=0) - mean * mean
         return mean, var
 
+    while len(_MIXTURE_CACHE) >= _MIXTURE_CACHE_MAX:
+        _MIXTURE_CACHE.pop(next(iter(_MIXTURE_CACHE)))
     _MIXTURE_CACHE[cache_key] = (family, pack, moments)
     return moments
 
