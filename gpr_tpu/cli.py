@@ -118,6 +118,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "rate,rate-stddev; unit exposure — use the library "
                         "API for exposure offsets).  Requires -trainer "
                         "device|sharded")
+    p.add_argument("-negbin", dest="negbin", type=float, default=None,
+                   metavar="R0",
+                   help="negative-binomial (overdispersed count) regression "
+                        "(NB2-Laplace with exp link, models/negbin.py): "
+                        "targets must be nonnegative counts; the dispersion "
+                        "r starts at R0 (> 0) and is LEARNED by evidence "
+                        "ascent (reported on stderr and stored in the "
+                        "model file; r -> inf recovers -poisson).  Test "
+                        "output is the posterior count mean per unit "
+                        "exposure (with -with-stddev: mean,count-stddev "
+                        "via the law of total variance).  Requires "
+                        "-trainer device|sharded")
     p.add_argument("-ordinal", action="store_true",
                    help="ordinal regression (cumulative probit Laplace "
                         "with learnable cutpoints, models/ordinal.py): "
@@ -232,10 +244,10 @@ def cmd_train(args) -> int:
 
     n_extensions = sum(
         [args.pitc_block is not None, args.warp > 0, bool(args.classify),
-         bool(args.poisson), bool(args.ordinal),
+         bool(args.poisson), args.negbin is not None, bool(args.ordinal),
          args.student_t is not None]
     )
-    _EXT_FLAGS = ("-pitc-block/-warp/-classify/-poisson/-ordinal/"
+    _EXT_FLAGS = ("-pitc-block/-warp/-classify/-poisson/-negbin/-ordinal/"
                   "-student-t")
     if n_extensions > 1:
         raise SystemExit(
@@ -324,6 +336,19 @@ def cmd_train(args) -> int:
         if args.verbose:
             print(f"counts: mean {targets.mean():.3f}, "
                   f"max {int(targets.max())}", file=sys.stderr)
+    elif args.negbin is not None:
+        # counts, not regression targets: no centering
+        if args.negbin <= 0:
+            raise SystemExit("-negbin needs an initial dispersion R0 > 0")
+        if targets.min() < 0 or not np.all(targets == np.round(targets)):
+            raise SystemExit(
+                "-negbin needs nonnegative integer counts as targets"
+            )
+        target_mean = 0.0
+        if args.verbose:
+            print(f"counts: mean {targets.mean():.3f}, "
+                  f"var {targets.var():.3f}, max {int(targets.max())}",
+                  file=sys.stderr)
     elif args.ordinal:
         # ordered categories, not regression targets: no centering
         uniq_arr = np.unique(targets)
@@ -913,6 +938,45 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                 )
                 p, z, _ = pack.unpack(st.x)
             return (p, z, None, None), st, pack
+        if args.negbin is not None:
+            # the pack's positive sigma2 slot carries the NB dispersion r
+            # (models/negbin.py docstring); it is learned like every other
+            # hyper and reported below
+            pack = make_pack(fam, params0, z0, args.negbin)
+            if mesh is None:
+                from .models.negbin import fit_negbin
+
+                p, z, r_disp, st = fit_negbin(
+                    fam, X, y, pack,
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+            else:
+                from .parallel import shard_batch
+                from .parallel.classify_sharded import (
+                    sharded_negbin_log_evidence,
+                )
+
+                Xs, ys, mask = shard_batch(mesh, X, y)
+
+                def fg(x, Xs, ys, mask):
+                    def f(x):
+                        params, z, r = pack.unpack(x)
+                        return -(1.0 / n) * sharded_negbin_log_evidence(
+                            fam, mesh, params, z, Xs, ys, r, mask,
+                        )
+
+                    return jax.value_and_grad(f)(x)
+
+                st = fit_packed_objective(
+                    fg, pack, (Xs, ys, mask),
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+                p, z, r_disp = pack.unpack(st.x)
+            if args.verbose:
+                print(f"negbin: learned dispersion r = {float(r_disp):.4f} "
+                      f"(started at {args.negbin:g}; larger = closer to "
+                      f"Poisson)", file=sys.stderr)
+            return (p, z, r_disp, None), st, pack
         if args.warp:
             from .models.warped import default_warp_params, fit_warped
 
@@ -1038,6 +1102,10 @@ def _unpack_extension_state(args, st, r, X, start):
         pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
         p, z, _ = pack.unpack(st.x)
         return (p, z, None, None), pack
+    if args.negbin is not None:
+        pack = make_pack(fam, params0, z0, args.negbin)
+        p, z, r_disp = pack.unpack(st.x)
+        return (p, z, r_disp, None), pack
     if args.ordinal:
         from .optim.pack import extend_pack
 
@@ -1167,6 +1235,30 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         chol_km = inducing.chol_km
         sigma2 = 0.0
         extra["poisson"] = np.asarray(1)
+    elif args.negbin is not None:
+        # same collapse as the Poisson artifact, with the NB W at the mode;
+        # the learned dispersion rides in the extras so cmd_test can apply
+        # the NB law of total variance (models/negbin.py docstring)
+        from .models.negbin import _nb_parts, negbin_laplace_mode
+
+        r_disp = jnp.asarray(s2)  # 3rd result slot carries the dispersion
+        f_hat, a, inducing, v, d = negbin_laplace_mode(
+            fam, p, z, X, y, r_disp,
+        )
+        _, w = _nb_parts(f_hat, y, r_disp, jnp.zeros_like(y),
+                         jnp.ones_like(y))
+        w = jnp.maximum(w, 1e-12)
+        d2inv = w / (1.0 + w * d)
+        vs = v * jnp.sqrt(d2inv)[:, None]
+        rn = cholesky_upper(
+            jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+            jitter=0.0,
+        )
+        coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        r_mat = matmul(rn, inducing.chol_km)
+        chol_km = inducing.chol_km
+        sigma2 = 0.0
+        extra["negbin"] = np.asarray(float(r_disp))
     elif args.classify and n_classes > 2:
         # softmax Laplace: the persistable m-space state (coeffs (m, C) in
         # the standard slot; per-class quadratic forms in the extras) —
@@ -1331,6 +1423,33 @@ def cmd_test(args) -> int:
                 print(f"{r_i:f},{s_i:f}")
             else:
                 print(f"{r_i:f}")
+        return 0
+
+    if "negbin" in extra:
+        # NB artifact: latent log-mean moments through the standard
+        # predictors, then the NB law of total variance with the LEARNED
+        # dispersion (models/negbin.py docstring): E[y*] = m1,
+        # Var[y*] = m1 + (1 + 1/r) m2 - m1^2 at unit exposure
+        r_disp = float(extra["negbin"])
+        cvp = CoVariancePredictor(
+            z=jnp.asarray(art.inducing),
+            chol_km=jnp.asarray(art.chol_km),
+            r_mat=jnp.asarray(art.r_mat),
+        )
+        mu = np.asarray(predict_means(family, params, mp, X))
+        var = np.maximum(np.asarray(
+            predict_variances(family, params, cvp, X, 0.0, predictive=False)
+        ), 0.0)
+        m1 = np.exp(mu + 0.5 * var)
+        m2 = np.exp(2.0 * mu + 2.0 * var)
+        count_sd = np.sqrt(np.maximum(
+            m1 + (1.0 + 1.0 / r_disp) * m2 - m1 * m1, 0.0
+        ))
+        for m_i, s_i in zip(m1, count_sd):
+            if args.with_stddev:
+                print(f"{m_i:f},{s_i:f}")
+            else:
+                print(f"{m_i:f}")
         return 0
 
     if "ordinal" in extra:

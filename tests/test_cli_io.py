@@ -669,6 +669,67 @@ def test_cli_poisson(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_cli_negbin(tmp_path, rng):
+    """-negbin trains the overdispersed count model, learns and reports the
+    dispersion, and serves NB count moments (device and sharded trainers;
+    bad targets and bad R0 rejected)."""
+    n = 120
+    X = rng.uniform(-2.0, 2.0, (n, 1))
+    f_true = 1.2 * np.sin(X[:, 0] * 1.5)
+    mu = np.exp(f_true)
+    r_true = 1.5
+    y = rng.poisson(rng.gamma(r_true, mu / r_true)).astype(float)
+    csv = "\n".join(
+        ",".join(f"{v:.8f}" for v in list(row) + [t])
+        for row, t in zip(X, y)
+    ) + "\n"
+
+    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"])]:
+        model_file = str(tmp_path / f"model_nb_{trainer}.npz")
+        res = run_cli(
+            ["-cmd", "train", "-model", model_file, "-n-inducing", "7",
+             "-max-iter", "15", "-seed", "5", "-trainer", trainer,
+             "-negbin", "8.0", "-verbose", *extra_args],
+            csv,
+        )
+        assert res.returncode == 0, (trainer, res.stderr[-2000:])
+        assert "counts: mean" in res.stderr
+        disp_lines = [ln for ln in res.stderr.splitlines()
+                      if "learned dispersion" in ln]
+        assert disp_lines, res.stderr
+        r_learned = float(disp_lines[0].split("r = ")[1].split(" ")[0])
+        assert r_learned > 0.0
+
+        # count means order with the true rate; NB stddev is overdispersed
+        # (var > mean per unit exposure)
+        res = run_cli(["-cmd", "test", "-model", model_file,
+                       "-with-stddev"], "1.0\n-1.0\n")
+        assert res.returncode == 0, res.stderr
+        rows = [list(map(float, line.split(",")))
+                for line in res.stdout.strip().splitlines()]
+        assert len(rows) == 2
+        (m_hi, s_hi), (m_lo, s_lo) = rows
+        assert m_hi > m_lo > 0
+        assert s_hi * s_hi > m_hi and s_lo * s_lo > m_lo
+
+    # non-count targets rejected
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad.npz"),
+         "-negbin", "2.0", "-trainer", "device"],
+        "1.0,0.5\n2.0,1.0\n",
+    )
+    assert res.returncode != 0
+    assert "nonnegative integer counts" in res.stderr
+    # nonpositive initial dispersion rejected
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad2.npz"),
+         "-negbin", "-1.0", "-trainer", "device"],
+        "1.0,2\n2.0,1\n",
+    )
+    assert res.returncode != 0
+    assert "R0 > 0" in res.stderr
+
+@pytest.mark.slow
 def test_cli_ordinal(tmp_path, rng):
     """-ordinal trains the cumulative-probit model; test output is one
     probability per category (+ latent stddev with -with-stddev); device

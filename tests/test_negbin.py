@@ -158,3 +158,41 @@ def test_negbin_beats_poisson_on_overdispersed_counts(rng):
     cm, cv, mu_l, var_l = negbin_predict(SeIso, p_f, z_f, X, y,
                                          jnp.asarray(r_f), X[:5])
     assert bool(jnp.all(cv > cm))  # overdispersed: Var > mean
+
+
+@pytest.mark.slow
+def test_sharded_negbin_evidence_matches_single(rng):
+    """NB2-Laplace over the 8-device mesh == single-device (value and
+    grads, including d/dr), non-divisible n, with exposures."""
+    from gpr_tpu.parallel import make_mesh, sharded_negbin_log_evidence
+    from gpr_tpu.parallel.sharded import shard_batch
+
+    X, z, y, params = _setup(rng, n=93)
+    r = jnp.asarray(1.7)
+    le = jnp.asarray(np.log(rng.uniform(0.5, 2.0, 93)))
+    mesh = make_mesh()
+    Xs, ys, mask = shard_batch(mesh, X, y)
+    _, les, _ = shard_batch(mesh, X, le)
+
+    single = negbin_log_evidence(SeIso, params, z, X, y, r,
+                                 log_exposure=le, newton_iters=8)
+    sharded = sharded_negbin_log_evidence(
+        SeIso, mesh, params, z, Xs, ys, r, mask, log_exposure=les,
+        newton_iters=8)
+    np.testing.assert_allclose(float(sharded), float(single), rtol=1e-10)
+
+    gd = jax.grad(
+        lambda p, z, r: negbin_log_evidence(
+            SeIso, p, z, X, y, r, log_exposure=le, newton_iters=5),
+        argnums=(0, 1, 2),
+    )(params, z, r)
+    gs = jax.jit(jax.grad(
+        lambda p, z, r: sharded_negbin_log_evidence(
+            SeIso, mesh, p, z, Xs, ys, r, mask, log_exposure=les,
+            newton_iters=5),
+        argnums=(0, 1, 2),
+    ))(params, z, r)
+    # bisection-resolution-bounded parity (see test_classify_stream.py)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-12)
