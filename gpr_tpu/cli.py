@@ -913,6 +913,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
 
                 p, z, st = fit_poisson(
                     fam, X, y, pack,
+                    block_size=args.block_size,  # None = materialized V
                     init_state=load_resume_state(pack.x0), **common,
                 )
             else:
@@ -948,6 +949,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
 
                 p, z, r_disp, st = fit_negbin(
                     fam, X, y, pack,
+                    block_size=args.block_size,  # None = materialized V
                     init_state=load_resume_state(pack.x0), **common,
                 )
             else:
@@ -1218,19 +1220,38 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         # same collapse as the classifier: coeffs = U^-1 V'a and
         # r_mat = Rn U serve the latent log-rate posterior through the
         # standard predictors; cmd_test applies the lognormal moments
-        from .models.poisson import _rate_w, poisson_laplace_mode
+        from .models.poisson import _pois_loglik, _rate_w, poisson_laplace_mode
 
-        f_hat, a, inducing, v, d = poisson_laplace_mode(fam, p, z, X, y)
-        w = jnp.maximum(
-            _rate_w(f_hat, jnp.zeros_like(y), jnp.ones_like(y)), 1e-12
-        )
-        d2inv = w / (1.0 + w * d)
-        vs = v * jnp.sqrt(d2inv)[:, None]
-        rn = cholesky_upper(
-            jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
-            jitter=0.0,
-        )
-        coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        if args.block_size:
+            # streaming state: V never materializes (the generic Laplace
+            # core); vta = V'a and Rn come out of the epilogue sweep
+            from .models.classify_stream import stream_laplace_parts
+
+            le = jnp.zeros_like(y)
+
+            def _pois_parts(f, lik, mb):
+                w = _rate_w(f, lik[1], mb)
+                return mb * (lik[0] - w), w
+
+            inducing, _, _, _, vta, rn, *_ = stream_laplace_parts(
+                fam, p, z, X, (y, le),
+                parts=_pois_parts,
+                loglik=lambda f, lik: _pois_loglik(f, lik[0], lik[1]),
+                block_size=args.block_size,
+            )
+            coeffs = solve_tri(inducing.chol_km, vta)
+        else:
+            f_hat, a, inducing, v, d = poisson_laplace_mode(fam, p, z, X, y)
+            w = jnp.maximum(
+                _rate_w(f_hat, jnp.zeros_like(y), jnp.ones_like(y)), 1e-12
+            )
+            d2inv = w / (1.0 + w * d)
+            vs = v * jnp.sqrt(d2inv)[:, None]
+            rn = cholesky_upper(
+                jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+                jitter=0.0,
+            )
+            coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
         r_mat = matmul(rn, inducing.chol_km)
         chol_km = inducing.chol_km
         sigma2 = 0.0
@@ -1239,22 +1260,37 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         # same collapse as the Poisson artifact, with the NB W at the mode;
         # the learned dispersion rides in the extras so cmd_test can apply
         # the NB law of total variance (models/negbin.py docstring)
-        from .models.negbin import _nb_parts, negbin_laplace_mode
+        from .models.negbin import _nb_loglik, _nb_parts, negbin_laplace_mode
 
         r_disp = jnp.asarray(s2)  # 3rd result slot carries the dispersion
-        f_hat, a, inducing, v, d = negbin_laplace_mode(
-            fam, p, z, X, y, r_disp,
-        )
-        _, w = _nb_parts(f_hat, y, r_disp, jnp.zeros_like(y),
-                         jnp.ones_like(y))
-        w = jnp.maximum(w, 1e-12)
-        d2inv = w / (1.0 + w * d)
-        vs = v * jnp.sqrt(d2inv)[:, None]
-        rn = cholesky_upper(
-            jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
-            jitter=0.0,
-        )
-        coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        if args.block_size:
+            # streaming state: V never materializes (the generic Laplace
+            # core); vta = V'a and Rn come out of the epilogue sweep
+            from .models.classify_stream import stream_laplace_parts
+
+            le = jnp.zeros_like(y)
+            inducing, _, _, _, vta, rn, *_ = stream_laplace_parts(
+                fam, p, z, X, (y, le),
+                parts=lambda f, lik, mb: _nb_parts(f, lik[0], r_disp,
+                                                   lik[1], mb),
+                loglik=lambda f, lik: _nb_loglik(f, lik[0], r_disp, lik[1]),
+                block_size=args.block_size,
+            )
+            coeffs = solve_tri(inducing.chol_km, vta)
+        else:
+            f_hat, a, inducing, v, d = negbin_laplace_mode(
+                fam, p, z, X, y, r_disp,
+            )
+            _, w = _nb_parts(f_hat, y, r_disp, jnp.zeros_like(y),
+                             jnp.ones_like(y))
+            w = jnp.maximum(w, 1e-12)
+            d2inv = w / (1.0 + w * d)
+            vs = v * jnp.sqrt(d2inv)[:, None]
+            rn = cholesky_upper(
+                jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+                jitter=0.0,
+            )
+            coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
         r_mat = matmul(rn, inducing.chol_km)
         chol_km = inducing.chol_km
         sigma2 = 0.0

@@ -164,11 +164,26 @@ def negbin_laplace_mode(
 def negbin_log_evidence(
     family, params, z, X, y, r, *, log_exposure=None,
     newton_iters: int = 20, jitter: float | None = None,
+    block_size: int | None = None,
 ):
     """Laplace marginal likelihood, differentiable w.r.t.
-    (params, z, r) through the unrolled Newton mode."""
+    (params, z, r) through the unrolled Newton mode.  ``block_size``
+    streams the whole computation through the generic Laplace core
+    (models/classify_stream.py) — Knm never materializes, so n is
+    unbounded; the traced dispersion ``r`` rides through the parts/loglik
+    hooks like the ordinal cutpoints do."""
     le = (jnp.zeros_like(y) if log_exposure is None
           else jnp.asarray(log_exposure))
+    if block_size is not None:
+        from .classify_stream import stream_laplace_log_evidence
+
+        return stream_laplace_log_evidence(
+            family, params, z, X, (y, le),
+            parts=lambda f, lik, mb: _nb_parts(f, lik[0], r, lik[1], mb),
+            loglik=lambda f, lik: _nb_loglik(f, lik[0], r, lik[1]),
+            block_size=block_size, newton_iters=newton_iters,
+            jitter=jitter,
+        )
     f_hat, a, inducing, v, d = negbin_laplace_mode(
         family, params, z, X, y, r, log_exposure=le,
         newton_iters=newton_iters, jitter=jitter,
@@ -218,13 +233,15 @@ def negbin_predict(
 
 def fit_negbin(
     family, X, y, pack, *, log_exposure=None, newton_iters: int = 20,
-    jitter: float | None = None, normalize: bool = True, **fit_kwargs,
+    jitter: float | None = None, normalize: bool = True,
+    block_size: int | None = None, **fit_kwargs,
 ):
     """Hyper + inducing + DISPERSION training on the NB2-Laplace evidence.
 
     Build ``pack`` with ``make_pack(family, p0, z0, r0)`` — the pack's
     positive sigma2 coordinate carries the dispersion r here (same
-    log-parameterization).  Returns (params, z, r, state)."""
+    log-parameterization).  ``block_size`` streams the objective
+    (unbounded n).  Returns (params, z, r, state)."""
     if not pack.learn_sigma2:
         raise ValueError(
             "fit_negbin learns the dispersion through the pack's sigma2 "
@@ -241,6 +258,7 @@ def fit_negbin(
             return -scale * negbin_log_evidence(
                 family, params, z, X, y, r, log_exposure=log_exposure,
                 newton_iters=newton_iters, jitter=jitter,
+                block_size=block_size,
             )
 
         return jax.value_and_grad(f)(x)

@@ -636,8 +636,11 @@ def test_cli_poisson(tmp_path, rng):
         for row, t in zip(X, y)
     ) + "\n"
 
-    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"])]:
-        model_file = str(tmp_path / f"model_pois_{trainer}.npz")
+    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"]),
+                                ("device", ["-block-size", "32"])]:
+        model_file = str(
+            tmp_path / f"model_pois_{trainer}_{len(extra_args)}.npz"
+        )
         res = run_cli(
             ["-cmd", "train", "-model", model_file, "-n-inducing", "7",
              "-max-iter", "10", "-seed", "5", "-trainer", trainer,
@@ -684,8 +687,11 @@ def test_cli_negbin(tmp_path, rng):
         for row, t in zip(X, y)
     ) + "\n"
 
-    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"])]:
-        model_file = str(tmp_path / f"model_nb_{trainer}.npz")
+    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"]),
+                                ("device", ["-block-size", "32"])]:
+        model_file = str(
+            tmp_path / f"model_nb_{trainer}_{len(extra_args)}.npz"
+        )
         res = run_cli(
             ["-cmd", "train", "-model", model_file, "-n-inducing", "7",
              "-max-iter", "15", "-seed", "5", "-trainer", trainer,

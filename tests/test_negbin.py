@@ -196,3 +196,35 @@ def test_sharded_negbin_evidence_matches_single(rng):
     for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-12)
+
+
+def test_streaming_negbin_matches_materialized(rng):
+    """block_size= streams the NB2 evidence through the generic Laplace
+    core: == materialized at any block partition (value and grads,
+    including d/dr)."""
+    X, z, y, params = _setup(rng, n=41)
+    r = jnp.asarray(1.7)
+    le = jnp.asarray(np.log(rng.uniform(0.5, 2.0, 41)))
+
+    dense = negbin_log_evidence(SeIso, params, z, X, y, r,
+                                log_exposure=le, newton_iters=8)
+    for bs in (7, 16, 41):
+        stream = negbin_log_evidence(SeIso, params, z, X, y, r,
+                                     log_exposure=le, newton_iters=8,
+                                     block_size=bs)
+        np.testing.assert_allclose(float(stream), float(dense), rtol=1e-9)
+
+    gd = jax.grad(
+        lambda p, z, r: negbin_log_evidence(
+            SeIso, p, z, X, y, r, log_exposure=le, newton_iters=5),
+        argnums=(0, 1, 2),
+    )(params, z, r)
+    gs = jax.grad(
+        lambda p, z, r: negbin_log_evidence(
+            SeIso, p, z, X, y, r, log_exposure=le, newton_iters=5,
+            block_size=16),
+        argnums=(0, 1, 2),
+    )(params, z, r)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-12)
