@@ -118,6 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "rate,rate-stddev; unit exposure — use the library "
                         "API for exposure offsets).  Requires -trainer "
                         "device|sharded")
+    p.add_argument("-binomial", action="store_true",
+                   help="binomial proportion regression (logit Laplace, "
+                        "models/binomial.py): the training CSV's last TWO "
+                        "columns are trials,successes (so x...,N,y; at "
+                        "N = 1 this is the binary classifier).  Test rows "
+                        "carry only the x columns; output is the success "
+                        "probability per row (with -with-stddev: "
+                        "prob,latent-stddev) — multiply by N* for expected "
+                        "successes.  Requires -trainer device|sharded")
     p.add_argument("-negbin", dest="negbin", type=float, default=None,
                    metavar="R0",
                    help="negative-binomial (overdispersed count) regression "
@@ -237,6 +246,18 @@ def cmd_train(args) -> int:
     if args.resume and args.checkpoint is None:
         raise SystemExit("-resume requires -checkpoint FILE")
     data = read_samples(sys.stdin)
+    if args.binomial:
+        # binomial rows are x..., trials, successes (flag help): split off
+        # the trials column before the generic x/y handling below
+        if data.shape[1] < 3:
+            raise SystemExit(
+                "-binomial training data needs at least 3 columns "
+                "(x..., trials, successes)"
+            )
+        trials = data[:, -2]
+        data = np.delete(data, -2, axis=1)
+    else:
+        trials = None
     if data.shape[1] < 2:
         raise SystemExit("training data needs at least 2 columns (x..., y)")
     inputs, targets = data[:, :-1], data[:, -1]
@@ -244,11 +265,11 @@ def cmd_train(args) -> int:
 
     n_extensions = sum(
         [args.pitc_block is not None, args.warp > 0, bool(args.classify),
-         bool(args.poisson), args.negbin is not None, bool(args.ordinal),
-         args.student_t is not None]
+         bool(args.poisson), bool(args.binomial), args.negbin is not None,
+         bool(args.ordinal), args.student_t is not None]
     )
-    _EXT_FLAGS = ("-pitc-block/-warp/-classify/-poisson/-negbin/-ordinal/"
-                  "-student-t")
+    _EXT_FLAGS = ("-pitc-block/-warp/-classify/-poisson/-binomial/-negbin/"
+                  "-ordinal/-student-t")
     if n_extensions > 1:
         raise SystemExit(
             f"choose at most one of {_EXT_FLAGS.replace('/', ' / ')}"
@@ -336,6 +357,20 @@ def cmd_train(args) -> int:
         if args.verbose:
             print(f"counts: mean {targets.mean():.3f}, "
                   f"max {int(targets.max())}", file=sys.stderr)
+    elif args.binomial:
+        # successes of trials, not regression targets: no centering
+        if (trials.min() < 1 or not np.all(trials == np.round(trials))
+                or targets.min() < 0
+                or not np.all(targets == np.round(targets))
+                or np.any(targets > trials)):
+            raise SystemExit(
+                "-binomial needs positive integer trials and integer "
+                "successes with 0 <= successes <= trials"
+            )
+        target_mean = 0.0
+        if args.verbose:
+            print(f"proportions: mean {float((targets / trials).mean()):.3f},"
+                  f" trials max {int(trials.max())}", file=sys.stderr)
     elif args.negbin is not None:
         # counts, not regression targets: no centering
         if args.negbin <= 0:
@@ -447,6 +482,7 @@ def cmd_train(args) -> int:
         y = jnp.asarray(targets.astype(np.int32))
     else:
         y = jnp.asarray(targets)
+    trials_j = jnp.asarray(trials) if trials is not None else None
 
     got_signal = {"flag": False}
 
@@ -487,7 +523,8 @@ def cmd_train(args) -> int:
     if n_extensions:
         return _train_extension(args, X, y, n_inducing, seed, build_params,
                                 got_signal, old_handler, target_mean,
-                                input_means, input_stddevs, n_classes)
+                                input_means, input_stddevs, n_classes,
+                                trials_j)
 
     if args.trainer != "host":
         trained = _train_on_device(args, X, y, n_inducing, seed,
@@ -758,7 +795,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
 
 def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                      old_handler, target_mean, input_means, input_stddevs,
-                     n_classes):
+                     n_classes, trials_j=None):
     """-pitc-block/-warp/-classify: the extension model families at the CLI
     surface.  The reference CLI has no counterpart flags (these families are
     its manual's unshipped future work, doc/manual/gpr_manual.tex:532-559),
@@ -979,6 +1016,40 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
                       f"(started at {args.negbin:g}; larger = closer to "
                       f"Poisson)", file=sys.stderr)
             return (p, z, r_disp, None), st, pack
+        if args.binomial:
+            pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
+            if mesh is None:
+                from .models.binomial import fit_binomial
+
+                p, z, st = fit_binomial(
+                    fam, X, y, trials_j, pack,
+                    block_size=args.block_size,  # None = materialized V
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+            else:
+                from .parallel import shard_batch
+                from .parallel.classify_sharded import (
+                    sharded_binomial_log_evidence,
+                )
+
+                Xs, ys, mask = shard_batch(mesh, X, y)
+                _, ts, _ = shard_batch(mesh, X, trials_j)
+
+                def fg(x, Xs, ys, ts, mask):
+                    def f(x):
+                        params, z, _ = pack.unpack(x)
+                        return -(1.0 / n) * sharded_binomial_log_evidence(
+                            fam, mesh, params, z, Xs, ys, ts, mask,
+                        )
+
+                    return jax.value_and_grad(f)(x)
+
+                st = fit_packed_objective(
+                    fg, pack, (Xs, ys, ts, mask),
+                    init_state=load_resume_state(pack.x0), **common,
+                )
+                p, z, _ = pack.unpack(st.x)
+            return (p, z, None, None), st, pack
         if args.warp:
             from .models.warped import default_warp_params, fit_warped
 
@@ -1088,7 +1159,8 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
               f"|gradient|={float(np.linalg.norm(np.asarray(st.g))):.2e}",
               file=sys.stderr)
     _write_extension_artifact(args, result, X, y, target_mean, input_means,
-                              input_stddevs, block_size, n_classes)
+                              input_stddevs, block_size, n_classes,
+                              trials=trials_j)
     return 0
 
 
@@ -1100,7 +1172,7 @@ def _unpack_extension_state(args, st, r, X, start):
     from .optim import make_pack
 
     params0, z0 = start(r)
-    if args.classify or args.poisson:
+    if args.classify or args.poisson or args.binomial:
         pack = make_pack(fam, params0, z0, 1.0, learn_sigma2=False)
         p, z, _ = pack.unpack(st.x)
         return (p, z, None, None), pack
@@ -1134,7 +1206,8 @@ def _unpack_extension_state(args, st, r, X, start):
 
 
 def _write_extension_artifact(args, result, X, y, target_mean, input_means,
-                              input_stddevs, block_size, n_classes=2):
+                              input_stddevs, block_size, n_classes=2,
+                              trials=None):
     """Build and save the predictor artifact for the extension modes —
     always the standard schema (inducing/coeffs/chol_km/r_mat) so cmd_test
     and downstream tooling serve every mode through the same algebra."""
@@ -1256,6 +1329,47 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         chol_km = inducing.chol_km
         sigma2 = 0.0
         extra["poisson"] = np.asarray(1)
+    elif args.binomial:
+        # same collapse as the binary classifier, with the binomial W at the
+        # mode; the served class-probability squash is identical (MacKay
+        # probit on the latent moments), so the artifact is a classify
+        # artifact with a provenance marker
+        from .models.binomial import (
+            _bin_loglik,
+            _bin_parts,
+            binomial_laplace_mode,
+        )
+
+        if args.block_size:
+            # streaming state: V never materializes (the generic Laplace
+            # core); vta = V'a and Rn come out of the epilogue sweep
+            from .models.classify_stream import stream_laplace_parts
+
+            inducing, _, _, _, vta, rn, *_ = stream_laplace_parts(
+                fam, p, z, X, (y, trials),
+                parts=lambda f, lik, mb: _bin_parts(f, lik[0], lik[1], mb),
+                loglik=lambda f, lik: _bin_loglik(f, lik[0], lik[1]),
+                block_size=args.block_size,
+            )
+            coeffs = solve_tri(inducing.chol_km, vta)
+        else:
+            f_hat, a, inducing, v, d = binomial_laplace_mode(
+                fam, p, z, X, y, trials,
+            )
+            _, w = _bin_parts(f_hat, y, trials, jnp.ones_like(y))
+            w = jnp.maximum(w, 1e-12)
+            d2inv = w / (1.0 + w * d)
+            vs = v * jnp.sqrt(d2inv)[:, None]
+            rn = cholesky_upper(
+                jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vs.T, vs),
+                jitter=0.0,
+            )
+            coeffs = solve_tri(inducing.chol_km, matmul(v.T, a))
+        r_mat = matmul(rn, inducing.chol_km)
+        chol_km = inducing.chol_km
+        sigma2 = 0.0
+        extra["classify"] = np.asarray(2)  # served by the MacKay squash
+        extra["binomial"] = np.asarray(1)
     elif args.negbin is not None:
         # same collapse as the Poisson artifact, with the NB W at the mode;
         # the learned dispersion rides in the extras so cmd_test can apply

@@ -283,6 +283,61 @@ def sharded_poisson_log_evidence(
     return fn(params, z, X, y, log_exposure, mask)
 
 
+def sharded_binomial_log_evidence(
+    family,
+    mesh: Mesh,
+    params,
+    z,
+    X,
+    y,
+    trials,
+    mask=None,
+    *,
+    newton_iters: int = 15,
+    jitter: float | None = None,
+):
+    """Distributed binomial-Laplace evidence (models/binomial.py over the
+    1-D data mesh): successes/trials shard with the rows, the Newton
+    step's cross-row objects are the usual m-space psums.  Exact vs
+    single-device.
+
+    Wrap in jax.jit(jax.value_and_grad(...)) for training.
+    """
+    from ..models.binomial import _bin_loglik, _bin_parts, binomial_newton_scan
+
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), X.dtype)
+
+    def shard_fn(params, z, xs, ys, ts, ms):
+        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
+        f_hat, a = binomial_newton_scan(
+            v, d, ys, ts, ms, newton_iters=newton_iters, allsum=_allsum
+        )
+        _, w = _bin_parts(f_hat, ys, ts, ms)
+        w = jnp.maximum(w, 1e-12) * ms
+        e = 1.0 / (1.0 + w * d)
+        pos = w > 0.0
+        vw = v * jnp.where(
+            pos, jnp.sqrt(jnp.where(pos, w * e, 1.0)), 0.0
+        )[:, None]
+        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
+        rm = cholesky_upper(mm, jitter=0.0)
+        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
+        log_lik = _allsum(jnp.sum(ms * _bin_loglik(f_hat, ys, ts)))
+        return (-0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik
+                - 0.5 * log_det_b)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, z, X, y, trials, mask)
+
+
 def sharded_negbin_log_evidence(
     family,
     mesh: Mesh,

@@ -2,6 +2,7 @@
 gradients, and a proportion-recovery training check."""
 
 import numpy as np
+import pytest
 from scipy.special import expit, gammaln
 
 import jax
@@ -146,3 +147,37 @@ def test_binomial_training_recovers_proportions(rng):
     prob, _, _ = binomial_predict(SeIso, p_f, z_f, X, y, tr, Xt)
     truth = expit(2.0 * np.sin(np.asarray(Xt)[:, 0]))
     assert np.mean(np.abs(np.asarray(prob) - truth)) < 0.12
+
+
+@pytest.mark.slow
+def test_sharded_binomial_evidence_matches_single(rng):
+    """Binomial-Laplace over the 8-device mesh == single-device (value and
+    grads), non-divisible n."""
+    from gpr_tpu.parallel import make_mesh, sharded_binomial_log_evidence
+    from gpr_tpu.parallel.sharded import shard_batch
+
+    X, z, y, trials, params = _setup(rng, n=93)
+    mesh = make_mesh()
+    Xs, ys, mask = shard_batch(mesh, X, y)
+    _, ts, _ = shard_batch(mesh, X, trials)
+
+    single = binomial_log_evidence(SeIso, params, z, X, y, trials,
+                                   newton_iters=8)
+    sharded = sharded_binomial_log_evidence(
+        SeIso, mesh, params, z, Xs, ys, ts, mask, newton_iters=8)
+    np.testing.assert_allclose(float(sharded), float(single), rtol=1e-10)
+
+    gd = jax.grad(
+        lambda p, z: binomial_log_evidence(
+            SeIso, p, z, X, y, trials, newton_iters=5),
+        argnums=(0, 1),
+    )(params, z)
+    gs = jax.jit(jax.grad(
+        lambda p, z: sharded_binomial_log_evidence(
+            SeIso, mesh, p, z, Xs, ys, ts, mask, newton_iters=5),
+        argnums=(0, 1),
+    ))(params, z)
+    # bisection-resolution-bounded parity (see test_classify_stream.py)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-12)

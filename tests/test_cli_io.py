@@ -736,6 +736,63 @@ def test_cli_negbin(tmp_path, rng):
     assert "R0 > 0" in res.stderr
 
 @pytest.mark.slow
+def test_cli_binomial(tmp_path, rng):
+    """-binomial trains on x...,trials,successes rows and serves success
+    probabilities (device, sharded, and streaming trainers; bad targets
+    rejected)."""
+    n = 120
+    X = rng.uniform(-2.0, 2.0, (n, 1))
+    p_true = 1.0 / (1.0 + np.exp(-2.0 * np.sin(X[:, 0] * 1.5)))
+    trials = rng.integers(1, 20, n)
+    y = rng.binomial(trials, p_true).astype(float)
+    csv = "\n".join(
+        f"{x:.8f},{t:.0f},{s:.0f}"
+        for x, t, s in zip(X[:, 0], trials, y)
+    ) + "\n"
+
+    for trainer, extra_args in [("device", []), ("sharded", ["-devices", "4"]),
+                                ("device", ["-block-size", "32"])]:
+        model_file = str(
+            tmp_path / f"model_bin_{trainer}_{len(extra_args)}.npz"
+        )
+        res = run_cli(
+            ["-cmd", "train", "-model", model_file, "-n-inducing", "7",
+             "-max-iter", "12", "-seed", "5", "-trainer", trainer,
+             "-binomial", "-verbose", *extra_args],
+            csv,
+        )
+        assert res.returncode == 0, (trainer, res.stderr[-2000:])
+        assert "proportions: mean" in res.stderr
+
+        # success probability orders with the truth; probabilities in (0,1)
+        res = run_cli(["-cmd", "test", "-model", model_file,
+                       "-with-stddev"], "1.0\n-1.0\n")
+        assert res.returncode == 0, res.stderr
+        rows = [list(map(float, line.split(",")))
+                for line in res.stdout.strip().splitlines()]
+        assert len(rows) == 2
+        (p_hi, s_hi), (p_lo, s_lo) = rows
+        assert 1.0 > p_hi > 0.5 > p_lo > 0.0
+        assert s_hi > 0 and s_lo > 0
+
+    # successes > trials rejected
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad.npz"),
+         "-binomial", "-trainer", "device"],
+        "1.0,2,3\n2.0,2,1\n",
+    )
+    assert res.returncode != 0
+    assert "successes <= trials" in res.stderr
+    # too few columns rejected
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "bad2.npz"),
+         "-binomial", "-trainer", "device"],
+        "1.0,1\n2.0,0\n",
+    )
+    assert res.returncode != 0
+    assert "3 columns" in res.stderr
+
+@pytest.mark.slow
 def test_cli_ordinal(tmp_path, rng):
     """-ordinal trains the cumulative-probit model; test output is one
     probability per category (+ latent stddev with -with-stddev); device
