@@ -1,5 +1,11 @@
 from .base import KernelFamily, sqdist, weighted_eval
-from .combinators import parse_family, product_family, sum_family
+from .combinators import (
+    cols_family,
+    parse_family,
+    product_family,
+    sum_family,
+)
+from .task import task_family
 from .const import Const
 from .lin_ard import LinArd
 from .lin_one import LinOne
@@ -24,6 +30,17 @@ FAMILIES = {
     Periodic.name: Periodic,
 }
 
+def icm_family(data_family, n_features: int, n_tasks: int, rank: int = 1):
+    """Intrinsic coregionalization model over stacked multi-output rows
+    ``[features..., task_id]``:  k = B[t,t'] * k_data(x, x')  with
+    B = W W' + diag (kernels/task.py).  Structural name round-trips
+    through ``resolve_family`` like every combinator."""
+    return product_family(
+        cols_family(task_family(n_tasks, rank), n_features, n_features + 1),
+        cols_family(data_family, 0, n_features),
+    )
+
+
 def resolve_family(name: str):
     """Family object for ``name``: a base family or a structural
     combinator name like ``sum(se_iso,lin_ard)`` (see
@@ -37,6 +54,9 @@ __all__ = [
     "weighted_eval",
     "sum_family",
     "product_family",
+    "cols_family",
+    "task_family",
+    "icm_family",
     "resolve_family",
     "Const",
     "LinOne",

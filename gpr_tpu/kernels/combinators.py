@@ -141,6 +141,92 @@ class _Combinator:
         return self._reduce(parts)
 
 
+class _Cols:
+    """Column-restriction wrapper: the wrapped family evaluated on input
+    columns [lo, hi) only.  This is what gives kernels *active
+    dimensions* — additive models over feature groups
+    (``sum(cols(se_iso,0,3),cols(lin_ard,3,8))``) and the ICM
+    multi-output composition (kernels/task.py) both need terms that see
+    different slices of the same rows.
+
+    Params are a one-term ``CombParams`` so the checkpoint codec's
+    structure-directed traversal (io/checkpoint.py ``_params_from_arrays``
+    follows ``family.terms``) persists them with no new cases.  The
+    shared inducing set Z stays FULL-width; each evaluation slices it
+    and re-derives the term's representation, so Z gradients flow only
+    through the selected columns (the rest get zero cotangent from the
+    slice, exactly right).
+    """
+
+    Params = CombParams
+
+    def __init__(self, term, lo: int, hi: int):
+        if not 0 <= int(lo) < int(hi):
+            raise ValueError("cols needs 0 <= lo < hi")
+        self.terms = (term,)
+        self._lo, self._hi = int(lo), int(hi)
+        self.name = f"cols({term.name},{self._lo},{self._hi})"
+        self.learn_inducing_default = term.learn_inducing_default
+
+    def __repr__(self):
+        return f"<kernel family {self.name}>"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, _Cols)
+            and self.terms == other.terms
+            and (self._lo, self._hi) == (other._lo, other._hi)
+        )
+
+    def __hash__(self):
+        return hash(("cols", self.terms, self._lo, self._hi))
+
+    def _s(self, A):
+        return A[..., self._lo : self._hi]
+
+    # -- protocol ------------------------------------------------------
+
+    def default_params(self, X, n_inducing, key=None) -> CombParams:
+        t = self.terms[0]
+        return CombParams(
+            terms=(t.default_params(self._s(X), n_inducing, key),)
+        )
+
+    def inducing_from_inputs(self, params, X):
+        return X  # full-width; sliced at every evaluation
+
+    def k_upper(self, params, Z):
+        t, tp = self.terms[0], params.terms[0]
+        zs = self._s(Z)
+        return t.k_upper(tp, t.inducing_from_inputs(tp, zs))
+
+    def k_diag(self, params, X):
+        t, tp = self.terms[0], params.terms[0]
+        return t.k_diag(tp, self._s(X))
+
+    def k_cross(self, params, X, Z):
+        t, tp = self.terms[0], params.terms[0]
+        zs = self._s(Z)
+        return t.k_cross(tp, self._s(X), t.inducing_from_inputs(tp, zs))
+
+    def k_upper_inputs(self, params, X):
+        t, tp = self.terms[0], params.terms[0]
+        return t.k_upper_inputs(tp, self._s(X))
+
+    def k_one(self, params, x):
+        t, tp = self.terms[0], params.terms[0]
+        return t.k_one(tp, self._s(x))
+
+    def k_upper_cols(self, params, Z, j0, m_t):
+        from .base import k_upper_cols as base_cols
+
+        t, tp = self.terms[0], params.terms[0]
+        zs = t.inducing_from_inputs(tp, self._s(Z))
+        if hasattr(t, "k_upper_cols"):
+            return t.k_upper_cols(tp, zs, j0, m_t)
+        return base_cols(t, tp, zs, j0, m_t)
+
+
 _INTERNED: dict = {}
 
 
@@ -166,11 +252,42 @@ def product_family(*terms) -> _Combinator:
     return _make("prod", tuple(terms))
 
 
+_COLS_INTERNED: dict = {}
+
+
+def cols_family(term, lo: int, hi: int) -> _Cols:
+    """``term`` restricted to input columns [lo, hi)."""
+    key = (term, int(lo), int(hi))
+    fam = _COLS_INTERNED.get(key)
+    if fam is None:
+        fam = _COLS_INTERNED[key] = _Cols(*key)
+    return fam
+
+
+def _split_top(inner: str) -> list[str]:
+    """Split on top-level commas (paren-depth aware)."""
+    args, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(inner[start:i])
+            start = i + 1
+    args.append(inner[start:])
+    return args
+
+
 def parse_family(name: str, base: dict):
     """Parse a structural kernel name back into a family object.
 
-    Grammar: NAME | op '(' NAME (',' NAME)* ')' with op in {sum, prod},
-    nested arbitrarily, e.g. ``sum(prod(periodic,se_iso),lin_one)``.
+    Grammar (nested arbitrarily), e.g.
+    ``sum(prod(periodic,se_iso),lin_one)``,
+    ``prod(cols(task(2,1),8,9),cols(se_iso,0,8))``:
+
+        NAME | sum(K,K,...) | prod(K,K,...) | cols(K,lo,hi) | task(T,R)
+
     ``base`` is the flat registry of base families (kernels.FAMILIES).
     """
     name = name.strip()
@@ -178,20 +295,25 @@ def parse_family(name: str, base: dict):
         return base[name]
     for op in ("sum", "prod"):
         if name.startswith(op + "(") and name.endswith(")"):
-            inner = name[len(op) + 1 : -1]
-            args, depth, start = [], 0, 0
-            for i, ch in enumerate(inner):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif ch == "," and depth == 0:
-                    args.append(inner[start:i])
-                    start = i + 1
-            args.append(inner[start:])
+            args = _split_top(name[len(op) + 1 : -1])
             terms = tuple(parse_family(a, base) for a in args)
             return _make(op, terms)
+    if name.startswith("cols(") and name.endswith(")"):
+        args = _split_top(name[5:-1])
+        if len(args) != 3:
+            raise KeyError(f"cols(...) takes (kernel, lo, hi): {name!r}")
+        return cols_family(
+            parse_family(args[0], base), int(args[1]), int(args[2])
+        )
+    if name.startswith("task(") and name.endswith(")"):
+        args = _split_top(name[5:-1])
+        if len(args) != 2:
+            raise KeyError(f"task(...) takes (n_tasks, rank): {name!r}")
+        from .task import task_family
+
+        return task_family(int(args[0]), int(args[1]))
     raise KeyError(
         f"unknown kernel family {name!r}: not a base family "
-        f"({', '.join(sorted(base))}) nor sum(...)/prod(...)"
+        f"({', '.join(sorted(base))}) nor "
+        f"sum(...)/prod(...)/cols(...)/task(...)"
     )
