@@ -55,6 +55,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "signal variance where the family has one); "
                         "-dim-red/-log-het-sked/-multiscale are "
                         "se_fat-only")
+    p.add_argument("-tasks", type=int, default=None, metavar="T",
+                   help="multi-output (ICM) modelling: the LAST input "
+                        "column is an integer task id 0..T-1 and the "
+                        "kernel becomes B[t,t'] * k(features) with a "
+                        "LEARNED T x T coregionalization "
+                        "B = WW' + diag (kernels/task.py; rank of W "
+                        "from -coreg-rank).  The task column is "
+                        "excluded from input standardization.  "
+                        "Composes with any -kernel and with the "
+                        "likelihood flags")
+    p.add_argument("-coreg-rank", dest="coreg_rank", type=int, default=1,
+                   metavar="R",
+                   help="rank of the shared coregionalization factor W "
+                        "(default 1; R = T allows any PSD B)")
     p.add_argument("-dim-red", dest="dim_red", type=int, default=None,
                    help="dimensionality reduction (default: none)")
     p.add_argument("-log-het-sked", dest="log_het_sked", type=float,
@@ -263,6 +277,30 @@ def cmd_train(args) -> int:
     inputs, targets = data[:, :-1], data[:, -1]
     n, big_dim = inputs.shape
 
+    if args.tasks is not None:
+        if args.tasks < 2:
+            raise SystemExit("-tasks T needs T >= 2")
+        if big_dim < 2:
+            raise SystemExit(
+                "-tasks needs feature columns before the task-id column "
+                "(got a single input column)"
+            )
+        if not 1 <= args.coreg_rank <= args.tasks:
+            raise SystemExit("-coreg-rank R needs 1 <= R <= T")
+        tcol = inputs[:, -1]
+        if (not np.all(tcol == np.round(tcol)) or tcol.min() < 0
+                or tcol.max() >= args.tasks):
+            raise SystemExit(
+                f"-tasks {args.tasks}: the last input column must hold "
+                f"integer task ids in 0..{args.tasks - 1}"
+            )
+        from .kernels import icm_family
+
+        fam = icm_family(fam, big_dim - 1, args.tasks, args.coreg_rank)
+        # downstream helpers re-resolve the family from the flag; the
+        # structural name round-trips through resolve_family
+        args.kernel = fam.name
+
     n_extensions = sum(
         [args.pitc_block is not None, args.warp > 0, bool(args.classify),
          bool(args.poisson), bool(args.binomial), args.negbin is not None,
@@ -412,6 +450,11 @@ def cmd_train(args) -> int:
     # (bin/ocaml_gpr.ml:262)
     input_stddevs = np.sqrt(((inputs - input_means) ** 2).sum(axis=0))
     input_stddevs = np.where(input_stddevs == 0.0, 1.0, input_stddevs)
+    if args.tasks is not None:
+        # task ids are categorical: identity transform, stored as such so
+        # -cmd test leaves the ids intact for the round+gather lookup
+        input_means[-1] = 0.0
+        input_stddevs[-1] = 1.0
     inputs = (inputs - input_means) / input_stddevs
 
     n_inducing = min(args.n_inducing, n)
@@ -615,9 +658,30 @@ def _apply_polish(args, X, y, trained):
     return TrainResult(new, p_f, z_f, s2_f)
 
 
+def _report_coregionalization(args, params):
+    """-tasks -verbose: print the learned task-covariance matrix B and the
+    inter-task correlations — the quantities a multi-output user reads off
+    the fit (kernels/task.py ``coregionalization``)."""
+    if args.tasks is None or not args.verbose:
+        return
+    from .kernels.task import task_family
+
+    tk = task_family(args.tasks, args.coreg_rank)
+    B = np.asarray(tk.coregionalization(params.terms[0].terms[0]))
+    d = np.sqrt(np.maximum(np.diag(B), 1e-30))
+    C = B / np.outer(d, d)
+    print("coregionalization B (task covariances):", file=sys.stderr)
+    for row in B:
+        print("  " + " ".join(f"{v:9.4f}" for v in row), file=sys.stderr)
+    print("inter-task correlations:", file=sys.stderr)
+    for row in C:
+        print("  " + " ".join(f"{v:6.3f}" for v in row), file=sys.stderr)
+
+
 def _write_artifact(args, trained, target_mean, input_means, input_stddevs):
     from .io.checkpoint import ModelArtifact, save_model
     fam = _family(args)
+    _report_coregionalization(args, trained.kernel_params)
 
     art = ModelArtifact(
         family_name=fam.name,
@@ -1511,6 +1575,7 @@ def _write_extension_artifact(args, result, X, y, target_mean, input_means,
         sigma2 = float(s2)
         extra["pitc_block"] = np.asarray(args.pitc_block)
 
+    _report_coregionalization(args, p)
     art = ModelArtifact(
         family_name=fam.name,
         kernel_params=p,

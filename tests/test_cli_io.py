@@ -904,3 +904,57 @@ def test_cli_ordinal_streaming(tmp_path, rng):
     rows = [list(map(float, line.split(",")))
             for line in res.stdout.strip().splitlines()]
     assert len(rows) == 2 and all(abs(sum(r) - 1.0) < 1e-6 for r in rows)
+
+
+def test_cli_multioutput(tmp_path, rng):
+    """-tasks T: multi-output ICM at the CLI — trains a coregionalized
+    model on stacked [x, task_id, y] rows, reports the learned B with
+    -verbose, persists/reloads the structural family, and the sparse
+    task's predictions transfer from the dense one (the point of ICM)."""
+    f = lambda x: np.sin(1.5 * x)
+    x0 = np.sort(rng.uniform(-3.0, 3.0, 150))
+    x1 = np.sort(rng.uniform(-3.0, 0.0, 50))  # task 1 left half only
+    y0 = f(x0) + 0.05 * rng.standard_normal(150)
+    y1 = 0.8 * f(x1) + 0.05 * rng.standard_normal(50)
+    rows = np.r_[
+        np.c_[x0, np.zeros_like(x0), y0], np.c_[x1, np.ones_like(x1), y1]
+    ]
+    csv = "\n".join(",".join(f"{v:.8f}" for v in r) for r in rows) + "\n"
+    model_file = str(tmp_path / "model_mt.npz")
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-kernel", "se_iso",
+         "-tasks", "2", "-n-inducing", "25", "-max-iter", "100",
+         "-seed", "7", "-trainer", "device", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "coregionalization B" in res.stderr
+    assert "inter-task correlations" in res.stderr
+
+    art, _ = load_model(model_file)
+    assert art.family_name.startswith("prod(cols(task(2,1),1,2)")
+    assert art.family is not None  # structural name resolves
+
+    # task-1 predictions on x > 0 (no task-1 data there) must transfer
+    grid = np.linspace(0.5, 3.0, 10)
+    test_csv = "\n".join(f"{x:.8f},1" for x in grid) + "\n"
+    res = run_cli(["-cmd", "test", "-model", model_file, "-with-stddev"],
+                  test_csv)
+    assert res.returncode == 0, res.stderr
+    pred = np.array([list(map(float, line.split(",")))
+                     for line in res.stdout.strip().splitlines()])
+    rmse = float(np.sqrt(np.mean((pred[:, 0] - 0.8 * f(grid)) ** 2)))
+    assert rmse < 0.15, rmse
+
+    # validation: bad ids, T < 2, rank out of range
+    bad = run_cli(["-cmd", "train", "-model", model_file, "-tasks", "2",
+                   "-kernel", "se_iso", "-trainer", "device"],
+                  "0.1,5,1.0\n0.2,0,0.5\n")
+    assert bad.returncode != 0 and "task ids" in bad.stderr
+    bad = run_cli(["-cmd", "train", "-model", model_file, "-tasks", "1",
+                   "-kernel", "se_iso", "-trainer", "device"], csv)
+    assert bad.returncode != 0 and "T >= 2" in bad.stderr
+    bad = run_cli(["-cmd", "train", "-model", model_file, "-tasks", "2",
+                   "-coreg-rank", "3", "-kernel", "se_iso",
+                   "-trainer", "device"], csv)
+    assert bad.returncode != 0 and "-coreg-rank" in bad.stderr
