@@ -348,23 +348,23 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             ui_bar_t = site_mm("ui_bar", knm.T, vbar)
             s2_bar_t = jnp.sum(s_bar_live)
 
-            grads_t = (p_bar_t, z_bar_t, ui_bar_t, s2_bar_t)
+            # flat accumulation: params leaves are flattened explicitly so
+            # the (hi, lo) pairs are positional, never pattern-matched —
+            # a structural is_leaf heuristic misfired on any params PyTree
+            # containing a 2-tuple of dataclasses (2-term combinators, ICM)
+            flat_g = jax.tree.leaves(p_bar_t) + [z_bar_t, ui_bar_t, s2_bar_t]
             if comp:
                 # compensated gradient accumulation: cross-tile rounding is
                 # what set the f32 |grad| noise floor (NEXT.md round-1)
-                new = jax.tree.map(
-                    lambda hl, g: _two_sum(hl[0], hl[1], g.astype(acc)),
-                    carry, grads_t,
-                    is_leaf=lambda x: isinstance(x, tuple)
-                    and len(x) == 2 and not isinstance(x[0], tuple),
-                )
+                new = [
+                    _two_sum(h, l, g.astype(acc))
+                    for (h, l), g in zip(carry, flat_g)
+                ]
             else:
-                new = jax.tree.map(
-                    lambda hl, g: (hl[0] + g.astype(acc), hl[1]),
-                    carry, grads_t,
-                    is_leaf=lambda x: isinstance(x, tuple)
-                    and len(x) == 2 and not isinstance(x[0], tuple),
-                )
+                new = [
+                    (h + g.astype(acc), l)
+                    for (h, l), g in zip(carry, flat_g)
+                ]
             return new, y_bar_t.astype(yb.dtype)
 
         comp = acc == jnp.float32
@@ -373,23 +373,21 @@ def make_stream_stats_cv(family, unroll: int = 1, bwd_precision=None,
             sh = jnp.shape(p)
             return (jnp.zeros(sh, acc), jnp.zeros(sh, acc))
 
-        init = (
-            jax.tree.map(zero_pair, params),
-            zero_pair(z),
-            zero_pair(u_inv),
-            zero_pair(jnp.zeros(())),
-        )
+        p_leaves = jax.tree.leaves(params)
+        init = [
+            zero_pair(p)
+            for p in p_leaves + [z, u_inv, jnp.zeros(())]
+        ]
         out, y_bar = jax.lax.scan(body, init, (xb, yb, maskb), unroll=unroll)
 
         def fold(hl):
             return hl[0] + hl[1] if comp else hl[0]
 
-        is_pair = lambda x: (isinstance(x, tuple) and len(x) == 2
-                             and not isinstance(x[0], tuple))
-        p_bar = jax.tree.map(fold, out[0], is_leaf=is_pair)
-        z_bar = fold(out[1])
-        ui_bar = fold(out[2])
-        s2_bar = fold(out[3])
+        flat = [fold(hl) for hl in out]
+        p_bar = jax.tree.unflatten(
+            jax.tree.structure(params), flat[: len(p_leaves)]
+        )
+        z_bar, ui_bar, s2_bar = flat[len(p_leaves):]
         p_bar = jax.tree.map(
             lambda g, p: g.astype(jnp.asarray(p).dtype), p_bar, params
         )

@@ -187,3 +187,47 @@ def test_bwd_demote_sites_wiring(rng):
     base = lowered_default_dots(())
     assert lowered_default_dots(("ui_bar",)) == base + 1
     assert lowered_default_dots(("ui_bar", "vg", "knm_bar")) == base + 3
+
+
+def test_custom_vjp_two_term_structures(rng):
+    """Regression: params PyTrees containing a 2-TUPLE of dataclasses
+    (2-term combinators, the ICM multi-output composition) broke the
+    old structural is_leaf pair-matching in the accumulator — the
+    (hi, lo) pairs are positional now.  Custom VJP must equal AD for
+    both structures."""
+    from gpr_tpu.kernels import icm_family, product_family
+
+    n, d, m = 57, 2, 7
+    for fam, aug in [
+        (product_family(SeIso, LinOne), False),
+        (icm_family(SeIso, d, 3, 2), True),
+    ]:
+        Xf = rng.standard_normal((n, d))
+        X = jnp.asarray(
+            np.c_[Xf, rng.integers(0, 3, n).astype(float)] if aug else Xf
+        )
+        y = jnp.asarray(rng.standard_normal(n))
+        params = fam.default_params(X, m, jax.random.PRNGKey(0))
+        Z = X[:m] + 0.05 * jnp.asarray(rng.standard_normal((m, X.shape[1])))
+        if aug:
+            Z = Z.at[:, d].set(X[:m, d])  # keep task ids integral
+
+        def obj(grad_impl, params, Z, s2):
+            return streaming_log_evidence(
+                fam, params, Z, s2, X, y, block_size=16,
+                grad_impl=grad_impl,
+            )
+
+        s2 = jnp.asarray(0.3)
+        v_ad, g_ad = jax.value_and_grad(
+            lambda p, z, s: obj("ad", p, z, s), argnums=(0, 1, 2)
+        )(params, Z, s2)
+        v_cv, g_cv = jax.value_and_grad(
+            lambda p, z, s: obj("custom", p, z, s), argnums=(0, 1, 2)
+        )(params, Z, s2)
+        assert np.isclose(float(v_ad), float(v_cv), rtol=1e-12), fam.name
+        for a, c in zip(jax.tree.leaves(g_ad), jax.tree.leaves(g_cv)):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(a), rtol=1e-9, atol=1e-9,
+                err_msg=fam.name,
+            )

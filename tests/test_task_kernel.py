@@ -269,3 +269,40 @@ def test_task_k_upper_cols_matches_dense(rng):
     full = np.asarray(ICM.k_upper(params, Z))
     blk = np.asarray(k_upper_cols(ICM, params, Z, 3, 4))
     np.testing.assert_allclose(blk, full[:, 3:7], rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_icm_sharded_parity(rng):
+    """ICM evidence + gradients over the 8-device mesh == single-device
+    (the family threads through the generic sharded objective; the
+    task-id column rows shard like any feature)."""
+    from gpr_tpu.parallel import make_mesh, shard_batch, sharded_log_evidence
+
+    X = _stacked(rng, n=203)  # non-divisible by 8: mask path
+    Z = X[:9]
+    y = jnp.asarray(np.sin(np.asarray(X)[:, 0]) + 0.1 * rng.standard_normal(203))
+    params = ICM.default_params(X, 9, jax.random.PRNGKey(7))
+    mesh = make_mesh()
+
+    single = log_evidence(ICM, params, Z, 0.2, X, y)
+    Xs, ys, mask = shard_batch(mesh, X, y)
+
+    @jax.jit
+    def val_and_grads(params, Z, Xs, ys, mask):
+        def f(params, Z):
+            return sharded_log_evidence(
+                ICM, mesh, params, Z, 0.2, Xs, ys, mask, block_size=32
+            )
+        return jax.value_and_grad(f, argnums=(0, 1))(params, Z)
+
+    sharded, (gp, gz) = val_and_grads(params, Z, Xs, ys, mask)
+    np.testing.assert_allclose(float(sharded), float(single), rtol=1e-11)
+
+    gp1, gz1 = jax.grad(
+        lambda p, z: log_evidence(ICM, p, z, 0.2, X, y), argnums=(0, 1)
+    )(params, Z)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gp1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8,
+                                   atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gz), np.asarray(gz1), rtol=1e-8,
+                               atol=1e-12)
