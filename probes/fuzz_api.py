@@ -29,11 +29,17 @@ from gpr_tpu.models.sample import cov_sample, cov_sampler
 from gpr_tpu.optim import make_pack, train
 from gpr_tpu.optim.lbfgs_device import fit, fit_restarts
 
+from gpr_tpu.kernels import icm_family
+
+_ICM = icm_family(SeIso, 2, 3, 1)  # 2 features + task-id column, T=3
+
 FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, RatQuad,
             Periodic, SeFat,
             # combinators compose with every engine path (round-3 s5)
             sum_family(SeIso, LinArd, Const),
-            product_family(Periodic, SeIso)]
+            product_family(Periodic, SeIso),
+            # multi-output ICM (round 4): fixed layout [f0, f1, task_id]
+            _ICM]
 
 
 def one(rng, i, fam=None, n_max=200, variant=None):
@@ -43,10 +49,14 @@ def one(rng, i, fam=None, n_max=200, variant=None):
         rng.integers(len(FAMILIES))  # keep the stream aligned
     n = int(rng.integers(20, n_max))
     d = int(rng.integers(1, 5))
+    if fam is _ICM:
+        d = 3  # the cols() slices are baked into the family
     m = int(rng.integers(1, min(n, 12) + 1))
     variational = bool(rng.integers(2))
     factorization = ["chol", "qr"][rng.integers(2)]
     X = jnp.asarray(rng.standard_normal((n, d)))
+    if fam is _ICM:
+        X = X.at[:, -1].set(jnp.asarray(rng.integers(0, 3, n), X.dtype))
     y = jnp.asarray(np.sin(np.asarray(X).sum(1)) + 0.2 * rng.standard_normal(n))
     key = jax.random.PRNGKey(int(rng.integers(2**31)))
 
@@ -83,6 +93,8 @@ def one(rng, i, fam=None, n_max=200, variant=None):
     mp = mean_predictor(trained)
     cvp = co_variance_predictor(model)
     Xt = jnp.asarray(rng.standard_normal((7, d)))
+    if fam is _ICM:
+        Xt = Xt.at[:, -1].set(jnp.asarray(rng.integers(0, 3, 7), Xt.dtype))
     mu = predict_means(fam, params, mp, Xt)
     var = predict_variances(fam, params, cvp, Xt, model.sigma2)
     assert bool(jnp.all(jnp.isfinite(mu)))
