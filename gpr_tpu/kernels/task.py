@@ -22,10 +22,10 @@ lib/interfaces.ml); this is an extension, inventoried in COMPONENTS.md.
 
 TPU-first details:
 
-* The (n, m) cross block is ONE (n, R) x (R, m) GEMM on gathered
-  embedding rows W[t] plus an equality-masked diagonal term — B itself
-  is never gathered per-pair, so the hot path is MXU work even for
-  large T.
+* The (n, m) cross block is two GEMMs against one-hot task selectors
+  (K = O1 B O2') — no gathers anywhere, because a gather's BACKWARD is
+  a scatter-add over n rows that TPUs serialize (see ``_cross_ids`` for
+  the measured 1.6x end-to-end cost).  The hot path is MXU work.
 * Task indices are recovered by round+clip, so the task coordinate of
   the shared inducing set Z receives ZERO gradient (integer gather
   indices carry no tangent) and inducing points keep the task they were
@@ -99,13 +99,23 @@ class _Task:
         return ids.astype(jnp.int32)
 
     def _cross_ids(self, params, t1, t2):
+        """K = O1 B O2' with one-hot task selectors — two GEMMs on the
+        MXU.  The obvious alternative (gather W rows, equality-mask the
+        kappa term) is numerically identical but its BACKWARD is a
+        scatter-add over n rows, which TPUs serialize: measured 150 vs
+        92 ms/iter for the full ICM evidence+grad at 1M x 8, m=300, T=4
+        on v5e (probes/r4_icm_tpu.py; same-session se_iso baseline 65-78).
+        One-hot keeps forward and backward as dense (n, T)-shaped GEMM
+        work for the realistic small-T regime.
+        """
+        import jax
+
         from ..numerics.linalg import matmul
 
-        U = params.W[t1]  # (n, R)
-        V = params.W[t2]  # (m, R)
-        kappa = jnp.exp(params.log_kappa)
-        eq = t1[:, None] == t2[None, :]
-        return matmul(U, V.T) + jnp.where(eq, kappa[t1][:, None], 0.0)
+        B = self.coregionalization(params)
+        o1 = jax.nn.one_hot(t1, self.n_tasks, dtype=B.dtype)  # (n, T)
+        o2 = jax.nn.one_hot(t2, self.n_tasks, dtype=B.dtype)  # (m, T)
+        return matmul(matmul(o1, B), o2.T)
 
     def k_cross(self, params, X, Z):
         return self._cross_ids(params, self._ids(X), self._ids(Z))
@@ -119,10 +129,18 @@ class _Task:
         return self._cross_ids(params, t, t)
 
     def k_diag(self, params, X):
+        import jax
+
+        from ..numerics.linalg import matmul
+
         t = self._ids(X)
-        return jnp.sum(jnp.square(params.W[t]), axis=-1) + jnp.exp(
+        diag_b = jnp.sum(jnp.square(params.W), axis=-1) + jnp.exp(
             params.log_kappa
-        )[t]
+        )
+        # one-hot GEMV, not a gather: the gather's backward scatter-adds
+        # over n rows (see _cross_ids)
+        o = jax.nn.one_hot(t, self.n_tasks, dtype=diag_b.dtype)
+        return matmul(o, diag_b[:, None])[:, 0]
 
     def k_one(self, params, x):
         t = self._ids(x[None, :])[0]

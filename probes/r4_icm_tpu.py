@@ -82,6 +82,21 @@ def main():
     vg = jax.jit(jax.value_and_grad(f_icm, argnums=(0, 1)))
     bench(f"ICM (T={T}, R={R}) evidence+grad", vg, p_icm, Z_icm, X, y)
 
+    # isolate the combinator overhead: cols(se_iso) alone runs the SAME
+    # generic-AD kernel pullback as the product but no task algebra
+    from gpr_tpu.kernels import cols_family
+
+    fam_c = cols_family(SeIso, 0, D)
+    p_c = fam_c.default_params(X, M, jax.random.PRNGKey(1))
+
+    def f_cols(p, z, X, y):
+        return streaming_log_evidence(fam_c, p, z, 0.1, X, y,
+                                      block_size=65536)
+
+    vg_c = jax.jit(jax.value_and_grad(f_cols, argnums=(0, 1)))
+    bench("cols(se_iso) evidence+grad (AD pullback, no task work)",
+          vg_c, p_c, Z_icm, X, y)
+
 
 if __name__ == "__main__":
     main()
