@@ -508,6 +508,38 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"classify: FAILED {type(e).__name__}: {e}")
 
+    # secondary: multi-output ICM (the round-4 coregionalization layer) at
+    # the same shape — T=4 tasks over the same features + a task-id column;
+    # the all-GEMM task factor should cost ~1.4x plain se_iso
+    # (kernels/task.py, probes/r4_icm_tpu.py)
+    try:
+        if over_budget():
+            raise TimeoutError("over budget")
+        from gpr_tpu.kernels import icm_family
+
+        fam_icm = icm_family(SeIso, D, 4, 2)
+        tid = jnp.asarray(
+            np.asarray(rng.integers(0, 4, N), np.float32)[:, None], dtype
+        )
+        X_icm = jnp.concatenate([X, tid], axis=1)
+        Z_icm = jnp.concatenate(
+            [Z, jnp.asarray(np.asarray(rng.integers(0, 4, M),
+                                       np.float32)[:, None], dtype)], axis=1
+        )
+        p_icm = fam_icm.default_params(X_icm, M, jax.random.PRNGKey(0))
+
+        def f_icm(p, z, X, y):
+            return streaming_log_evidence(fam_icm, p, z, sigma2, X, y,
+                                          block_size=32768)
+
+        vgi = jax.jit(jax.value_and_grad(f_icm, argnums=(0, 1)))
+        ti, _, firsti, outi = timeit(vgi, p_icm, Z_icm, X_icm, y, iters=3,
+                                     batches=2)
+        log(f"multi-output ICM (T=4, R=2) evidence+grad: {ti*1e3:.1f} "
+            f"ms/iter (first {firsti:.1f}s, evidence {float(outi[0]):.1f})")
+    except Exception as e:  # noqa: BLE001
+        log(f"icm: FAILED {type(e).__name__}: {e}")
+
     # secondary: predict throughput (mean prediction at the same shape)
     try:
         if over_budget():
