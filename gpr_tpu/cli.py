@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "signal variance where the family has one); "
                         "-dim-red/-log-het-sked/-multiscale are "
                         "se_fat-only")
+    p.add_argument("-inducing-init", dest="inducing_init",
+                   choices=["random", "kmeans", "first"], default="random",
+                   help="inducing-point initialization: random subset "
+                        "(the reference's behavior), k-means centroids "
+                        "(better input-density coverage when m << n and "
+                        "the data clusters; models.fitc."
+                        "choose_kmeans_inputs), or the first n rows.  "
+                        "kmeans is rejected with -tasks (centroids "
+                        "would average the integer task ids)")
     p.add_argument("-tasks", type=int, default=None, metavar="T",
                    help="multi-output (ICM) modelling: the LAST input "
                         "column is an integer task id 0..T-1 and the "
@@ -293,6 +302,12 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 f"-tasks {args.tasks}: the last input column must hold "
                 f"integer task ids in 0..{args.tasks - 1}"
+            )
+        if args.inducing_init == "kmeans":
+            raise SystemExit(
+                "-inducing-init kmeans is incompatible with -tasks "
+                "(centroids would average the integer task-id column); "
+                "use random or first"
             )
         from .kernels import icm_family
 
@@ -583,10 +598,17 @@ def cmd_train(args) -> int:
         trained = None
         for r in range(max(1, args.restarts)):
             seed_r = seed + r
+            params_r = build_params(np.random.default_rng(seed_r))
+            z_r = (
+                None if args.inducing_init == "random"
+                else _choose_inducing(args, jax.random.PRNGKey(seed_r),
+                                      fam, params_r, X, n_inducing)
+            )
             cand = train(
                 fam, X, y,
-                kernel_params=build_params(np.random.default_rng(seed_r)),
+                kernel_params=params_r,
                 sigma2=args.sigma2,
+                inducing=z_r,
                 n_rand_inducing=n_inducing,
                 variational=True,  # Variational_FIC, like the CLI
                 block_size=args.block_size,
@@ -656,6 +678,21 @@ def _apply_polish(args, X, y, trained):
         block_size=args.block_size or 8192,
     )
     return TrainResult(new, p_f, z_f, s2_f)
+
+
+def _choose_inducing(args, key, fam, params, X, n_inducing):
+    """-inducing-init dispatch shared by every trainer path."""
+    from .models.fitc import (
+        choose_kmeans_inputs,
+        choose_n_first_inputs,
+        choose_n_random_inputs,
+    )
+
+    if args.inducing_init == "kmeans":
+        return choose_kmeans_inputs(key, fam, params, X, n_inducing)
+    if args.inducing_init == "first":
+        return choose_n_first_inputs(fam, params, X, n_inducing)
+    return choose_n_random_inputs(key, fam, params, X, n_inducing)
 
 
 def _report_coregionalization(args, params):
@@ -729,7 +766,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
         rng = np.random.default_rng(seed + r)
         params = build_params(rng)
         key = jax.random.PRNGKey(seed + r)
-        z = choose_n_random_inputs(key, fam, params, X, n_inducing)
+        z = _choose_inducing(args, key, fam, params, X, n_inducing)
         return params, z
 
     params0, z0 = start(0)
@@ -908,7 +945,7 @@ def _train_extension(args, X, y, n_inducing, seed, build_params, got_signal,
         rng = np.random.default_rng(seed + r)
         params = build_params(rng)
         key = jax.random.PRNGKey(seed + r)
-        z = choose_n_random_inputs(key, fam, params, X, n_inducing)
+        z = _choose_inducing(args, key, fam, params, X, n_inducing)
         return params, z
 
     last_state = {"st": None}

@@ -6,6 +6,7 @@ from .fitc import (
     calc_means,
     calc_model,
     calc_trained,
+    choose_kmeans_inputs,
     choose_n_first_inputs,
     choose_n_random_inputs,
     co_variance_coeffs,

@@ -105,6 +105,58 @@ def choose_n_random_inputs(key, family, params, X, n_inducing: int) -> jnp.ndarr
     return family.inducing_from_inputs(params, X[idx])
 
 
+def choose_kmeans_inputs(
+    key,
+    family,
+    params,
+    X,
+    n_inducing: int,
+    *,
+    iters: int = 10,
+    subsample: int | None = 100_000,
+) -> jnp.ndarray:
+    """k-means inducing initialization — an extension; the reference only
+    draws a random subset (fitc_gp.ml:74-89).  Centroids cover the input
+    density instead of sampling it, which matters exactly when m << n and
+    the data is clustered (tests/test_model_misc.py shows the evidence
+    gain on clustered data).
+
+    TPU-native Lloyd iterations under one jit: assignment is the sqdist
+    GEMM + a row argmin; the update contracts one-hot assignments against
+    X (two GEMMs — no scatter, same rationale as kernels/task.py).  Empty
+    clusters keep their previous centroid.  ``subsample`` bounds the
+    per-iteration cost at large n (1e5 rows locate centroids to well
+    under inducing-scale resolution).
+
+    Returns the family's inducing representation of the centroids, like
+    the other choosers.  For integer-structured columns (the ICM task
+    id), prefer random/first selection — k-means averages them.
+    """
+    from ..kernels.base import sqdist
+
+    n = X.shape[0]
+    if subsample is not None and n > subsample:
+        key, sub = jax.random.split(key)
+        idx = jax.random.choice(sub, n, (subsample,), replace=False)
+        X = X[idx]
+        n = subsample
+    k_init, _ = jax.random.split(key)
+    idx0 = jax.random.choice(k_init, n, (n_inducing,), replace=False)
+
+    def lloyd(c, _):
+        assign = jnp.argmin(sqdist(X, c), axis=1)  # (n,)
+        onehot = jax.nn.one_hot(assign, n_inducing, dtype=X.dtype)  # (n, m)
+        counts = jnp.sum(onehot, axis=0)  # (m,)
+        sums = matmul(onehot.T, X)  # (m, d)
+        c_new = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], c
+        )
+        return c_new, None
+
+    centroids, _ = jax.lax.scan(lloyd, X[idx0], None, length=iters)
+    return family.inducing_from_inputs(params, centroids)
+
+
 # ---------------------------------------------------------------------------
 # Core computation
 # ---------------------------------------------------------------------------

@@ -958,3 +958,40 @@ def test_cli_multioutput(tmp_path, rng):
                    "-coreg-rank", "3", "-kernel", "se_iso",
                    "-trainer", "device"], csv)
     assert bad.returncode != 0 and "-coreg-rank" in bad.stderr
+
+
+def test_cli_inducing_init(tmp_path, rng):
+    """-inducing-init kmeans/first round-trip on device and host trainers;
+    kmeans rejected with -tasks."""
+    n = 100
+    X = np.sort(rng.uniform(0.1, 6.0, n))
+    y = np.sin(3 * X) / X + np.abs(X - 3) / (X**2 + 1)
+    csv = "\n".join(f"{a:.8f},{b:.8f}" for a, b in zip(X, y)) + "\n"
+    for extra in (["-trainer", "device"], []):
+        model_file = str(tmp_path / f"model_km_{len(extra)}.npz")
+        res = run_cli(
+            ["-cmd", "train", "-model", model_file, "-kernel", "se_iso",
+             "-inducing-init", "kmeans", "-n-inducing", "8",
+             "-max-iter", "10", "-seed", "3", *extra],
+            csv,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        res = run_cli(["-cmd", "test", "-model", model_file], "1.0\n2.0\n")
+        assert res.returncode == 0, res.stderr
+        assert len(res.stdout.strip().splitlines()) == 2
+
+    res = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "x.npz"),
+         "-kernel", "se_iso", "-inducing-init", "first",
+         "-n-inducing", "8", "-max-iter", "5", "-trainer", "device"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    bad = run_cli(
+        ["-cmd", "train", "-model", str(tmp_path / "x.npz"),
+         "-tasks", "2", "-inducing-init", "kmeans", "-kernel", "se_iso",
+         "-trainer", "device"],
+        "0.1,0,1.0\n0.2,1,0.5\n",
+    )
+    assert bad.returncode != 0 and "incompatible with -tasks" in bad.stderr

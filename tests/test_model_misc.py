@@ -84,3 +84,44 @@ def test_co_variance_coeffs_roundtrip(rng):
     cvp = CoVariancePredictor(z=model.inducing.z, chol_km=chol_km, r_mat=r_mat)
     v = predict_variances(SeIso, p, cvp, X, 0.5)
     assert bool(jnp.all(v > 0))
+
+
+def test_choose_kmeans_inputs_covers_clusters(rng):
+    """k-means init puts one centroid near each well-separated cluster
+    and beats a random subset on evidence for clustered data (the
+    extension's justification; the reference only samples,
+    fitc_gp.ml:74-89)."""
+    from gpr_tpu.models import choose_kmeans_inputs, log_evidence
+
+    centers = np.array([[-6.0, 0.0], [0.0, 6.0], [6.0, 0.0], [0.0, -6.0]])
+    X = jnp.asarray(
+        np.concatenate([c + 0.3 * rng.standard_normal((40, 2))
+                        for c in centers])
+    )
+    params = SeIso.Params(log_ell=jnp.asarray(0.0), log_sf2=jnp.asarray(0.0))
+    key = jax.random.PRNGKey(0)
+    Z = choose_kmeans_inputs(key, SeIso, params, X, 4, iters=25)
+    assert Z.shape == (4, 2)
+    # every true center has a centroid within the cluster radius
+    d = np.sqrt(((np.asarray(Z)[:, None, :] - centers[None]) ** 2).sum(-1))
+    assert d.min(axis=0).max() < 1.0, d.min(axis=0)
+
+    # evidence with m=4 kmeans centroids beats m=4 random rows on
+    # clustered data (random often doubles up a cluster)
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)))
+    from gpr_tpu.models import choose_n_random_inputs
+
+    ev_km = float(log_evidence(SeIso, params, Z, 0.05, X, y))
+    evs_rand = [
+        float(log_evidence(
+            SeIso, params,
+            choose_n_random_inputs(jax.random.PRNGKey(s), SeIso, params, X, 4),
+            0.05, X, y,
+        ))
+        for s in range(5)
+    ]
+    assert ev_km >= max(evs_rand) - 1e-6, (ev_km, evs_rand)
+
+    # subsample path: statically bounded and still in-bounds
+    Z2 = choose_kmeans_inputs(key, SeIso, params, X, 4, subsample=64)
+    assert Z2.shape == (4, 2) and bool(jnp.all(jnp.isfinite(Z2)))
