@@ -46,11 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial amplitude level (default: 1.0)")
     p.add_argument("-kernel", default="se_fat",
                    help="covariance family: se_fat (default, the "
-                        "reference CLI's choice), se_iso, matern32, "
-                        "matern52, rq, periodic, lin_one, lin_ard, "
-                        "const, or a combinator like "
+                        "reference CLI's choice), se_iso, se_ard, "
+                        "matern32, matern52, rq, periodic, cosine, "
+                        "lin_one, lin_ard, const, or a combinator like "
                         "'sum(se_iso,lin_ard)' / 'prod(periodic,se_iso)' "
-                        "(nested ok).  Non-se_fat families use their "
+                        "/ 'sum(prod(se_ard,cosine),...)' (spectral "
+                        "mixture; nested ok).  Non-se_fat families use their "
                         "default hyper init (-amplitude still sets the "
                         "signal variance where the family has one); "
                         "-dim-red/-log-het-sked/-multiscale are "

@@ -5,6 +5,8 @@ from .combinators import (
     product_family,
     sum_family,
 )
+from .cosine import Cosine
+from .se_ard import SeArd
 from .task import task_family
 from .const import Const
 from .lin_ard import LinArd
@@ -28,7 +30,24 @@ FAMILIES = {
     Matern52.name: Matern52,
     RatQuad.name: RatQuad,
     Periodic.name: Periodic,
+    SeArd.name: SeArd,
+    Cosine.name: Cosine,
 }
+
+def sm_family(q: int):
+    """Spectral-mixture kernel with ``q`` components (Wilson & Adams 2013,
+    vector-mean form): sum of q ``prod(se_ard, cosine)`` terms — each a
+    Gaussian spectral peak with learnable location (cosine.mu), widths
+    (se_ard lengthscales) and weight (se_ard sf2).  Components get
+    DISTINCT random inits through the combinator's per-term key split.
+    Structural name round-trips via ``resolve_family``."""
+    if q < 1:
+        raise ValueError("sm_family needs q >= 1")
+    comp = product_family(SeArd, Cosine)
+    if q == 1:
+        return comp
+    return sum_family(*([comp] * q))
+
 
 def icm_family(data_family, n_features: int, n_tasks: int, rank: int = 1):
     """Intrinsic coregionalization model over stacked multi-output rows
@@ -57,6 +76,9 @@ __all__ = [
     "cols_family",
     "task_family",
     "icm_family",
+    "sm_family",
+    "SeArd",
+    "Cosine",
     "resolve_family",
     "Const",
     "LinOne",

@@ -159,10 +159,14 @@ def k_upper_cols(family, params, Z, j0, m_t):
 
             return _mm(Z, z_c.T)
         return family.k_cross(params, Z, z_c)
-    if name in ("se_iso", "matern32", "matern52", "rq", "periodic"):
+    if name in ("se_iso", "se_ard", "matern32", "matern52", "rq",
+                "periodic"):
         k = family.k_cross(params, Z, z_c)
         sf2 = _jnp.exp(params.log_sf2)
         return _jnp.where(on_diag, sf2, k)
+    if name == "cosine":
+        # exact unit diagonal already; no correction needed
+        return family.k_cross(params, Z, z_c)
     if name == "se_fat":
         log_sf2 = params.log_sf2
         if params.log_multiscales_m05 is None:

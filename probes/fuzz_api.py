@@ -41,6 +41,10 @@ FAMILIES = [Const, LinOne, LinArd, SeIso, Matern32, Matern52, RatQuad,
             # multi-output ICM (round 4): fixed layout [f0, f1, task_id]
             _ICM]
 
+from gpr_tpu.kernels import Cosine, SeArd, sm_family  # noqa: E402
+
+FAMILIES += [SeArd, Cosine, sm_family(2)]
+
 
 def one(rng, i, fam=None, n_max=200, variant=None):
     if fam is None:
