@@ -110,6 +110,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallelism over the inducing axis, "
                         "parallel.fit_sharded_2d; M must divide "
                         "-n-inducing).  Default: all visible devices, 1-D")
+    p.add_argument("-exact", action="store_true",
+                   help="train an EXACT dense GP instead of the sparse "
+                        "approximation (models/exact.py): no inducing "
+                        "points, O(n^3) chol — for small n (capped at "
+                        "20000 rows) and as the gold standard the sparse "
+                        "paths approach.  -n-inducing and the inducing/"
+                        "streaming/mesh flags do not apply")
+    p.add_argument("-loo", action="store_true",
+                   help="with -exact: optimize the leave-one-out predictive "
+                        "pseudo-likelihood instead of the evidence (GPML "
+                        "sec. 5.4.2 — more robust to model "
+                        "misspecification); the closed form costs one "
+                        "triangular inverse per step")
     p.add_argument("-pitc-block", dest="pitc_block", type=int, default=None,
                    metavar="B",
                    help="train with the PITC evidence instead of FITC: the "
@@ -328,6 +341,33 @@ def cmd_train(args) -> int:
         raise SystemExit(
             f"choose at most one of {_EXT_FLAGS.replace('/', ' / ')}"
         )
+    if args.loo and not args.exact:
+        raise SystemExit("-loo requires -exact (the closed-form LOO "
+                         "objective is a dense-GP quantity)")
+    if args.exact:
+        if n_extensions:
+            raise SystemExit(f"-exact is regression-only; drop {_EXT_FLAGS}")
+        if args.block_size is not None:
+            raise SystemExit("-exact is dense by definition; drop "
+                             "-block-size (use the sparse engine to stream)")
+        if args.trainer == "sharded" or args.devices is not None:
+            raise SystemExit("-exact trains on one device (dense chol); "
+                             "drop -trainer sharded/-devices")
+        if args.checkpoint or args.resume:
+            raise SystemExit("-exact training is seconds-scale; "
+                             "-checkpoint/-resume are not supported")
+        if args.polish:
+            raise SystemExit("-polish re-optimizes the sparse objective "
+                             "and would undo an -exact fit")
+        if args.log_het_sked is not None or args.multiscale:
+            raise SystemExit("-log-het-sked/-multiscale are per-inducing-"
+                             "point se_fat options; -exact has no inducing "
+                             "points")
+        if n > 20000:
+            raise SystemExit(
+                f"-exact is O(n^3): {n} rows is past the 20000-row cap; "
+                "use the sparse engine (-n-inducing/-block-size)"
+            )
     if n_extensions and args.trainer == "host":
         raise SystemExit(
             f"{_EXT_FLAGS} require -trainer "
@@ -585,6 +625,11 @@ def cmd_train(args) -> int:
                                 input_means, input_stddevs, n_classes,
                                 trials_j)
 
+    if args.exact:
+        signal.signal(signal.SIGINT, old_handler)
+        return _train_exact(args, X, y, seed, build_params, target_mean,
+                            input_means, input_stddevs)
+
     if args.trainer != "host":
         trained = _train_on_device(args, X, y, n_inducing, seed,
                                    build_params, got_signal, old_handler)
@@ -679,6 +724,76 @@ def _apply_polish(args, X, y, trained):
         block_size=args.block_size or 8192,
     )
     return TrainResult(new, p_f, z_f, s2_f)
+
+
+def _train_exact(args, X, y, seed, build_params, target_mean, input_means,
+                 input_stddevs):
+    """-exact: dense GP hyper training (models/exact.py).
+
+    Runs the packed device L-BFGS over the exact evidence (or, with -loo,
+    the LOO pseudo-likelihood); -restarts draws fresh kernel inits and keeps
+    the best objective.  The artifact reuses the standard schema with the
+    training set as the "inducing" set, alpha in the coeffs slot, and
+    chol(K + sigma2 I) in the chol_km slot, tagged exact=1 in the extras.
+    """
+    import numpy as _np
+
+    from .io.checkpoint import ModelArtifact, save_model
+    from .models.exact import (
+        fit_exact,
+        loo_log_likelihood,
+        loo_posterior,
+    )
+
+    fam = _family(args)
+    objective = "loo" if args.loo else "evidence"
+    best = None
+    for r in range(max(1, args.restarts)):
+        params0 = build_params(np.random.default_rng(seed + r))
+        trained, params, sigma2 = fit_exact(
+            fam, params0, X, y, args.sigma2, objective=objective,
+            max_iter=args.max_iter if args.max_iter is not None else 100,
+            # the packed objective is mean-scaled, so -eps applies per
+            # point — same convention as -trainer device (line above)
+            step=args.step, tol=args.tol, epsabs=args.eps / X.shape[0],
+        )
+        score = float(loo_log_likelihood(trained)) if args.loo \
+            else float(trained.l)
+        if not math.isfinite(score):
+            continue
+        if best is None or score > best[0]:
+            best = (score, trained, params, sigma2)
+        if args.verbose and args.restarts > 1:
+            print(f"restart {r}: {objective} {score:.3f} "
+                  f"(best {best[0]:.3f})", file=sys.stderr)
+    if best is None:
+        raise SystemExit("-exact training diverged (non-finite objective); "
+                         "try a different -sigma2 / -seed")
+    _, trained, params, sigma2 = best
+
+    if args.verbose:
+        mu, var = loo_posterior(trained)
+        resid = _np.asarray(trained.y) - _np.asarray(mu)
+        smse = float((resid ** 2).mean() / _np.var(_np.asarray(trained.y)))
+        print(f"result: log evidence {float(trained.l):.3f}, "
+              f"LOO log p {float(loo_log_likelihood(trained)):.3f}, "
+              f"LOO SMSE {smse:.5f}, sigma2 {float(sigma2):.6f}",
+              file=sys.stderr)
+
+    art = ModelArtifact(
+        family_name=fam.name,
+        kernel_params=params,
+        inducing=_np.asarray(trained.model.z),
+        coeffs=_np.asarray(trained.alpha),
+        chol_km=_np.asarray(trained.model.chol_a),
+        r_mat=_np.asarray(trained.model.chol_a),
+        sigma2=float(sigma2),
+        target_mean=target_mean,
+        input_means=input_means,
+        input_stddevs=input_stddevs,
+    )
+    save_model(args.model, art, extra_arrays={"exact": _np.float64(1.0)})
+    return 0
 
 
 def _choose_inducing(args, key, fam, params, X, n_inducing):
@@ -1787,6 +1902,39 @@ def cmd_test(args) -> int:
                 print(f"{p_i:f},{math.sqrt(v_i):f}")
             else:
                 print(f"{p_i:f}")
+        return 0
+
+    if "exact" in extra:
+        # Exact dense-GP artifact (models/exact.py): the training set IS
+        # the "inducing" set, coeffs = alpha = A^-1 y, chol_km slot holds
+        # chol(K + sigma2 I)
+        from .models.exact import (
+            ExactModel,
+            ExactTrained,
+            predict_variances_exact,
+        )
+
+        means = np.asarray(predict_means(family, params, mp, X)) \
+            + art.target_mean
+        if args.with_stddev:
+            tr = ExactTrained(
+                model=ExactModel(
+                    z=jnp.asarray(art.inducing),
+                    sigma2=jnp.asarray(art.sigma2),
+                    chol_a=jnp.asarray(art.chol_km),
+                ),
+                y=jnp.zeros(art.inducing.shape[0]),
+                alpha=jnp.asarray(art.coeffs),
+                l=jnp.asarray(0.0),
+            )
+            variances = np.asarray(predict_variances_exact(
+                family, params, tr, X, predictive=args.predictive
+            ))
+            for mean, var in zip(means, variances):
+                print(f"{mean:f},{math.sqrt(max(var, 0.0)):f}")
+        else:
+            for mean in means:
+                print(f"{mean:f}")
         return 0
 
     if "warp_log_a" in extra:

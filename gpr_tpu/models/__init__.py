@@ -13,6 +13,20 @@ from .fitc import (
     log_evidence,
     update_sigma2,
 )
+from .exact import (
+    ExactModel,
+    ExactTrained,
+    calc_exact,
+    covariances_exact,
+    exact_trained,
+    fit_exact,
+    log_evidence_exact,
+    loo_log_likelihood,
+    loo_objective_exact,
+    loo_posterior,
+    predict_means_exact,
+    predict_variances_exact,
+)
 from .predict import (
     CoVariancePredictor,
     MeanPredictor,

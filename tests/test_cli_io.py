@@ -995,3 +995,49 @@ def test_cli_inducing_init(tmp_path, rng):
         "0.1,0,1.0\n0.2,1,0.5\n",
     )
     assert bad.returncode != 0 and "incompatible with -tasks" in bad.stderr
+
+
+def test_cli_exact(tmp_path, rng):
+    """-exact: dense-GP training end to end, -loo objective, flag guards."""
+    model_file = str(tmp_path / "exact.npz")
+    csv, X, y = make_csv(rng, n=100)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-exact", "-kernel",
+         "se_iso", "-max-iter", "80", "-seed", "5", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "LOO" in res.stderr  # verbose reports LOO stats
+    test_csv, Xt, _ = make_csv(rng, n=20, with_target=False)
+    res = run_cli(
+        ["-cmd", "test", "-model", model_file, "-with-stddev", "-predictive"],
+        test_csv,
+    )
+    assert res.returncode == 0, res.stderr
+    lines = res.stdout.strip().splitlines()
+    assert len(lines) == 20
+    for line in lines:
+        mean, sd = map(float, line.split(","))
+        assert np.isfinite(mean) and sd > 0
+    # predictions track the true function reasonably at interpolation range
+    means = np.array([float(l.split(",")[0]) for l in lines])
+    truth = np.sin(Xt.sum(axis=1))
+    assert float(np.mean((means - truth) ** 2)) < 0.5
+
+    # -loo objective trains too
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-exact", "-loo",
+         "-kernel", "se_iso", "-max-iter", "40", "-seed", "5"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+
+    # guards
+    res = run_cli(["-cmd", "train", "-model", model_file, "-loo"], csv)
+    assert res.returncode != 0
+    res = run_cli(["-cmd", "train", "-model", model_file, "-exact",
+                   "-block-size", "32"], csv)
+    assert res.returncode != 0
+    res = run_cli(["-cmd", "train", "-model", model_file, "-exact",
+                   "-classify"], csv)
+    assert res.returncode != 0
