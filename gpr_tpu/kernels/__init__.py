@@ -7,6 +7,7 @@ from .combinators import (
 )
 from .cosine import Cosine
 from .se_ard import SeArd
+from .sm_init import sm_init_from_data, sm_spectrum
 from .task import task_family
 from .const import Const
 from .lin_ard import LinArd
@@ -77,6 +78,8 @@ __all__ = [
     "task_family",
     "icm_family",
     "sm_family",
+    "sm_init_from_data",
+    "sm_spectrum",
     "SeArd",
     "Cosine",
     "resolve_family",
