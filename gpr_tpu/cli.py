@@ -50,8 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "matern32, matern52, rq, periodic, cosine, "
                         "lin_one, lin_ard, const, or a combinator like "
                         "'sum(se_iso,lin_ard)' / 'prod(periodic,se_iso)' "
-                        "/ 'sum(prod(se_ard,cosine),...)' (spectral "
-                        "mixture; nested ok).  Non-se_fat families use their "
+                        "/ 'sum(prod(se_ard,cosine),...)' (nested ok), or "
+                        "smQ (e.g. sm3): a Q-component spectral mixture "
+                        "initialized from the data's empirical spectrum "
+                        "(kernels/sm_init.py; restarts draw power-weighted "
+                        "frequencies).  Non-se_fat families use their "
                         "default hyper init (-amplitude still sets the "
                         "signal variance where the family has one); "
                         "-dim-red/-log-het-sked/-multiscale are "
@@ -223,11 +226,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _sm_q(kernel: str) -> int | None:
+    """Q for the '-kernel smQ' spectral-mixture shorthand, else None."""
+    import re
+
+    m = re.fullmatch(r"sm([0-9]+)", kernel)
+    if m is None:
+        return None
+    q = int(m.group(1))
+    if q < 1:
+        raise SystemExit("-kernel smQ needs Q >= 1")
+    return q
+
+
 def _family(args):
     """The selected kernel family (CLI -kernel; default se_fat, the
     reference CLI's hardwired choice, bin/ocaml_gpr.ml:176-177)."""
-    from .kernels import resolve_family
+    from .kernels import resolve_family, sm_family
 
+    q = _sm_q(args.kernel)
+    if q is not None:
+        return sm_family(q)
     return resolve_family(args.kernel)
 
 
@@ -569,7 +588,20 @@ def cmd_train(args) -> int:
                 f"{fam.name} has none"
             )
 
+        sm_q = _sm_q(args.kernel)
+
         def build_params(rng):
+            if sm_q is not None:
+                # -kernel smQ: empirical-spectrum init (kernels/sm_init.py)
+                # — deterministic top peaks first, power-weighted draws
+                # for the later restarts
+                from .kernels import sm_init_from_data
+
+                return sm_init_from_data(
+                    sm_q, inputs, targets,
+                    key=None if args.restarts == 1
+                    else int(rng.integers(2**31)),
+                )
             key = jax.random.PRNGKey(int(rng.integers(2**31)))
             p = fam.default_params(jnp.asarray(inputs), n_inducing, key)
             if has_sf2 and args.amplitude != 1.0:

@@ -1041,3 +1041,37 @@ def test_cli_exact(tmp_path, rng):
     res = run_cli(["-cmd", "train", "-model", model_file, "-exact",
                    "-classify"], csv)
     assert res.returncode != 0
+
+
+@pytest.mark.slow
+def test_cli_sm_shorthand(tmp_path, rng):
+    """-kernel smQ: spectral mixture with the empirical-spectrum init —
+    must recover a two-tone signal and keep oscillating OUTSIDE the
+    training window (the capability plain kernels lack)."""
+    f1, f2 = 0.35, 1.2
+    x = np.sort(rng.uniform(0, 20, 300))
+    y = (np.cos(2 * np.pi * f1 * x) + 0.6 * np.cos(2 * np.pi * f2 * x)
+         + 0.05 * rng.standard_normal(x.size))
+    csv = "\n".join(f"{a},{b}" for a, b in zip(x, y)) + "\n"
+    model_file = str(tmp_path / "sm.npz")
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-kernel", "sm3",
+         "-n-inducing", "30", "-sigma2", "0.1", "-trainer", "device",
+         "-max-iter", "120", "-seed", "1"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    grid = np.linspace(20.5, 23.5, 40)  # extrapolation window
+    res = run_cli(["-cmd", "test", "-model", model_file],
+                  "\n".join(f"{g}" for g in grid) + "\n")
+    assert res.returncode == 0, res.stderr
+    pred = np.array([float(l) for l in res.stdout.strip().splitlines()])
+    truth = np.cos(2 * np.pi * f1 * grid) + 0.6 * np.cos(2 * np.pi * f2 * grid)
+    corr = float(np.corrcoef(pred, truth)[0, 1])
+    assert corr > 0.8, corr
+    assert pred.std() > 0.3  # still oscillating out there
+
+    # bad Q rejected
+    res = run_cli(["-cmd", "train", "-model", model_file, "-kernel", "sm0"],
+                  csv)
+    assert res.returncode != 0
