@@ -121,11 +121,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "paths approach.  -n-inducing and the inducing/"
                         "streaming/mesh flags do not apply")
     p.add_argument("-loo", action="store_true",
-                   help="with -exact: optimize the leave-one-out predictive "
+                   help="optimize the leave-one-out predictive "
                         "pseudo-likelihood instead of the evidence (GPML "
                         "sec. 5.4.2 — more robust to model "
-                        "misspecification); the closed form costs one "
-                        "triangular inverse per step")
+                        "misspecification).  With -exact: dense closed "
+                        "form (one triangular inverse per step).  Without: "
+                        "the sparse FITC LOO (models/loo.py, O(nm) on top "
+                        "of the evidence pieces) — requires -trainer "
+                        "device, no -block-size")
     p.add_argument("-pitc-block", dest="pitc_block", type=int, default=None,
                    metavar="B",
                    help="train with the PITC evidence instead of FITC: the "
@@ -361,8 +364,26 @@ def cmd_train(args) -> int:
             f"choose at most one of {_EXT_FLAGS.replace('/', ' / ')}"
         )
     if args.loo and not args.exact:
-        raise SystemExit("-loo requires -exact (the closed-form LOO "
-                         "objective is a dense-GP quantity)")
+        # sparse LOO (models/loo.py) trains through the device L-BFGS
+        if args.trainer != "device":
+            raise SystemExit(
+                "-loo needs -exact (dense) or -trainer device (sparse "
+                "FITC LOO, models/loo.py)"
+            )
+        if args.block_size is not None:
+            raise SystemExit(
+                "-loo needs the materialized cross-covariance; drop "
+                "-block-size"
+            )
+        if n_extensions:
+            raise SystemExit(
+                f"-loo is regression-only; drop {_EXT_FLAGS}"
+            )
+        if args.polish:
+            raise SystemExit(
+                "-polish re-optimizes the evidence and would undo a "
+                "-loo fit"
+            )
     if args.exact:
         if n_extensions:
             raise SystemExit(f"-exact is regression-only; drop {_EXT_FLAGS}")
@@ -924,6 +945,8 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
         variational=True, step=args.step, tol=args.tol,
         epsabs=args.eps / X.shape[0], max_iter=max_iter,
     )
+    # -loo (sparse): validated upstream to the device trainer only
+    loo_kw = {"objective": "loo"} if getattr(args, "loo", False) else {}
 
     last_state = {"st": None}
 
@@ -951,7 +974,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
                 ]
                 p_f, z_f, s2_f, st, probe_fs = fit_restarts(
                     fam, X, y, pack, x0s,
-                    streaming_block_size=args.block_size, **common,
+                    streaming_block_size=args.block_size, **common, **loo_kw,
                 )
                 if args.verbose:
                     print(f"restart probes: "
@@ -977,7 +1000,7 @@ def _train_on_device(args, X, y, n_inducing, seed, build_params, got_signal,
                         fam, X, y, pack,
                         streaming_block_size=args.block_size,
                         init_state=init_state, state_callback=on_chunk,
-                        **common,
+                        **common, **loo_kw,
                     )
                 except Bailout:
                     st = last_state["st"]

@@ -27,6 +27,11 @@ from .exact import (
     predict_means_exact,
     predict_variances_exact,
 )
+from .loo import (
+    loo_log_likelihood as loo_log_likelihood_fitc,
+    loo_objective as loo_objective_fitc,
+    loo_posterior as loo_posterior_fitc,
+)
 from .predict import (
     CoVariancePredictor,
     MeanPredictor,

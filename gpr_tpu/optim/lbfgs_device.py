@@ -351,6 +351,7 @@ def fit(
     f_noise: float | None = None,
     dispatch_iters: int = 50,
     log_prior=None,
+    objective: str = "evidence",
     init_state: "LBFGSDeviceState | None" = None,
     state_callback=None,
 ):
@@ -390,7 +391,7 @@ def fit(
     if f_noise is None:
         f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
     _fg_of = _make_fg(family, pack, variational, streaming_block_size,
-                      scale, log_prior)
+                      scale, log_prior, objective)
     st = fit_packed_objective(
         _fg_of, pack, (X, y), step=step, tol=tol, epsabs=epsabs,
         max_iter=max_iter, history=history, f_noise=f_noise,
@@ -454,17 +455,31 @@ def fit_packed_objective(
 
 
 def _make_fg(family, pack, variational, streaming_block_size, scale,
-             log_prior):
-    """(x, X, y) -> (f, grad) of the packed scaled negative evidence (+
+             log_prior, objective="evidence"):
+    """(x, X, y) -> (f, grad) of the packed scaled negative objective (+
     optional prior) — the one objective builder shared by fit and
-    fit_restarts."""
+    fit_restarts.  ``objective``: "evidence" (default) or "loo" (the
+    closed-form LOO pseudo-likelihood, models/loo.py — needs the
+    materialized Knm, so no streaming; variational does not apply)."""
     from ..models.fitc import calc_model, calc_trained
+    from ..models.loo import loo_objective
     from ..models.streaming import streaming_log_evidence
+
+    if objective not in ("evidence", "loo"):
+        raise ValueError(f"unknown objective {objective!r}")
+    if objective == "loo" and streaming_block_size is not None:
+        raise ValueError(
+            "objective='loo' needs the materialized n x m cross-covariance "
+            "(models/loo.py); drop streaming_block_size"
+        )
 
     def _fg_of(x, X, y):
         def f(x):
             params, z, sigma2 = pack.unpack(x)
-            if streaming_block_size is not None:
+            if objective == "loo":
+                l = loo_objective(family, params, z, sigma2, X, y,
+                                  factorization="chol")
+            elif streaming_block_size is not None:
                 l = streaming_log_evidence(
                     family, params, z, sigma2, X, y,
                     variational=variational,
@@ -563,6 +578,7 @@ def fit_restarts(
     f_noise: float | None = None,
     dispatch_iters: int = 50,
     log_prior=None,
+    objective: str = "evidence",
     probe_subsample: int | None = None,
     probe_seed: int = 0,
 ):
@@ -599,7 +615,7 @@ def fit_restarts(
     if f_noise is None:
         f_noise = 5e-7 if X.dtype == jnp.float32 else 0.0
     _fg_of = _make_fg(family, pack, variational, streaming_block_size,
-                      scale, log_prior)
+                      scale, log_prior, objective)
 
     subsampled = (
         probe_subsample is not None and probe_subsample < X.shape[0]
@@ -615,6 +631,7 @@ def fit_restarts(
             None if streaming_block_size is None
             else min(streaming_block_size, probe_subsample),
             1.0 / probe_subsample if normalize else 1.0, log_prior,
+            objective,
         )
     else:
         Xp_, yp_ = X, y

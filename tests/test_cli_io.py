@@ -1075,3 +1075,29 @@ def test_cli_sm_shorthand(tmp_path, rng):
     res = run_cli(["-cmd", "train", "-model", model_file, "-kernel", "sm0"],
                   csv)
     assert res.returncode != 0
+
+
+def test_cli_sparse_loo(tmp_path, rng):
+    """-loo without -exact: sparse FITC LOO objective on the device
+    trainer; guards for the unsupported combinations."""
+    model_file = str(tmp_path / "loo.npz")
+    csv, X, y = make_csv(rng, n=100)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-loo", "-trainer",
+         "device", "-kernel", "se_iso", "-n-inducing", "10",
+         "-max-iter", "40", "-seed", "2"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    test_csv, _, _ = make_csv(rng, n=10, with_target=False)
+    res = run_cli(["-cmd", "test", "-model", model_file, "-with-stddev"],
+                  test_csv)
+    assert res.returncode == 0, res.stderr
+    assert len(res.stdout.strip().splitlines()) == 10
+
+    # host trainer, streaming, sharded: rejected
+    res = run_cli(["-cmd", "train", "-model", model_file, "-loo"], csv)
+    assert res.returncode != 0
+    res = run_cli(["-cmd", "train", "-model", model_file, "-loo",
+                   "-trainer", "device", "-block-size", "32"], csv)
+    assert res.returncode != 0
