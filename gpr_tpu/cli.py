@@ -789,6 +789,8 @@ def _train_exact(args, X, y, seed, build_params, target_mean, input_means,
     training set as the "inducing" set, alpha in the coeffs slot, and
     chol(K + sigma2 I) in the chol_km slot, tagged exact=1 in the extras.
     """
+    import jax
+    import jax.numpy as jnp
     import numpy as _np
 
     from .io.checkpoint import ModelArtifact, save_model
@@ -803,6 +805,19 @@ def _train_exact(args, X, y, seed, build_params, target_mean, input_means,
     best = None
     for r in range(max(1, args.restarts)):
         params0 = build_params(np.random.default_rng(seed + r))
+        if r > 0:
+            # The sparse trainers' restarts diversify through fresh random
+            # inducing subsets; -exact has none, and deterministic-default
+            # families (se_iso: log_ell = log_sf2 = 0, cov_se_iso.ml:122-123)
+            # make plain re-draws identical.  Jitter every hyper by ~1 log
+            # unit so restarts actually explore the evidence landscape.
+            jrng = _np.random.default_rng(10_000 + seed + r)
+            params0 = jax.tree.map(
+                lambda a: a + jnp.asarray(
+                    jrng.normal(0.0, 1.0, _np.shape(a)), a.dtype
+                ),
+                params0,
+            )
         trained, params, sigma2 = fit_exact(
             fam, params0, X, y, args.sigma2, objective=objective,
             max_iter=args.max_iter if args.max_iter is not None else 100,

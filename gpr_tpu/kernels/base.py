@@ -55,6 +55,12 @@ class KernelFamily(Protocol):
     def k_cross(self, params, X: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray: ...
     def k_upper_inputs(self, params, X: jnp.ndarray) -> jnp.ndarray: ...
     def k_one(self, params, x: jnp.ndarray) -> jnp.ndarray: ...
+    # Optional: k_cross_inputs(params, X1, X2) — the data-side cross block
+    # K(X1, X2) consistent with k_upper_inputs' off-diagonal.  Only needed
+    # where that differs from k_cross against inducing_from_inputs(X2)
+    # (se_fat: multiscales are an inducing-point property, cov_se_fat.ml:221
+    # evaluates the input gram as plain SE on projections).  Use the module
+    # dispatcher ``cross_inputs`` instead of calling either form directly.
 
 
 def sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -104,6 +110,21 @@ def sqdist_cotangent_reduce(c, X, Z):
     c_dot_d2 = jnp.sum(cxx) + jnp.dot(cs, zz) - 2.0 * jnp.sum(cX * Z)
     z_bar = 2.0 * (cs[:, None] * Z - cX)
     return z_bar, c_dot_d2, jnp.sum(cs)
+
+
+def cross_inputs(family, params, X1, X2) -> jnp.ndarray:
+    """Data-side cross-covariance block K(X1, X2) among INPUTS.
+
+    Dispatches to the family's ``k_cross_inputs`` hook when present;
+    otherwise ``k_cross`` against ``inducing_from_inputs(X2)``, which is
+    exact for every family whose input gram is the cross form restricted to
+    inputs (all but se_fat — verified numerically per family in
+    tests/test_iterative.py).  Row blocks of ``k_upper_inputs`` without the
+    O(n^2) materialization — the tile primitive of models/iterative.py."""
+    hook = getattr(family, "k_cross_inputs", None)
+    if hook is not None:
+        return hook(params, X1, X2)
+    return family.k_cross(params, X1, family.inducing_from_inputs(params, X2))
 
 
 def weighted_eval(family, params, X, Z, coeffs) -> jnp.ndarray:

@@ -122,6 +122,13 @@ class _Combinator:
     def k_upper_inputs(self, params, X):
         return self._per_term(params, lambda t, tp: t.k_upper_inputs(tp, X))
 
+    def k_cross_inputs(self, params, X1, X2):
+        from .base import cross_inputs
+
+        return self._per_term(
+            params, lambda t, tp: cross_inputs(t, tp, X1, X2)
+        )
+
     def k_one(self, params, x):
         return self._per_term(params, lambda t, tp: t.k_one(tp, x))
 
@@ -212,6 +219,12 @@ class _Cols:
     def k_upper_inputs(self, params, X):
         t, tp = self.terms[0], params.terms[0]
         return t.k_upper_inputs(tp, self._s(X))
+
+    def k_cross_inputs(self, params, X1, X2):
+        from .base import cross_inputs
+
+        t, tp = self.terms[0], params.terms[0]
+        return cross_inputs(t, tp, self._s(X1), self._s(X2))
 
     def k_one(self, params, x):
         t, tp = self.terms[0], params.terms[0]

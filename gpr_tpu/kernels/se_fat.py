@@ -220,5 +220,14 @@ class SeFat:
         return jnp.where(jnp.eye(n, dtype=bool), jnp.exp(params.log_sf2), k)
 
     @staticmethod
+    def k_cross_inputs(params, X1, X2):
+        # Data-side cross block, consistent with k_upper_inputs: vanilla SE
+        # on projections (multiscales/hetero are inducing-point properties,
+        # lib/cov_se_fat.ml:221).
+        p1 = SeFat.project(params, X1)
+        p2 = SeFat.project(params, X2)
+        return jnp.exp(params.log_sf2 - 0.5 * sqdist(p1, p2))
+
+    @staticmethod
     def k_one(params, x):
         return jnp.exp(params.log_sf2)

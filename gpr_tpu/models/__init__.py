@@ -27,6 +27,18 @@ from .exact import (
     predict_means_exact,
     predict_variances_exact,
 )
+from .iterative import (
+    IterTrained,
+    NystromPrecond,
+    evidence_grads_iter,
+    fit_iter,
+    iter_trained,
+    kernel_matvec,
+    nystrom_precond,
+    pcg,
+    predict_means_iter,
+    predict_variances_iter,
+)
 from .loo import (
     loo_log_likelihood as loo_log_likelihood_fitc,
     loo_objective as loo_objective_fitc,

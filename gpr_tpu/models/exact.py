@@ -82,9 +82,16 @@ def calc_exact(
 ) -> ExactModel:
     """chol(K(X,X) + sigma2 I).  ``jitter`` defaults to 0 because sigma2
     already regularizes the diagonal; pass None for the config policy when
-    running near sigma2 = 0 (interpolation)."""
+    running near sigma2 = 0 (interpolation).
+
+    The prior gram is the DATA-side kernel ``k_upper_inputs`` (what the
+    sparse model approximates), not ``k_upper`` of the inducing
+    representation — they differ for se_fat, whose multiscales/hetero are
+    inducing-point properties the input gram deliberately ignores
+    (lib/cov_se_fat.ml:221; same distinction models/pitc.py draws for its
+    within-block covariances)."""
     z = family.inducing_from_inputs(params, X)
-    k = family.k_upper(params, z)
+    k = family.k_upper_inputs(params, X)
     n = k.shape[0]
     a = k + sigma2 * jnp.eye(n, dtype=k.dtype)
     return ExactModel(

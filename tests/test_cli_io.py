@@ -1043,6 +1043,30 @@ def test_cli_exact(tmp_path, rng):
     assert res.returncode != 0
 
 
+def test_cli_exact_restarts_diversify(tmp_path, rng):
+    """-exact -restarts must actually move the start: se_iso's defaults are
+    deterministic (cov_se_iso.ml:122-123) and -exact has no inducing subset
+    to redraw, so without the log-unit jitter every restart was identical.
+    The probes must report at least two distinct evidence values."""
+    model_file = str(tmp_path / "exact_rs.npz")
+    csv, X, y = make_csv(rng, n=80)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-exact", "-kernel",
+         "se_iso", "-max-iter", "30", "-restarts", "3", "-seed", "5",
+         "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    import re
+
+    probes = [
+        float(m.group(1))
+        for m in re.finditer(r"restart \d+: evidence (\S+)", res.stderr)
+    ]
+    assert len(probes) == 3, res.stderr
+    assert len({round(p, 3) for p in probes}) >= 2, probes
+
+
 @pytest.mark.slow
 def test_cli_sm_shorthand(tmp_path, rng):
     """-kernel smQ: spectral mixture with the empirical-spectrum init —
