@@ -11,7 +11,10 @@ compare against the repo's AD gradient, coordinate by coordinate, for
   - the ordinal cutpoints (through ``cutpoints_from_raw`` — the transform
     itself is a reparametrization, exercised separately in test_ordinal),
   - the negative-binomial log-dispersion,
-  - the warped model's warp parameters (the Jacobian-term path), and
+  - the warped model's warp parameters (the Jacobian-term path),
+  - the Poisson model's kernel hyper AND an inducing-input coordinate,
+    with a nonzero per-row log-exposure (the offset path),
+  - the binomial model with per-row trial counts, and
   - a kernel hyper (log_ell) in each case, which exercises the prior
     construction end to end.
 
@@ -203,6 +206,102 @@ def test_negbin_dispersion_gradient_matches_independent_oracle(rng):
     ofd_ell = (oracle_ev(log_ell + eps, log_r0)
                - oracle_ev(log_ell - eps, log_r0)) / (2 * eps)
     np.testing.assert_allclose(float(g_ell), ofd_ell, rtol=2e-4)
+
+
+# ---------------------------------------------------------------- poisson
+
+def test_poisson_gradients_match_independent_oracle(rng):
+    from gpr_tpu.models.poisson import poisson_log_evidence
+
+    n, m, d_in = 18, 4, 2
+    X = rng.standard_normal((n, d_in))
+    Z = rng.standard_normal((m, d_in))
+    le = 0.5 * rng.standard_normal(n)  # nonzero exposure offsets
+    mu = np.exp(np.sin(X.sum(axis=1)) + le)
+    y = rng.poisson(mu).astype(np.float64)
+    log_ell, log_sf2 = 0.3, 0.2
+
+    def repo_ev(log_ell_j, Z_j):
+        p = SeIso.Params(log_ell=log_ell_j, log_sf2=jnp.asarray(log_sf2))
+        return poisson_log_evidence(
+            SeIso, p, Z_j, jnp.asarray(X), jnp.asarray(y),
+            log_exposure=jnp.asarray(le), newton_iters=40,
+        )
+
+    g_ell, g_z = jax.grad(repo_ev, argnums=(0, 1))(
+        jnp.asarray(log_ell), jnp.asarray(Z)
+    )
+
+    def oracle_ev(log_ell_o, Z_o):
+        K = np_fitc_prior(log_ell_o, log_sf2, Z_o, X)
+
+        def loglik(f):
+            lam = f + le
+            return np.sum(y * lam - np.exp(lam) - gammaln(y + 1.0))
+
+        def grad_w(f):
+            lam = np.exp(f + le)
+            return y - lam, lam
+
+        return laplace_evidence(K, loglik, grad_w, n)
+
+    eps = 1e-5
+    ofd_ell = (oracle_ev(log_ell + eps, Z)
+               - oracle_ev(log_ell - eps, Z)) / (2 * eps)
+    np.testing.assert_allclose(float(g_ell), ofd_ell, rtol=2e-4)
+    for (i, j) in [(0, 0), (2, 1)]:  # two inducing coordinates
+        e = np.zeros_like(Z)
+        e[i, j] = eps
+        ofd_z = (oracle_ev(log_ell, Z + e)
+                 - oracle_ev(log_ell, Z - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g_z[i, j]), ofd_z, rtol=5e-4,
+                                   err_msg=f"Z[{i},{j}]")
+
+
+# --------------------------------------------------------------- binomial
+
+def test_binomial_gradients_match_independent_oracle(rng):
+    from gpr_tpu.models.binomial import binomial_log_evidence
+
+    n, m, d_in = 20, 4, 2
+    X = rng.standard_normal((n, d_in))
+    Z = rng.standard_normal((m, d_in))
+    trials = rng.integers(1, 9, size=n).astype(np.float64)
+    p_true = expit(2.0 * np.sin(X.sum(axis=1)))
+    y = rng.binomial(trials.astype(np.int64), p_true).astype(np.float64)
+    log_ell, log_sf2 = 0.25, 0.3
+
+    def repo_ev(log_ell_j):
+        p = SeIso.Params(log_ell=log_ell_j, log_sf2=jnp.asarray(log_sf2))
+        return binomial_log_evidence(
+            SeIso, p, jnp.asarray(Z), jnp.asarray(X), jnp.asarray(y),
+            jnp.asarray(trials), newton_iters=40,
+        )
+
+    g_ell = jax.grad(repo_ev)(jnp.asarray(log_ell))
+
+    def oracle_ev(log_ell_o):
+        K = np_fitc_prior(log_ell_o, log_sf2, Z, X)
+
+        def loglik(f):
+            return np.sum(gammaln(trials + 1.0) - gammaln(y + 1.0)
+                          - gammaln(trials - y + 1.0)
+                          + y * f - trials * np.logaddexp(0.0, f))
+
+        def grad_w(f):
+            p = expit(f)
+            return y - trials * p, trials * p * (1.0 - p)
+
+        return laplace_evidence(K, loglik, grad_w, n)
+
+    eps = 1e-5
+    ofd_ell = (oracle_ev(log_ell + eps)
+               - oracle_ev(log_ell - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g_ell), ofd_ell, rtol=2e-4)
+
+    # value parity too: same evidence from both implementations
+    np.testing.assert_allclose(float(repo_ev(jnp.asarray(log_ell))),
+                               oracle_ev(log_ell), rtol=1e-6)
 
 
 # ----------------------------------------------------------------- warped
