@@ -587,14 +587,21 @@ def main():
             for le in ladder
         ]
         t0 = time.perf_counter()
+        # rescore_f64: the f32 device objective can read INFLATED in
+        # degenerate basins (quad-form cancellation — a 2026-08-20 session
+        # saw a probe at mean-NLL -1.55 where this synthetic's perfect-fit
+        # floor is +0.215, and raw-f32 selection picked it); rank probes by
+        # the f64 host objective on a shared subsample instead.
         _, _, s2f, st, probe_fs = fit_restarts(
             SeIso, X, yf, packf, x0s, probe_iters=12, variational=True,
             streaming_block_size=16384, max_iter=60, epsabs=1e-4,
+            rescore_f64=20_000,
         )
         pe, pi = probe_fs.probe_evals, max(1, probe_fs.probe_iters)
         ce, ci = probe_fs.cont_evals, max(1, probe_fs.cont_iters)
         log(f"f32 fit_restarts (ladder {ladder}, 60 iters total): "
             f"probes={[round(f, 4) for f in probe_fs]} "
+            f"rescored_f64={[round(f, 4) for f in probe_fs.rescored_f64]} "
             f"iters={int(st.n_iter)} evals={int(st.n_evals)} "
             f"[probe phase {pe} evals/{probe_fs.probe_iters} iters = "
             f"{pe/pi:.1f}/iter; continuation {ce}/{probe_fs.cont_iters} = "

@@ -289,7 +289,9 @@ def calc_trained(model: ModelState, y) -> TrainedState:
     y_ = y * model.sqrt_is
     u = matmul(model.knm.T, model.is_ * y)  # (m,)
     t = solve_tri(model.r_mat, u, trans=True)  # R^-T u
-    l2 = -0.5 * (jnp.dot(y_, y_) - jnp.dot(t, t))
+    # quad >= 0 mathematically; clamp the f32 cancellation overshoot that
+    # would otherwise INFLATE the evidence (see streaming._evidence_terms).
+    l2 = -0.5 * jnp.maximum(jnp.dot(y_, y_) - jnp.dot(t, t), 0.0)
     coeffs = solve_tri(model.r_mat, t)  # R^-1 t   [trsv]
     return TrainedState(model=model, y=y, coeffs=coeffs, l2=l2, l=model.l1 + l2)
 

@@ -241,7 +241,17 @@ def _evidence_terms(stats: StreamStats, r_tilde, t, *, variational):
     )
     if variational:
         l1 = l1 - 0.5 * stats.is_r_sum
-    l2 = -0.5 * (stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()))
+    # quad = y' (S + V V')^-1 y = y_is_y - t't >= 0 mathematically (Woodbury
+    # projection).  In f32 (and especially with bf16 accumulation inputs) a
+    # near-singular I + G makes t't overshoot y_is_y by cancellation, which
+    # INFLATES the evidence — measured on TPU: a broad-ell L-BFGS probe at
+    # the bench shape read mean-NLL -1.55 where the perfect-fit floor of its
+    # synthetic is +0.215, and multi-start selection then picked that basin
+    # (probes/r4_evidence_inflation.py).  Clamping at the mathematical bound
+    # only ever alters values that were already wrong.
+    l2 = -0.5 * jnp.maximum(
+        stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()), 0.0
+    )
     return l1, l2
 
 

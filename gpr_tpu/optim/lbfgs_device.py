@@ -557,6 +557,7 @@ class ProbeReport(list):
         self.probe_iters = 0
         self.cont_evals = 0
         self.cont_iters = 0
+        self.rescored_f64 = None  # set when fit_restarts(rescore_f64=...)
 
 
 def fit_restarts(
@@ -581,6 +582,7 @@ def fit_restarts(
     objective: str = "evidence",
     probe_subsample: int | None = None,
     probe_seed: int = 0,
+    rescore_f64: int | None = None,
 ):
     """Multi-start device training: a short L-BFGS probe (``probe_iters``
     iterations) from each packed start in ``x0s``, then the best probe
@@ -608,6 +610,17 @@ def fit_restarts(
     objective do not carry); ``max_iter`` then bounds the full-data
     iterations alone, and the returned probe objectives are subsample
     mean-NLLs.
+
+    ``rescore_f64``: re-rank the finished probes by the f64 HOST objective
+    on a shared row subsample of this size (optim.polish.evaluate_f64)
+    instead of their raw device objectives.  The f32 device value can be
+    INFLATED past its mathematical bounds in degenerate basins (quad-form
+    cancellation; measured on TPU, a broad-ell probe at the 1M bench shape
+    read mean-NLL -1.55 where its synthetic's perfect-fit floor is +0.215)
+    — raw-f32 selection then picks a fictitious winner.  Costs one child
+    process + len(x0s) host evaluations; requires objective="evidence" and
+    log_prior=None (the child evaluates the plain library objective).  The
+    rescored values are returned in ``probe_report.rescored_f64``.
     """
     import math
 
@@ -670,7 +683,14 @@ def fit_restarts(
         bad = 2 if not math.isfinite(f) else (1 if bool(st.failed) else 0)
         return (bad, f if math.isfinite(f) else math.inf)
 
-    best = None
+    if rescore_f64 is not None and (objective != "evidence"
+                                    or log_prior is not None):
+        raise ValueError(
+            "rescore_f64 requires objective='evidence' and log_prior=None "
+            "(the f64 child evaluates the plain library objective)"
+        )
+
+    states = []
     probe_fs = ProbeReport()
     for x0 in x0s:
         x0 = jnp.asarray(x0, pack.x0.dtype)
@@ -680,10 +700,29 @@ def fit_restarts(
         probe_fs.append(float(st.f))
         probe_fs.probe_evals += int(st.n_evals)
         probe_fs.probe_iters += int(st.n_iter)
-        if best is None or _rank(st) < _rank(best):
-            best = st
-    if best is None:
+        states.append(st)
+    if not states:
         raise ValueError("x0s is empty")
+
+    if rescore_f64 is not None:
+        from .polish import evaluate_f64
+
+        f64s = evaluate_f64(
+            family, X, y, pack, [st.x for st in states],
+            variational=variational, subsample=rescore_f64,
+            seed=probe_seed, block_size=streaming_block_size,
+        )
+        probe_fs.rescored_f64 = list(f64s)
+
+        def _rank_rescored(pair):
+            st, f64 = pair
+            bad = 2 if not math.isfinite(f64) else (1 if bool(st.failed)
+                                                    else 0)
+            return (bad, f64 if math.isfinite(f64) else math.inf)
+
+        best = min(zip(states, f64s), key=_rank_rescored)[0]
+    else:
+        best = min(states, key=_rank)
     if subsampled:
         # the subsample objective's curvature pairs and (f, g) do not carry
         # to the full objective: restart from the probed x

@@ -146,6 +146,83 @@ def polish(
     return params_f, z_f, sigma2_f, x_f, rep
 
 
+def evaluate_f64(
+    family,
+    X,
+    y,
+    pack,
+    xs,
+    *,
+    variational: bool = False,
+    subsample: int | None = 20_000,
+    seed: int = 0,
+    block_size: int | None = 8192,
+    timeout_s: float = 600.0,
+):
+    """Evaluate the library objective (mean-NLL) at each packed vector in
+    ``xs`` on the host CPU in f64 — one child process, len(xs) evaluations.
+
+    Why this exists: the f32 device objective can be INFLATED past its
+    mathematical bounds by cancellation in degenerate basins (see
+    models/streaming._evidence_terms) — a multi-start selection that trusts
+    raw f32 values can pick a numerically-fictitious winner.  Ranking the
+    candidates by this function is immune to every f32 pathology; a SHARED
+    row subsample keeps the ranking consistent across candidates.
+
+    Returns a list of floats (``inf`` where an evaluation failed), same
+    order as ``xs``.
+    """
+    X = np.asarray(X)
+    y = np.asarray(y)
+    if subsample is not None and subsample < X.shape[0]:
+        idx = np.random.default_rng(seed).choice(
+            X.shape[0], subsample, replace=False
+        )
+        X, y = X[idx], y[idx]
+
+    from ..io.checkpoint import _params_to_arrays
+
+    xs_arr = np.stack([np.asarray(x, np.float64) for x in xs])
+    params, z, sigma2 = pack.unpack(xs_arr[0])
+    arrays = {"X": X.astype(np.float64), "y": y.astype(np.float64),
+              "z": np.asarray(z, np.float64), "xs": xs_arr}
+    params_arrays, params_static = _params_to_arrays(params)
+    for k, v in params_arrays.items():
+        arrays[f"param__{k}"] = np.asarray(v, np.float64)
+    manifest = {
+        "family": family.name,
+        "params_static": params_static,
+        "sigma2": float(sigma2),
+        "learn_sigma2": bool(pack.learn_sigma2),
+        "variational": bool(variational),
+        "block_size": block_size,
+        "eval_only": True,
+    }
+
+    with tempfile.TemporaryDirectory(prefix="gpr_eval64_") as tmp:
+        in_path = os.path.join(tmp, "in.npz")
+        out_path = os.path.join(tmp, "out.npz")
+        with open(in_path, "wb") as fh:
+            np.savez(fh, manifest=np.frombuffer(
+                json.dumps(manifest).encode(), np.uint8), **arrays)
+        env = dict(os.environ)
+        extra = f"{env.get('PYTHONPATH', '')}"
+        env["PYTHONPATH"] = ":".join(
+            p for p in (extra, REPO_ROOT) if p
+        )
+        proc = subprocess.run(
+            [sys.executable, "-m", "gpr_tpu.optim.polish", in_path, out_path],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode != 0 or not os.path.exists(out_path):
+            raise RuntimeError(
+                f"f64 eval child failed (rc={proc.returncode}):\n"
+                f"{proc.stderr[-2000:]}"
+            )
+        with np.load(out_path) as zf:
+            return [float(v) for v in zf["fs"]]
+
+
 def _child(in_path: str, out_path: str) -> int:
     """Runs in a fresh process: CPU backend, x64 on, host L-BFGS on the
     library objective."""
@@ -187,6 +264,19 @@ def _child(in_path: str, out_path: str) -> int:
         variational=manifest["variational"], normalize=True,
         block_size=block,
     )
+    if manifest.get("eval_only"):
+        fs = []
+        for xv in data["xs"]:
+            try:
+                f, _ = fg(np.asarray(xv, np.float64))
+                fs.append(float(f) if np.isfinite(f) else np.inf)
+            except Exception:  # noqa: BLE001 — rank a dead point last
+                fs.append(np.inf)
+        tmp = f"{out_path}.tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, fs=np.asarray(fs, np.float64))
+        os.replace(tmp, out_path)
+        return 0
     evals = [0]
 
     def counted(xv):

@@ -580,7 +580,9 @@ def sharded_hetero_log_evidence(
         t = jax.scipy.linalg.solve_triangular(
             r_tilde.T, u, lower=True
         )
-        l2 = -0.5 * (_allsum(jnp.dot(ys, isy)) - jnp.dot(t, t))
+        # quad >= 0 mathematically; clamp the f32 cancellation overshoot
+        # (see models/streaming._evidence_terms).
+        l2 = -0.5 * jnp.maximum(_allsum(jnp.dot(ys, isy)) - jnp.dot(t, t), 0.0)
         return l1 + l2
 
     fn = jax.shard_map(

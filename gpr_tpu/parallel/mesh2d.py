@@ -271,7 +271,8 @@ def sharded_log_evidence_2d(
             if variational:
                 l1 = l1 - 0.5 * isr
             t = dist_solve_lower_t(r_j, u_white, MODEL_AXIS, n_model)
-            l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
+            l2 = -0.5 * jnp.maximum(  # quad >= 0; see streaming
+                yiy - jnp.dot(t, t).astype(acc), 0.0)
             return (l1 + l2).astype(dt)
 
         gram = lax.all_gather(gram_j, MODEL_AXIS, axis=1, tiled=True)  # (m, m)
@@ -297,7 +298,8 @@ def sharded_log_evidence_2d(
         else:
             u_white = u_vec.astype(dt)  # accumulated as V'(is y) = U^-T u
         t = solve_tri(r_tilde, u_white, trans=True)
-        l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
+        l2 = -0.5 * jnp.maximum(  # quad >= 0; see streaming
+            yiy - jnp.dot(t, t).astype(acc), 0.0)
         return (l1 + l2).astype(dt)
 
     fn = jax.shard_map(
@@ -457,7 +459,8 @@ def _fully_distributed_evidence(
         l1 = -0.5 * (log_det_ratio + lds + cnt * LOG_2PI)
         if variational:
             l1 = l1 - 0.5 * isr
-        l2 = -0.5 * (yiy - jnp.dot(t, t).astype(acc))
+        l2 = -0.5 * jnp.maximum(  # quad >= 0; see streaming
+            yiy - jnp.dot(t, t).astype(acc), 0.0)
         return (l1 + l2).astype(dt)
 
     fn = jax.shard_map(

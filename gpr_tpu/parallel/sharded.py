@@ -179,7 +179,9 @@ def sharded_log_evidence_tsqr(
         if variational:
             l1 = l1 - 0.5 * jax.lax.psum(jnp.sum(is_ * r), DATA_AXIS)
         t = solve_tri(r_mat, u_vec, trans=True)
-        l2 = -0.5 * (y_is_y - jnp.dot(t, t))
+        # quad >= 0 mathematically; clamp the f32 cancellation overshoot
+        # (see models/streaming._evidence_terms).
+        l2 = -0.5 * jnp.maximum(y_is_y - jnp.dot(t, t), 0.0)
         return l1 + l2
 
     fn = jax.shard_map(
