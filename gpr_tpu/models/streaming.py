@@ -247,7 +247,8 @@ def _evidence_terms(stats: StreamStats, r_tilde, t, *, variational):
     # INFLATES the evidence — measured on TPU: a broad-ell L-BFGS probe at
     # the bench shape read mean-NLL -1.55 where the perfect-fit floor of its
     # synthetic is +0.215, and multi-start selection then picked that basin
-    # (probes/r4_evidence_inflation.py).  Clamping at the mathematical bound
+    # (driver-captured: BENCH_r04.json fit_restarts line, 4th probe raw-f32
+    # -1.5509 vs rescored_f64 1.1649).  Clamping at the mathematical bound
     # only ever alters values that were already wrong.
     l2 = -0.5 * jnp.maximum(
         stats.y_is_y - jnp.dot(t, t).astype(_acc_dtype()), 0.0

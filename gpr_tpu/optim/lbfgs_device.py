@@ -711,6 +711,7 @@ def fit_restarts(
             family, X, y, pack, [st.x for st in states],
             variational=variational, subsample=rescore_f64,
             seed=probe_seed, block_size=streaming_block_size,
+            normalize=normalize,
         )
         probe_fs.rescored_f64 = list(f64s)
 
@@ -720,7 +721,21 @@ def fit_restarts(
                                                     else 0)
             return (bad, f64 if math.isfinite(f64) else math.inf)
 
-        best = min(zip(states, f64s), key=_rank_rescored)[0]
+        if all(not math.isfinite(f) for f in f64s):
+            # every rescore failed (a config the f64 child cannot evaluate,
+            # or all candidates genuinely dead): ranking by f64 would pick
+            # states[0] arbitrarily — fall back to the raw-f32 ranking and
+            # say so (ADVICE r4)
+            import warnings
+
+            warnings.warn(
+                "rescore_f64: all candidates evaluated non-finite in f64; "
+                "falling back to raw-f32 probe ranking",
+                stacklevel=2,
+            )
+            best = min(states, key=_rank)
+        else:
+            best = min(zip(states, f64s), key=_rank_rescored)[0]
     else:
         best = min(states, key=_rank)
     if subsampled:

@@ -27,6 +27,11 @@ class HyperPack:
     unpack: Callable[[jnp.ndarray], tuple[Any, jnp.ndarray, jnp.ndarray]]
     n_hypers: int
     learn_sigma2: bool
+    # pack-layout options, recorded so a child process (optim/polish.py)
+    # can rebuild an identical layout — a mismatch there silently ranked
+    # every rescore candidate as inf (ADVICE r4)
+    learn_inducing: bool = True
+    fixed: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,5 +134,7 @@ def make_pack(
         return params, z, sigma2
 
     return HyperPack(
-        x0=x0, unpack=unpack, n_hypers=int(x0.shape[0]), learn_sigma2=learn_sigma2
+        x0=x0, unpack=unpack, n_hypers=int(x0.shape[0]),
+        learn_sigma2=learn_sigma2, learn_inducing=bool(learn_inducing),
+        fixed=tuple(sorted(fixed)),
     )

@@ -100,6 +100,9 @@ def polish(
         "params_static": params_static,
         "sigma2": float(sigma2),
         "learn_sigma2": bool(pack.learn_sigma2),
+        "learn_inducing": bool(getattr(pack, "learn_inducing", True)),
+        "fixed": list(getattr(pack, "fixed", ())),
+        "n_hypers": int(pack.n_hypers),
         "variational": bool(variational),
         "max_iter": int(max_iter),
         "epsabs": float(epsabs),
@@ -158,9 +161,12 @@ def evaluate_f64(
     seed: int = 0,
     block_size: int | None = 8192,
     timeout_s: float = 600.0,
+    normalize: bool = True,
 ):
-    """Evaluate the library objective (mean-NLL) at each packed vector in
-    ``xs`` on the host CPU in f64 — one child process, len(xs) evaluations.
+    """Evaluate the library objective at each packed vector in ``xs`` on
+    the host CPU in f64 — one child process, len(xs) evaluations.
+    ``normalize`` selects the mean-NLL scale (the f32 trainers' default);
+    pass the caller's flag so reported values are on the caller's scale.
 
     Why this exists: the f32 device objective can be INFLATED past its
     mathematical bounds by cancellation in degenerate basins (see
@@ -194,7 +200,11 @@ def evaluate_f64(
         "params_static": params_static,
         "sigma2": float(sigma2),
         "learn_sigma2": bool(pack.learn_sigma2),
+        "learn_inducing": bool(getattr(pack, "learn_inducing", True)),
+        "fixed": list(getattr(pack, "fixed", ())),
+        "n_hypers": int(xs_arr.shape[1]),
         "variational": bool(variational),
+        "normalize": bool(normalize),
         "block_size": block_size,
         "eval_only": True,
     }
@@ -254,14 +264,27 @@ def _child(in_path: str, out_path: str) -> int:
         },
     )
     pack = make_pack(family, params, data["z"], manifest["sigma2"],
-                     learn_sigma2=manifest["learn_sigma2"])
+                     learn_sigma2=manifest["learn_sigma2"],
+                     learn_inducing=manifest.get("learn_inducing", True),
+                     fixed=tuple(manifest.get("fixed", ())))
+    expected = manifest.get("n_hypers")
+    if expected is not None and int(pack.n_hypers) != int(expected):
+        # a silent layout mismatch here would unpack garbage hypers and
+        # rank every candidate as inf (ADVICE r4) — fail loudly instead
+        print(
+            f"polish child: rebuilt pack has n_hypers={pack.n_hypers}, "
+            f"parent sent {expected} (ExtendedPack or non-default layout?)",
+            file=sys.stderr,
+        )
+        return 3
     n = data["X"].shape[0]
     block = manifest["block_size"]
     if block is not None and n <= block:
         block = None  # single tile: the dense path is the same math, cheaper
     fg, _ = make_objective(
         family, data["X"], data["y"], pack,
-        variational=manifest["variational"], normalize=True,
+        variational=manifest["variational"],
+        normalize=manifest.get("normalize", True),
         block_size=block,
     )
     if manifest.get("eval_only"):

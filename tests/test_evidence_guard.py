@@ -5,7 +5,9 @@ The quadratic form y'(S + VV')^-1 y = y_is_y - t't is >= 0 mathematically
 y_is_y by cancellation, INFLATING the evidence — measured on TPU at the 1M
 bench shape: a broad-ell L-BFGS probe read mean-NLL -1.55 where its
 synthetic's perfect-fit floor is +0.215, and multi-start selection then
-picked that fictitious basin.  Two layers of defense are tested here:
+picked that fictitious basin (driver-captured: BENCH_r04.json fit_restarts
+line, 4th probe raw-f32 -1.5509 vs rescored_f64 1.1649).  Two layers of
+defense are tested here:
 
 1. every l2 epilogue clamps the quad form at its mathematical bound, and
 2. fit_restarts(rescore_f64=...) re-ranks finished probes by the f64 HOST

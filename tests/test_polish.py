@@ -67,3 +67,48 @@ def test_polish_subsample_consistent(problem):
     )
     assert rep.n_rows == 150
     assert abs(float(p_sub.log_ell) - float(p_full.log_ell)) < 0.5
+
+
+def test_evaluate_f64_nondefault_pack(problem):
+    """ADVICE r4 (medium): evaluate_f64 must rebuild the CHILD pack with the
+    parent's layout options.  Before the fix, a pack built with
+    learn_inducing=False (or fixed=...) hit a length mismatch in the child,
+    the blanket except ranked every candidate inf, and
+    fit_restarts(rescore_f64=...) silently selected states[0]."""
+    import jax.numpy as jnp
+
+    from gpr_tpu.kernels import SeIso
+    from gpr_tpu.optim import make_pack
+    from gpr_tpu.optim.polish import evaluate_f64
+
+    family, X, y, _ = problem
+    rng = np.random.default_rng(11)
+    Z = X[:8]
+    p = SeIso.Params(
+        log_ell=jnp.asarray(0.2, jnp.float32),
+        log_sf2=jnp.asarray(0.0, jnp.float32),
+    )
+    pack = make_pack(family, p, Z, 0.5, learn_inducing=False,
+                     fixed=("log_sf2",))
+    assert pack.learn_inducing is False and pack.fixed == ("log_sf2",)
+    xs = [pack.x0, pack.x0 + 0.1]
+    fs = evaluate_f64(family, X, y, pack, xs, subsample=None,
+                      block_size=None)
+    assert all(np.isfinite(f) for f in fs), fs
+    assert fs[0] != fs[1]
+
+
+def test_evaluate_f64_extended_pack_fails_loudly(problem):
+    """An ExtendedPack cannot be rebuilt by the f64 child (extra likelihood
+    coords are not in the manifest): the child must exit nonzero so the
+    parent raises, instead of silently ranking everything inf."""
+    import jax.numpy as jnp
+
+    from gpr_tpu.optim.pack import extend_pack
+    from gpr_tpu.optim.polish import evaluate_f64
+
+    family, X, y, pack = problem
+    epack = extend_pack(pack, {"extra": jnp.zeros(2, jnp.float32)})
+    with pytest.raises(RuntimeError, match="n_hypers"):
+        evaluate_f64(family, X, y, epack, [epack.x0], subsample=None,
+                     block_size=None)
