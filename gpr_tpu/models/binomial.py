@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from ..numerics.linalg import (
     cholesky_upper,
     inv_tri_upper,
-    log_det_tri,
     matmul,
     rows_sqr_norm,
     solve_tri,
@@ -47,72 +46,30 @@ def _bin_parts(f, y, trials, mask):
     return grad, w
 
 
+def bin_parts(f, lik, mask):
+    """ift.py parts convention, lik = (y, trials)."""
+    y, trials = lik
+    return _bin_parts(f, y, trials, mask)
+
+
+def bin_loglik(f, lik):
+    y, trials = lik
+    return _bin_loglik(f, y, trials)
+
+
 def binomial_newton_scan(
     v, d, y, trials, mask, *, newton_iters: int = 15,
     allsum=lambda x: x,
 ):
-    """Newton mode-finding for the binomial Laplace over local rows.
-    Returns (f_hat, a)."""
+    """Newton mode-finding for the binomial Laplace over local rows —
+    the binomial instance of ift.newton_scan_generic.  Returns
+    (f_hat, a)."""
+    from .ift import newton_scan_generic
 
-    def kdot(x):
-        return matmul(v, allsum(matmul(v.T, x))) + d * x
-
-    def step(carry, _):
-        f, a = carry
-        grad, w = _bin_parts(f, y, trials, mask)
-        w = jnp.maximum(w, 1e-12) * mask
-        b = w * f + grad
-        kb = kdot(b)
-        sw = mask * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
-        c = sw * kb
-        e = 1.0 / (1.0 + w * d)
-        vw = v * (sw * jnp.sqrt(e))[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-
-        def binv(x):
-            t = solve_tri(rm, allsum(matmul(vw.T, jnp.sqrt(e) * x)),
-                          trans=True)
-            return e * x - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
-
-        atil = binv(c)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-        atil = atil + binv(sw * f_n - atil)  # one refinement (free residual)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-
-        aff = allsum(jnp.sum(a * f))
-        afn = allsum(jnp.sum(a * f_n))
-        ann = allsum(jnp.sum(a_n * f_n))
-        df = f_n - f
-
-        def dpsi(s):
-            g_s, _ = _bin_parts(f + s * df, y, trials, mask)
-            quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
-                      + 2.0 * s * ann)
-            return -0.5 * quad_p + allsum(jnp.sum(g_s * df))
-
-        def bis(_, lohi):
-            lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            pos = dpsi(mid) > 0
-            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
-
-        one = jnp.ones((), f.dtype)
-        lo, _ = jax.lax.fori_loop(0, 25, bis,
-                                  (jnp.zeros((), f.dtype), one))
-        s = jnp.where(dpsi(one) >= 0, one, lo)
-        a = (1.0 - s) * a + s * a_n
-        f = (1.0 - s) * f + s * f_n
-        return (f, a), None
-
-    f0 = jnp.zeros_like(y)
-    (f_hat, a), _ = jax.lax.scan(
-        jax.checkpoint(step), (f0, jnp.zeros_like(y)), None,
-        length=newton_iters,
+    return newton_scan_generic(
+        bin_parts, v, d, (y, trials), mask, newton_iters=newton_iters,
+        allsum=allsum,
     )
-    return f_hat, a
 
 
 def _bin_loglik(f, y, trials):
@@ -141,35 +98,30 @@ def binomial_laplace_mode(
 def binomial_log_evidence(
     family, params, z, X, y, trials, *, newton_iters: int = 15,
     jitter: float | None = None, block_size: int | None = None,
+    grad_impl: str = "ift",
 ):
-    """Laplace marginal likelihood, differentiable w.r.t. (params, z)
-    through the unrolled Newton mode.  At trials == 1 this equals
-    classify_log_evidence(..., y in {-1,+1}) up to the (absent there)
-    binomial coefficient — which is 0 for N = 1.  ``block_size`` streams
-    through the generic Laplace core (unbounded n)."""
+    """Laplace marginal likelihood, differentiable w.r.t. (params, z) —
+    implicit (IFT) gradients by default (models/ift.py).  At trials == 1
+    this equals classify_log_evidence(..., y in {-1,+1}) up to the
+    (absent there) binomial coefficient — which is 0 for N = 1.
+    ``block_size`` streams through the generic Laplace core
+    (unbounded n)."""
     if block_size is not None:
         from .classify_stream import stream_laplace_log_evidence
 
         return stream_laplace_log_evidence(
             family, params, z, X, (y, trials),
-            parts=lambda f, lik, mb: _bin_parts(f, lik[0], lik[1], mb),
-            loglik=lambda f, lik: _bin_loglik(f, lik[0], lik[1]),
+            parts=bin_parts, loglik=bin_loglik,
             block_size=block_size, newton_iters=newton_iters,
             jitter=jitter,
         )
-    f_hat, a, inducing, v, d = binomial_laplace_mode(
-        family, params, z, X, y, trials, newton_iters=newton_iters,
-        jitter=jitter,
+    from .ift import laplace_evidence_core
+
+    _, v, d = _fitc_prior(family, params, z, X, jitter)
+    return laplace_evidence_core(
+        bin_parts, bin_loglik, v, d, (y, trials), jnp.ones_like(y),
+        newton_iters=newton_iters, grad_impl=grad_impl,
     )
-    _, w = _bin_parts(f_hat, y, trials, jnp.ones_like(y))
-    w = jnp.maximum(w, 1e-12)
-    e = 1.0 / (1.0 + w * d)
-    vw = v * jnp.sqrt(w * e)[:, None]
-    mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
-    rm = cholesky_upper(mm, jitter=0.0)
-    log_det_b = jnp.sum(jnp.log1p(w * d)) + log_det_tri(rm)
-    log_lik = jnp.sum(_bin_loglik(f_hat, y, trials))
-    return -0.5 * jnp.dot(a, f_hat) + log_lik - 0.5 * log_det_b
 
 
 def binomial_predict(

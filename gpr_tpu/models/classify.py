@@ -15,12 +15,13 @@ evidence needs only diagonal sums and an m x m Cholesky:
 
   log|B| = sum log(1 + w_i d_i) + log|I_m + V' diag(w/(1+wd)) V|.
 
-Hyper gradients: the Newton iteration runs a FIXED number of steps under
-lax.scan and jax.grad differentiates straight through it — at a converged
-mode the iteration is a fixed point, so the unrolled gradient includes
-the implicit dependence of the mode on the hypers (the role of GPML
-section 5.5.1's implicit derivatives) to the tolerance the mode itself
-converged to.  Train with optim.fit_packed_objective.
+Hyper gradients: the mode is a fixed point, and models/ift.py supplies
+the implicit-function-theorem gradient (GPML section 5.5.1) through a
+custom_vjp — the reverse pass is ONE extra m-space Woodbury solve plus
+one kernel VJP at the held-fixed mode instead of retraversing all
+newton_iters remat'ed sweeps (grad_impl="unroll" keeps the round-1..4
+unrolled route as the comparison path; both agree to the mode's
+convergence tolerance, tested).  Train with optim.fit_packed_objective.
 
 Prediction reuses the FITC predictive shape: the latent variance is
 k** - rowsq(V*) + rowsq(V* R^-1) with R'R = I_m + S the posterior
@@ -40,7 +41,6 @@ import jax.numpy as jnp
 from ..numerics.linalg import (
     cholesky_upper,
     inv_tri_upper,
-    log_det_tri,
     matmul,
     rows_sqr_norm,
     solve_tri,
@@ -63,10 +63,29 @@ def _log_sigmoid(t):
     return -jnp.logaddexp(0.0, -t)
 
 
+def logit_parts(f, lik, mask):
+    """(dl/df, W) of the Bernoulli-logit likelihood, elementwise; the
+    ift.py parts convention (lik = (y,) with y in {-1,+1})."""
+    (y,) = lik
+    pi = jax.nn.sigmoid(f)
+    w = mask * jnp.maximum(pi * (1.0 - pi), 1e-12)
+    grad = mask * (0.5 * (y + 1.0) - pi)
+    return grad, w
+
+
+def logit_loglik(f, lik):
+    (y,) = lik
+    return _log_sigmoid(y * f)
+
+
 def newton_scan(
     v, d, y, mask, *, newton_iters: int = 15, allsum=lambda x: x,
 ):
-    """The Newton iteration over local rows of the FITC prior.
+    """The Newton iteration over local rows of the FITC prior — the
+    logit instance of ift.newton_scan_generic (the shared stabilized
+    scaffold: m-space Woodbury solve, one round of iterative refinement,
+    exact concave line maximum; measured rationale in the generic scan
+    and the git history of this file).
 
     ``allsum`` reduces m-vectors / m x m matrices / scalars over the data
     axis: identity on one device, ``lax.psum`` under shard_map — every
@@ -75,94 +94,14 @@ def newton_scan(
     vanish, which keeps their ``a`` rows exactly zero throughout).
     Returns (f_hat, a) over the local rows.
     """
+    from .ift import newton_scan_generic
 
-    def kdot(x):
-        return matmul(v, allsum(matmul(v.T, x))) + d * x
-
-    def step(carry, _):
-        f, a = carry
-        pi = jax.nn.sigmoid(f)
-        w = mask * jnp.maximum(pi * (1.0 - pi), 1e-12)
-        grad = mask * (0.5 * (y + 1.0) - pi)
-        b = w * f + grad
-        # a = b - W^1/2 B^-1 W^1/2 K b  (GPML alg 3.1, low-rank Woodbury)
-        kb = kdot(b)
-        # double-where gate: w = 0 exactly on masked rows and the sqrt
-        # cotangent at 0 is inf (inf * 0 = NaN in the backward pass)
-        sw = mask * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
-        c = sw * kb
-        e = 1.0 / (1.0 + w * d)
-        vw = v * (sw * jnp.sqrt(e))[:, None]  # diag-scaled copy of V
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-
-        def binv(x):
-            t = solve_tri(rm, allsum(matmul(vw.T, jnp.sqrt(e) * x)),
-                          trans=True)
-            return e * x - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
-
-        atil = binv(c)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-        # One round of iterative refinement on B atil = sw K b: along B's
-        # top subspace a_n = b - sw atil cancels ~cond(B) digits, and at
-        # n ~ 1e6 in f32 the GEMM-reduction noise (~sqrt(n) ulp) times
-        # cond(B) ~ n |v|^2 wrecks the Newton direction outright
-        # (measured: |f_n| ~ 78 and not even an ascent direction at the 1M
-        # bench shape, fine at 2e5).  The residual is FREE up to
-        # elementwise work — B atil - sw K b = -(sw K a_n - atil) and
-        # f_n = K a_n is already computed — so one refinement costs one
-        # extra m-space solve plus one K-apply, and restores the direction
-        # to line-searchable quality.
-        atil = atil + binv(sw * f_n - atil)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-
-        # Damped step: the raw Newton point overshoots and oscillates on
-        # large-n near-separable data (saturated sigmoid, floored W, and K
-        # row sums of O(n |v|^2) make the first step's magnitude ~1e5 at
-        # the 1M bench shape — measured).  Psi(a) = -0.5 a'Ka + loglik(Ka)
-        # is strictly concave, and along the segment a_s = (1-s) a + s a_n
-        # both the quadratic term (three cached dots — K-symmetry gives
-        # a'f_n = a_n'f) and the likelihood are elementwise in the already
-        # computed (f, f_n).  Psi(s) is concave in s, so 25 bisections on
-        # dPsi/ds find the exact line maximum down to s ~ 3e-8 — each
-        # probe is ONE elementwise pass, no GEMMs — and the iteration is
-        # monotone (Psi'(0) > 0 for a Newton ascent direction, and any
-        # s <= argmax improves a concave Psi).
-        aff = allsum(jnp.dot(a, f))
-        afn = allsum(jnp.dot(a, f_n))
-        ann = allsum(jnp.dot(a_n, f_n))
-        df = f_n - f
-        yp = 0.5 * (y + 1.0)
-
-        def dpsi(s):
-            pi_s = jax.nn.sigmoid(f + s * df)
-            quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
-                      + 2.0 * s * ann)
-            return -0.5 * quad_p + allsum(jnp.sum(mask * (yp - pi_s) * df))
-
-        def bis(_, lohi):
-            lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            pos = dpsi(mid) > 0
-            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
-
-        one = jnp.ones((), f.dtype)
-        lo, hi = jax.lax.fori_loop(0, 25, bis, (jnp.zeros((), f.dtype), one))
-        s = jnp.where(dpsi(one) >= 0, one, lo)
-        a = (1.0 - s) * a + s * a_n
-        f = (1.0 - s) * f + s * f_n
-        return (f, a), None
-
-    f0 = jnp.zeros_like(y)
-    # remat each Newton step: reverse-mode through the unrolled iteration
-    # then holds one step's intermediates, not newton_iters x (n, m)
-    (f_hat, a), _ = jax.lax.scan(
-        jax.checkpoint(step), (f0, jnp.zeros_like(y)), None,
-        length=newton_iters,
+    return newton_scan_generic(
+        logit_parts, v, d, (y,), mask, newton_iters=newton_iters,
+        allsum=allsum,
     )
-    return f_hat, a
+
+
 
 
 def laplace_mode(
@@ -185,9 +124,12 @@ def laplace_mode(
 def classify_log_evidence(
     family, params, z, X, y, *, newton_iters: int = 15,
     jitter: float | None = None, block_size: int | None = None,
+    grad_impl: str = "ift",
 ):
     """Laplace marginal likelihood log q(y | X, hypers) (GPML eq. 3.32).
-    Differentiable w.r.t. (params, z) through the unrolled Newton mode.
+    Differentiable w.r.t. (params, z); ``grad_impl`` picks the implicit
+    (IFT, default — reverse cost ~one Newton step) or unrolled gradient
+    route (models/ift.py docstring).
 
     ``block_size`` switches to the streaming Newton (classify_stream.py):
     V never materializes at (n, m), so n is unbounded — identical value
@@ -199,18 +141,13 @@ def classify_log_evidence(
             family, params, z, X, y, block_size=block_size,
             newton_iters=newton_iters, jitter=jitter,
         )
-    f_hat, a, inducing, v, d = laplace_mode(
-        family, params, z, X, y, newton_iters=newton_iters, jitter=jitter
+    from .ift import laplace_evidence_core
+
+    _, v, d = _fitc_prior(family, params, z, X, jitter)
+    return laplace_evidence_core(
+        logit_parts, logit_loglik, v, d, (y,), jnp.ones_like(y),
+        newton_iters=newton_iters, grad_impl=grad_impl,
     )
-    pi = jax.nn.sigmoid(f_hat)
-    w = jnp.maximum(pi * (1.0 - pi), 1e-12)
-    e = 1.0 / (1.0 + w * d)
-    vw = v * jnp.sqrt(w * e)[:, None]
-    mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
-    rm = cholesky_upper(mm, jitter=0.0)
-    log_det_b = jnp.sum(jnp.log1p(w * d)) + log_det_tri(rm)
-    log_lik = jnp.sum(_log_sigmoid(y * f_hat))
-    return -0.5 * jnp.dot(a, f_hat) + log_lik - 0.5 * log_det_b
 
 
 def classify_predict(

@@ -31,8 +31,12 @@ tests/test_classify_multi.py):
 
 Each Newton step takes the exact concave line maximum along the step
 segment (the same free bisection as the binary classifier — Psi is
-strictly concave for the softmax likelihood), and the fixed-step scan
-keeps the mode differentiable for hyper/inducing training.
+strictly concave for the softmax likelihood).  Hyper gradients use the
+implicit-function-theorem route by default (``softmax_fixed_point``
+below — the coupled-W analogue of models/ift.py: the backward is ONE
+(I + K W)^-1 apply through the same E/coupling machinery plus one kernel
+VJP, instead of retraversing newton_iters remat'ed coupled sweeps);
+grad_impl="unroll" keeps the differentiable fixed-step scan.
 
 Cost per Newton step: O(C) (n, m) GEMMs for the per-class factors plus
 O(C^2) weighted m x m Grams for the coupling block matrix — all MXU work;
@@ -40,6 +44,8 @@ C is small (classes), m is the inducing count.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -199,17 +205,120 @@ def softmax_newton_scan(
     return f_hat, a
 
 
+def _kdot(v, d, x, allsum):
+    return matmul(v, allsum(matmul(v.T, x))) + d[:, None] * x
+
+
+def _mode_weights(v, d, f_hat, mask, allsum):
+    """(pi, q, qbar_inv, r_all, h_chol) at a given latent — the shared
+    epilogue/backward factor set."""
+    pi = jax.nn.softmax(f_hat, axis=1) * mask[:, None]
+    q = pi / (1.0 + pi * d[:, None])
+    qbar = jnp.sum(q, axis=1)
+    qbar_inv = jnp.where(mask > 0, 1.0 / jnp.where(qbar > 0, qbar, 1.0),
+                         0.0)
+    r_all, _ = _per_class_factors(v, q, allsum)
+    h_chol = _coupling_chol(v, q, qbar_inv, r_all, allsum)
+    return pi, q, qbar_inv, r_all, h_chol
+
+
+def _m_apply(v, q, qbar_inv, r_all, h_chol, x, allsum):
+    """M x with M = (K + W^-1)^-1 = E - E 1 (sum_c E_c)^-1 1' E — the
+    GPML Alg 3.3 inverse through the FITC low-rank machinery.  Also
+    M = W (I + K W)^-1, well-defined despite singular W."""
+    ex = _apply_e(v, q, r_all, x, allsum)
+    t = _apply_coupling_inv(v, q, qbar_inv, r_all, h_chol,
+                            jnp.sum(ex, axis=1), allsum)
+    return ex - _apply_e(v, q, r_all, t[:, None], allsum)
+
+
+@functools.lru_cache(maxsize=None)
+def _softmax_fixed_point(allsum, newton_iters):
+    """The IFT fixed point for the softmax mode: a(v, d, y1h) with the
+    implicit backward (see module docstring).  Built per (allsum,
+    newton_iters) pair and cached so the custom_vjp identity is stable
+    across traces."""
+
+    @jax.custom_vjp
+    def fixed_point(v, d, y1h, mask):
+        _, a = softmax_newton_scan(
+            v, d, y1h, mask, newton_iters=newton_iters, allsum=allsum,
+        )
+        return a
+
+    def fwd(v, d, y1h, mask):
+        a = fixed_point(v, d, y1h, mask)
+        return a, (v, d, y1h, mask, a)
+
+    def bwd(res, abar):
+        v, d, y1h, mask, a = res
+        f_hat = _kdot(v, d, a, allsum)
+        pi, q, qbar_inv, r_all, h_chol = _mode_weights(
+            v, d, f_hat, mask, allsum
+        )
+
+        def wdot(x):
+            # W x per row: diag(pi) x - pi (pi . x), masked
+            return (pi * x - pi * jnp.sum(pi * x, axis=1, keepdims=True)
+                    ) * mask[:, None]
+
+        def solve(x):
+            # (I + K W)^-1 x = x - K M x
+            return x - _kdot(
+                v, d, _m_apply(v, q, qbar_inv, r_all, h_chol, x, allsum),
+                allsum,
+            )
+
+        u = solve(abar)
+        # one round of iterative refinement (same large-n f32 rationale
+        # as the binary core, models/ift.py)
+        r = abar - (u + _kdot(v, d, wdot(u), allsum))
+        u = u + solve(r)
+
+        # theta_bar = (dF/dtheta)' u with F = g(K a; y1h) - a at fixed a,
+        # g = mask (y1h - softmax(K a)): one vjp for (v, d), explicit
+        # identity block for y1h
+        def h(v_, d_):
+            f = _kdot(v_, d_, a, allsum)
+            return (y1h - jax.nn.softmax(f, axis=1)) * mask[:, None]
+
+        _, pull = jax.vjp(h, v, d)
+        vbar, dbar = pull(u)
+        return vbar, dbar, mask[:, None] * u, jnp.zeros_like(mask)
+
+    fixed_point.defvjp(fwd, bwd)
+    return fixed_point
+
+
+def softmax_mode(
+    v, d, y_onehot, mask, *, newton_iters: int = 15,
+    allsum=lambda x: x, grad_impl: str = "ift",
+):
+    """(f_hat, a) at the softmax-Laplace mode; grad_impl as in
+    models/ift.py ("ift" default, "unroll" the remat'ed scan)."""
+    if grad_impl == "ift":
+        a = _softmax_fixed_point(allsum, newton_iters)(v, d, y_onehot,
+                                                       mask)
+        return _kdot(v, d, a, allsum), a
+    if grad_impl == "unroll":
+        return softmax_newton_scan(
+            v, d, y_onehot, mask, newton_iters=newton_iters, allsum=allsum,
+        )
+    raise ValueError(f"grad_impl must be 'ift' or 'unroll', got {grad_impl}")
+
+
 def multiclass_laplace_mode(
     family, params, z, X, labels, n_classes: int, *,
     newton_iters: int = 15, jitter: float | None = None,
+    grad_impl: str = "ift",
 ):
     """``labels``: (n,) ints in [0, n_classes).  Returns
     (f_hat, a, inducing, v, d, y_onehot)."""
     inducing, v, d = _fitc_prior(family, params, z, X, jitter)
     y_onehot = jax.nn.one_hot(labels, n_classes, dtype=v.dtype)
-    f_hat, a = softmax_newton_scan(
+    f_hat, a = softmax_mode(
         v, d, y_onehot, jnp.ones(X.shape[0], v.dtype),
-        newton_iters=newton_iters,
+        newton_iters=newton_iters, grad_impl=grad_impl,
     )
     return f_hat, a, inducing, v, d, y_onehot
 
@@ -241,12 +350,13 @@ def evidence_from_mode(v, d, f_hat, a, y_onehot, mask, allsum=lambda x: x):
 def multiclass_log_evidence(
     family, params, z, X, labels, n_classes: int, *,
     newton_iters: int = 15, jitter: float | None = None,
+    grad_impl: str = "ift",
 ):
     """Laplace marginal likelihood log q(y | X, hypers), differentiable
-    w.r.t. (params, z) through the unrolled Newton mode."""
+    w.r.t. (params, z) — implicit (IFT) gradients by default."""
     f_hat, a, inducing, v, d, y1h = multiclass_laplace_mode(
         family, params, z, X, labels, n_classes,
-        newton_iters=newton_iters, jitter=jitter,
+        newton_iters=newton_iters, jitter=jitter, grad_impl=grad_impl,
     )
     return evidence_from_mode(v, d, f_hat, a, y1h,
                               jnp.ones(X.shape[0], v.dtype))

@@ -45,7 +45,6 @@ import jax.numpy as jnp
 from ..numerics.linalg import (
     cholesky_upper,
     inv_tri_upper,
-    log_det_tri,
     matmul,
     rows_sqr_norm,
     solve_tri,
@@ -65,73 +64,31 @@ def _nb_parts(f, y, r, log_exposure, mask):
     return grad, w
 
 
+def nb_parts(f, lik, mask):
+    """ift.py parts convention, lik = (y, r, log_exposure) — ``r`` is an
+    inexact leaf, so the IFT backward gives the dispersion its implicit
+    gradient automatically."""
+    y, r, le = lik
+    return _nb_parts(f, y, r, le, mask)
+
+
+def nb_loglik(f, lik):
+    y, r, le = lik
+    return _nb_loglik(f, y, r, le)
+
+
 def negbin_newton_scan(
     v, d, y, r, log_exposure, mask, *, newton_iters: int = 20,
     allsum=lambda x: x,
 ):
-    """Newton mode-finding for the NB2-Laplace over local rows — the
-    stabilized scheme shared by the whole Laplace family.  Returns
-    (f_hat, a)."""
+    """Newton mode-finding for the NB2-Laplace over local rows — the NB2
+    instance of ift.newton_scan_generic.  Returns (f_hat, a)."""
+    from .ift import newton_scan_generic
 
-    def kdot(x):
-        return matmul(v, allsum(matmul(v.T, x))) + d * x
-
-    def step(carry, _):
-        f, a = carry
-        grad, w = _nb_parts(f, y, r, log_exposure, mask)
-        w = jnp.maximum(w, 1e-12) * mask
-        b = w * f + grad
-        kb = kdot(b)
-        sw = mask * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
-        c = sw * kb
-        e = 1.0 / (1.0 + w * d)
-        vw = v * (sw * jnp.sqrt(e))[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-
-        def binv(x):
-            t = solve_tri(rm, allsum(matmul(vw.T, jnp.sqrt(e) * x)),
-                          trans=True)
-            return e * x - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
-
-        atil = binv(c)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-        atil = atil + binv(sw * f_n - atil)  # one refinement (free residual)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-
-        aff = allsum(jnp.sum(a * f))
-        afn = allsum(jnp.sum(a * f_n))
-        ann = allsum(jnp.sum(a_n * f_n))
-        df = f_n - f
-
-        def dpsi(s):
-            g_s, _ = _nb_parts(f + s * df, y, r, log_exposure, mask)
-            quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
-                      + 2.0 * s * ann)
-            return -0.5 * quad_p + allsum(jnp.sum(g_s * df))
-
-        def bis(_, lohi):
-            lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            pos = dpsi(mid) > 0
-            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
-
-        one = jnp.ones((), f.dtype)
-        lo, _ = jax.lax.fori_loop(0, 25, bis,
-                                  (jnp.zeros((), f.dtype), one))
-        s = jnp.where(dpsi(one) >= 0, one, lo)
-        a = (1.0 - s) * a + s * a_n
-        f = (1.0 - s) * f + s * f_n
-        return (f, a), None
-
-    f0 = jnp.zeros_like(y)
-    (f_hat, a), _ = jax.lax.scan(
-        jax.checkpoint(step), (f0, jnp.zeros_like(y)), None,
-        length=newton_iters,
+    return newton_scan_generic(
+        nb_parts, v, d, (y, r, log_exposure), mask,
+        newton_iters=newton_iters, allsum=allsum,
     )
-    return f_hat, a
 
 
 def _nb_loglik(f, y, r, log_exposure):
@@ -164,14 +121,14 @@ def negbin_laplace_mode(
 def negbin_log_evidence(
     family, params, z, X, y, r, *, log_exposure=None,
     newton_iters: int = 20, jitter: float | None = None,
-    block_size: int | None = None,
+    block_size: int | None = None, grad_impl: str = "ift",
 ):
-    """Laplace marginal likelihood, differentiable w.r.t.
-    (params, z, r) through the unrolled Newton mode.  ``block_size``
-    streams the whole computation through the generic Laplace core
-    (models/classify_stream.py) — Knm never materializes, so n is
-    unbounded; the traced dispersion ``r`` rides through the parts/loglik
-    hooks like the ordinal cutpoints do."""
+    """Laplace marginal likelihood, differentiable w.r.t. (params, z, r)
+    — implicit (IFT) gradients by default, the dispersion included
+    (models/ift.py).  ``block_size`` streams the whole computation
+    through the generic Laplace core (models/classify_stream.py) — Knm
+    never materializes, so n is unbounded; the traced dispersion ``r``
+    rides through the parts/loglik hooks like the ordinal cutpoints do."""
     le = (jnp.zeros_like(y) if log_exposure is None
           else jnp.asarray(log_exposure))
     if block_size is not None:
@@ -184,19 +141,14 @@ def negbin_log_evidence(
             block_size=block_size, newton_iters=newton_iters,
             jitter=jitter,
         )
-    f_hat, a, inducing, v, d = negbin_laplace_mode(
-        family, params, z, X, y, r, log_exposure=le,
-        newton_iters=newton_iters, jitter=jitter,
+    from .ift import laplace_evidence_core
+
+    _, v, d = _fitc_prior(family, params, z, X, jitter)
+    r = jnp.asarray(r, v.dtype)
+    return laplace_evidence_core(
+        nb_parts, nb_loglik, v, d, (y, r, le), jnp.ones_like(y),
+        newton_iters=newton_iters, grad_impl=grad_impl,
     )
-    _, w = _nb_parts(f_hat, y, r, le, jnp.ones_like(y))
-    w = jnp.maximum(w, 1e-12)
-    e = 1.0 / (1.0 + w * d)
-    vw = v * jnp.sqrt(w * e)[:, None]
-    mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
-    rm = cholesky_upper(mm, jitter=0.0)
-    log_det_b = jnp.sum(jnp.log1p(w * d)) + log_det_tri(rm)
-    log_lik = jnp.sum(_nb_loglik(f_hat, y, r, le))
-    return -0.5 * jnp.dot(a, f_hat) + log_lik - 0.5 * log_det_b
 
 
 def negbin_predict(

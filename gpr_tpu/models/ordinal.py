@@ -50,7 +50,6 @@ from jax.scipy.special import log_ndtr
 from ..numerics.linalg import (
     cholesky_upper,
     inv_tri_upper,
-    log_det_tri,
     matmul,
     rows_sqr_norm,
     solve_tri,
@@ -156,73 +155,31 @@ def _ord_loglik(f, y, cuts):
     return _log_cell(z0, z1, has_lo, has_hi)
 
 
+def ord_parts(f, lik, mask):
+    """ift.py parts convention, lik = (y, cuts) — ``cuts`` is an inexact
+    leaf, so the IFT backward gives the cutpoints their implicit
+    gradient automatically (``y`` is integer -> float0)."""
+    y, cuts = lik
+    return _ord_parts(f, y, cuts, mask)
+
+
+def ord_loglik(f, lik):
+    y, cuts = lik
+    return _ord_loglik(f, y, cuts)
+
+
 def ordinal_newton_scan(
     v, d, y, cuts, mask, *, newton_iters: int = 20,
     allsum=lambda x: x,
 ):
-    """Stabilized Newton mode-finding (exact concave line maximum along
-    each Newton segment — same scaffold as models/binomial.py).
-    Returns (f_hat, a)."""
+    """Stabilized Newton mode-finding — the cumulative-probit instance of
+    ift.newton_scan_generic.  Returns (f_hat, a)."""
+    from .ift import newton_scan_generic
 
-    def kdot(x):
-        return matmul(v, allsum(matmul(v.T, x))) + d * x
-
-    def step(carry, _):
-        f, a = carry
-        grad, w = _ord_parts(f, y, cuts, mask)
-        w = jnp.maximum(w, 1e-12) * mask
-        b = w * f + grad
-        kb = kdot(b)
-        sw = mask * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
-        c = sw * kb
-        e = 1.0 / (1.0 + w * d)
-        vw = v * (sw * jnp.sqrt(e))[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-
-        def binv(x):
-            t = solve_tri(rm, allsum(matmul(vw.T, jnp.sqrt(e) * x)),
-                          trans=True)
-            return e * x - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
-
-        atil = binv(c)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-        atil = atil + binv(sw * f_n - atil)  # one refinement (free residual)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-
-        aff = allsum(jnp.sum(a * f))
-        afn = allsum(jnp.sum(a * f_n))
-        ann = allsum(jnp.sum(a_n * f_n))
-        df = f_n - f
-
-        def dpsi(s):
-            g_s, _ = _ord_parts(f + s * df, y, cuts, mask)
-            quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
-                      + 2.0 * s * ann)
-            return -0.5 * quad_p + allsum(jnp.sum(g_s * df))
-
-        def bis(_, lohi):
-            lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            pos = dpsi(mid) > 0
-            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
-
-        one = jnp.ones((), f.dtype)
-        lo, _ = jax.lax.fori_loop(0, 25, bis,
-                                  (jnp.zeros((), f.dtype), one))
-        s = jnp.where(dpsi(one) >= 0, one, lo)
-        a = (1.0 - s) * a + s * a_n
-        f = (1.0 - s) * f + s * f_n
-        return (f, a), None
-
-    f0 = jnp.zeros(y.shape, dtype=v.dtype)
-    (f_hat, a), _ = jax.lax.scan(
-        jax.checkpoint(step), (f0, jnp.zeros(y.shape, dtype=v.dtype)), None,
-        length=newton_iters,
+    return newton_scan_generic(
+        ord_parts, v, d, (y, cuts), mask, newton_iters=newton_iters,
+        allsum=allsum,
     )
-    return f_hat, a
 
 
 def ordinal_laplace_mode(
@@ -243,12 +200,13 @@ def ordinal_laplace_mode(
 def ordinal_log_evidence(
     family, params, z, X, y, cut_raw, *, newton_iters: int = 20,
     jitter: float | None = None, block_size: int | None = None,
+    grad_impl: str = "ift",
 ):
     """Laplace marginal likelihood, differentiable w.r.t.
-    (params, z, cut_raw) through the unrolled Newton mode.
-    ``block_size`` streams through the generic Laplace core
-    (models/classify_stream.py) — unbounded n; the cutpoints ride as a
-    traced closure of the likelihood hooks."""
+    (params, z, cut_raw) — implicit (IFT) gradients by default, the
+    cutpoints included (models/ift.py).  ``block_size`` streams through
+    the generic Laplace core (models/classify_stream.py) — unbounded n;
+    the cutpoints ride as a traced closure of the likelihood hooks."""
     if block_size is not None:
         from .classify_stream import stream_laplace_log_evidence
 
@@ -260,19 +218,15 @@ def ordinal_log_evidence(
             block_size=block_size, newton_iters=newton_iters,
             jitter=jitter,
         )
-    f_hat, a, inducing, v, d, cuts = ordinal_laplace_mode(
-        family, params, z, X, y, cut_raw, newton_iters=newton_iters,
-        jitter=jitter,
+    from .ift import laplace_evidence_core
+
+    cuts = cutpoints_from_raw(cut_raw)
+    inducing, v, d = _fitc_prior(family, params, z, X, jitter)
+    return laplace_evidence_core(
+        ord_parts, ord_loglik, v, d, (y, cuts),
+        jnp.ones(y.shape, dtype=v.dtype),
+        newton_iters=newton_iters, grad_impl=grad_impl,
     )
-    _, w = _ord_parts(f_hat, y, cuts, jnp.ones(y.shape, dtype=v.dtype))
-    w = jnp.maximum(w, 1e-12)
-    e = 1.0 / (1.0 + w * d)
-    vw = v * jnp.sqrt(w * e)[:, None]
-    mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
-    rm = cholesky_upper(mm, jitter=0.0)
-    log_det_b = jnp.sum(jnp.log1p(w * d)) + log_det_tri(rm)
-    log_lik = jnp.sum(_ord_loglik(f_hat, y, cuts))
-    return -0.5 * jnp.dot(a, f_hat) + log_lik - 0.5 * log_det_b
 
 
 def ordinal_predict(

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from ..numerics.linalg import (
     cholesky_upper,
     inv_tri_upper,
-    log_det_tri,
     matmul,
     rows_sqr_norm,
     solve_tri,
@@ -56,83 +55,32 @@ def _rate_w(f, log_exposure, mask):
     )
 
 
+def pois_parts(f, lik, mask):
+    """(dl/df, W) of the Poisson log likelihood — the ift.py parts
+    convention, lik = (y, log_exposure)."""
+    y, le = lik
+    rate = _rate_w(f, le, mask)
+    return mask * (y - rate), rate
+
+
+def pois_loglik(f, lik):
+    y, le = lik
+    return _pois_loglik(f, y, le)
+
+
 def poisson_newton_scan(
     v, d, y, log_exposure, mask, *, newton_iters: int = 20,
     allsum=lambda x: x,
 ):
-    """Newton mode-finding for the Poisson-Laplace over local rows.
+    """Newton mode-finding for the Poisson-Laplace over local rows — the
+    Poisson instance of ift.newton_scan_generic (shared stabilized
+    scaffold).  Returns (f_hat, a)."""
+    from .ift import newton_scan_generic
 
-    Same skeleton as classify.newton_scan: the m-space Woodbury solve
-    with one round of iterative refinement, then the exact maximizer of
-    the concave objective along the Newton segment (25 GEMM-free
-    bisections).  ``allsum`` is the cross-row reduction hook.
-    Returns (f_hat, a).
-    """
-
-    def kdot(x):
-        return matmul(v, allsum(matmul(v.T, x))) + d * x
-
-    def step(carry, _):
-        f, a = carry
-        w = jnp.maximum(_rate_w(f, log_exposure, mask), 1e-12) * mask
-        grad = mask * (y - _rate_w(f, log_exposure, mask))
-        b = w * f + grad
-        kb = kdot(b)
-        sw = mask * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
-        c = sw * kb
-        e = 1.0 / (1.0 + w * d)
-        vw = v * (sw * jnp.sqrt(e))[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-
-        def binv(x):
-            t = solve_tri(rm, allsum(matmul(vw.T, jnp.sqrt(e) * x)),
-                          trans=True)
-            return e * x - jnp.sqrt(e) * matmul(vw, solve_tri(rm, t))
-
-        atil = binv(c)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-        # one round of iterative refinement (free residual; see
-        # classify.py's measured rationale at n ~ 1e6 f32)
-        atil = atil + binv(sw * f_n - atil)
-        a_n = b - sw * atil
-        f_n = kdot(a_n)
-
-        # exact concave line maximum along a_s = (1-s) a + s a_n
-        aff = allsum(jnp.sum(a * f))
-        afn = allsum(jnp.sum(a * f_n))
-        ann = allsum(jnp.sum(a_n * f_n))
-        df = f_n - f
-
-        def dpsi(s):
-            rate = _rate_w(f + s * df, log_exposure, mask)
-            quad_p = (-2.0 * (1.0 - s) * aff + (2.0 - 4.0 * s) * afn
-                      + 2.0 * s * ann)
-            return -0.5 * quad_p + allsum(
-                jnp.sum(mask * (y - rate) * df)
-            )
-
-        def bis(_, lohi):
-            lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            pos = dpsi(mid) > 0
-            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
-
-        one = jnp.ones((), f.dtype)
-        lo, _ = jax.lax.fori_loop(0, 25, bis,
-                                  (jnp.zeros((), f.dtype), one))
-        s = jnp.where(dpsi(one) >= 0, one, lo)
-        a = (1.0 - s) * a + s * a_n
-        f = (1.0 - s) * f + s * f_n
-        return (f, a), None
-
-    f0 = jnp.zeros_like(y)
-    (f_hat, a), _ = jax.lax.scan(
-        jax.checkpoint(step), (f0, jnp.zeros_like(y)), None,
-        length=newton_iters,
+    return newton_scan_generic(
+        pois_parts, v, d, (y, log_exposure), mask,
+        newton_iters=newton_iters, allsum=allsum,
     )
-    return f_hat, a
 
 
 def poisson_laplace_mode(
@@ -159,41 +107,33 @@ def _pois_loglik(f, y, le):
 def poisson_log_evidence(
     family, params, z, X, y, *, log_exposure=None, newton_iters: int = 20,
     jitter: float | None = None, block_size: int | None = None,
+    grad_impl: str = "ift",
 ):
     """Laplace marginal likelihood (GPML eq. 3.32 with the Poisson
-    likelihood), differentiable w.r.t. (params, z) through the unrolled
-    Newton mode.  Includes the -log y! constant so values are comparable
-    across models.  ``block_size`` streams the whole computation through
-    the generic Laplace core (models/classify_stream.py) — Knm never
-    materializes, so n is unbounded."""
+    likelihood), differentiable w.r.t. (params, z) — implicit (IFT)
+    gradients by default (models/ift.py).  Includes the -log y! constant
+    so values are comparable across models.  ``block_size`` streams the
+    whole computation through the generic Laplace core
+    (models/classify_stream.py) — Knm never materializes, so n is
+    unbounded."""
     le = (jnp.zeros_like(y) if log_exposure is None
           else jnp.asarray(log_exposure))
     if block_size is not None:
         from .classify_stream import stream_laplace_log_evidence
 
-        def parts(f, lik, maskb):
-            yb, leb = lik
-            w = _rate_w(f, leb, maskb)
-            return maskb * (yb - w), w
-
         return stream_laplace_log_evidence(
-            family, params, z, X, (y, le), parts=parts,
-            loglik=lambda f, lik: _pois_loglik(f, lik[0], lik[1]),
+            family, params, z, X, (y, le), parts=pois_parts,
+            loglik=pois_loglik,
             block_size=block_size, newton_iters=newton_iters,
             jitter=jitter,
         )
-    f_hat, a, inducing, v, d = poisson_laplace_mode(
-        family, params, z, X, y, log_exposure=le,
-        newton_iters=newton_iters, jitter=jitter,
+    from .ift import laplace_evidence_core
+
+    _, v, d = _fitc_prior(family, params, z, X, jitter)
+    return laplace_evidence_core(
+        pois_parts, pois_loglik, v, d, (y, le), jnp.ones_like(y),
+        newton_iters=newton_iters, grad_impl=grad_impl,
     )
-    w = jnp.maximum(_rate_w(f_hat, le, jnp.ones_like(y)), 1e-12)
-    e = 1.0 / (1.0 + w * d)
-    vw = v * jnp.sqrt(w * e)[:, None]
-    mm = jnp.eye(v.shape[1], dtype=v.dtype) + matmul(vw.T, vw)
-    rm = cholesky_upper(mm, jitter=0.0)
-    log_det_b = jnp.sum(jnp.log1p(w * d)) + log_det_tri(rm)
-    log_lik = jnp.sum(_pois_loglik(f_hat, y, le))
-    return -0.5 * jnp.dot(a, f_hat) + log_lik - 0.5 * log_det_b
 
 
 def poisson_predict(

@@ -84,19 +84,14 @@ def sharded_classify_log_evidence(
         return fn(params, z, X, y, mask)
 
     def shard_fn(params, z, xs, ys, ms):
-        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
-        f_hat, a = newton_scan(
-            v, d, ys, ms, newton_iters=newton_iters, allsum=_allsum
+        from ..models.classify import logit_loglik, logit_parts
+        from ..models.ift import laplace_evidence_core
+
+        _, v, d = _fitc_prior(family, params, z, xs, jitter)
+        return laplace_evidence_core(
+            logit_parts, logit_loglik, v, d, (ys,), ms,
+            newton_iters=newton_iters, allsum=_allsum,
         )
-        pi = jax.nn.sigmoid(f_hat)
-        w = ms * jnp.maximum(pi * (1.0 - pi), 1e-12)
-        e = 1.0 / (1.0 + w * d)
-        vw = v * (ms * jnp.sqrt(jnp.where(w > 0.0, w * e, 1.0)))[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
-        log_lik = _allsum(jnp.sum(ms * _log_sigmoid(ys * f_hat)))
-        return -0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik - 0.5 * log_det_b
 
     fn = jax.shard_map(
         shard_fn,
@@ -243,7 +238,8 @@ def sharded_poisson_log_evidence(
 
     Wrap in jax.jit(jax.value_and_grad(...)) for training.
     """
-    from ..models.poisson import _rate_w, poisson_newton_scan
+    from ..models.ift import laplace_evidence_core
+    from ..models.poisson import pois_loglik, pois_parts
 
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
@@ -251,26 +247,11 @@ def sharded_poisson_log_evidence(
         log_exposure = jnp.zeros((X.shape[0],), X.dtype)
 
     def shard_fn(params, z, xs, ys, les, ms):
-        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
-        f_hat, a = poisson_newton_scan(
-            v, d, ys, les, ms, newton_iters=newton_iters, allsum=_allsum
+        _, v, d = _fitc_prior(family, params, z, xs, jitter)
+        return laplace_evidence_core(
+            pois_parts, pois_loglik, v, d, (ys, les), ms,
+            newton_iters=newton_iters, allsum=_allsum,
         )
-        w = jnp.maximum(_rate_w(f_hat, les, ms), 1e-12) * ms
-        e = 1.0 / (1.0 + w * d)
-        pos = w > 0.0
-        vw = v * jnp.where(
-            pos, jnp.sqrt(jnp.where(pos, w * e, 1.0)), 0.0
-        )[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
-        eta = f_hat + les
-        log_lik = _allsum(jnp.sum(ms * (
-            ys * eta - jnp.exp(jnp.clip(eta, -30.0, 30.0))
-            - jax.scipy.special.gammaln(ys + 1.0)
-        )))
-        return (-0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik
-                - 0.5 * log_det_b)
 
     fn = jax.shard_map(
         shard_fn,
@@ -303,29 +284,18 @@ def sharded_binomial_log_evidence(
 
     Wrap in jax.jit(jax.value_and_grad(...)) for training.
     """
-    from ..models.binomial import _bin_loglik, _bin_parts, binomial_newton_scan
+    from ..models.binomial import bin_loglik, bin_parts
+    from ..models.ift import laplace_evidence_core
 
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
 
     def shard_fn(params, z, xs, ys, ts, ms):
-        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
-        f_hat, a = binomial_newton_scan(
-            v, d, ys, ts, ms, newton_iters=newton_iters, allsum=_allsum
+        _, v, d = _fitc_prior(family, params, z, xs, jitter)
+        return laplace_evidence_core(
+            bin_parts, bin_loglik, v, d, (ys, ts), ms,
+            newton_iters=newton_iters, allsum=_allsum,
         )
-        _, w = _bin_parts(f_hat, ys, ts, ms)
-        w = jnp.maximum(w, 1e-12) * ms
-        e = 1.0 / (1.0 + w * d)
-        pos = w > 0.0
-        vw = v * jnp.where(
-            pos, jnp.sqrt(jnp.where(pos, w * e, 1.0)), 0.0
-        )[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
-        log_lik = _allsum(jnp.sum(ms * _bin_loglik(f_hat, ys, ts)))
-        return (-0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik
-                - 0.5 * log_det_b)
 
     fn = jax.shard_map(
         shard_fn,
@@ -360,7 +330,8 @@ def sharded_negbin_log_evidence(
 
     Wrap in jax.jit(jax.value_and_grad(...)) for training.
     """
-    from ..models.negbin import _nb_loglik, _nb_parts, negbin_newton_scan
+    from ..models.ift import laplace_evidence_core
+    from ..models.negbin import nb_loglik, nb_parts
 
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
@@ -368,23 +339,11 @@ def sharded_negbin_log_evidence(
         log_exposure = jnp.zeros((X.shape[0],), X.dtype)
 
     def shard_fn(params, z, r, xs, ys, les, ms):
-        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
-        f_hat, a = negbin_newton_scan(
-            v, d, ys, r, les, ms, newton_iters=newton_iters, allsum=_allsum
+        _, v, d = _fitc_prior(family, params, z, xs, jitter)
+        return laplace_evidence_core(
+            nb_parts, nb_loglik, v, d, (ys, jnp.asarray(r, v.dtype), les),
+            ms, newton_iters=newton_iters, allsum=_allsum,
         )
-        _, w = _nb_parts(f_hat, ys, r, les, ms)
-        w = jnp.maximum(w, 1e-12) * ms
-        e = 1.0 / (1.0 + w * d)
-        pos = w > 0.0
-        vw = v * jnp.where(
-            pos, jnp.sqrt(jnp.where(pos, w * e, 1.0)), 0.0
-        )[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
-        log_lik = _allsum(jnp.sum(ms * _nb_loglik(f_hat, ys, r, les)))
-        return (-0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik
-                - 0.5 * log_det_b)
 
     fn = jax.shard_map(
         shard_fn,
@@ -427,7 +386,7 @@ def sharded_multiclass_log_evidence(
     """
     from ..models.classify_multi import (
         evidence_from_mode,
-        softmax_newton_scan,
+        softmax_mode,
     )
 
     if mask is None:
@@ -458,7 +417,7 @@ def sharded_multiclass_log_evidence(
     def shard_fn(params, z, xs, lbl, ms):
         inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
         y1h = jax.nn.one_hot(lbl, n_classes, dtype=v.dtype) * ms[:, None]
-        f_hat, a = softmax_newton_scan(
+        f_hat, a = softmax_mode(
             v, d, y1h, ms, newton_iters=newton_iters, allsum=_allsum
         )
         return evidence_from_mode(v, d, f_hat, a, y1h, ms, allsum=_allsum)
@@ -493,35 +452,19 @@ def sharded_ordinal_log_evidence(
 
     Wrap in jax.jit(jax.value_and_grad(...)) for training.
     """
-    from ..models.ordinal import (
-        _ord_loglik,
-        _ord_parts,
-        cutpoints_from_raw,
-        ordinal_newton_scan,
-    )
+    from ..models.ift import laplace_evidence_core
+    from ..models.ordinal import cutpoints_from_raw, ord_loglik, ord_parts
 
     if mask is None:
         mask = jnp.ones((X.shape[0],), X.dtype)
 
     def shard_fn(params, z, cut_raw, xs, ys, ms):
         cuts = cutpoints_from_raw(cut_raw)
-        inducing, v, d = _fitc_prior(family, params, z, xs, jitter)
-        f_hat, a = ordinal_newton_scan(
-            v, d, ys, cuts, ms, newton_iters=newton_iters, allsum=_allsum
+        _, v, d = _fitc_prior(family, params, z, xs, jitter)
+        return laplace_evidence_core(
+            ord_parts, ord_loglik, v, d, (ys, cuts), ms,
+            newton_iters=newton_iters, allsum=_allsum,
         )
-        _, w = _ord_parts(f_hat, ys, cuts, ms)
-        w = jnp.maximum(w, 1e-12) * ms
-        e = 1.0 / (1.0 + w * d)
-        pos = w > 0.0
-        vw = v * jnp.where(
-            pos, jnp.sqrt(jnp.where(pos, w * e, 1.0)), 0.0
-        )[:, None]
-        mm = jnp.eye(v.shape[1], dtype=v.dtype) + _allsum(matmul(vw.T, vw))
-        rm = cholesky_upper(mm, jitter=0.0)
-        log_det_b = _allsum(jnp.sum(jnp.log1p(w * d))) + log_det_tri(rm)
-        log_lik = _allsum(jnp.sum(ms * _ord_loglik(f_hat, ys, cuts)))
-        return (-0.5 * _allsum(jnp.dot(a, f_hat)) + log_lik
-                - 0.5 * log_det_b)
 
     fn = jax.shard_map(
         shard_fn,
