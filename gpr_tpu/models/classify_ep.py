@@ -252,14 +252,32 @@ def ep_log_evidence_from_sites(v, d, y, mask, ttau, tnu,
 
 def ep_log_evidence(
     family, params, z, X, y, *, n_sweeps: int = 20, damping: float = 0.5,
-    jitter: float | None = None,
+    jitter: float | None = None, grad_impl: str = "stationary",
 ):
-    """EP marginal likelihood log Z_EP(y | X, hypers) — differentiable
-    w.r.t. (params, z) through the unrolled damped sweeps."""
+    """EP marginal likelihood log Z_EP(y | X, hypers), differentiable
+    w.r.t. (params, z).
+
+    ``grad_impl="stationary"`` (default) uses the classical EP gradient
+    result (GPML section 5.5.2, Seeger 2005): log Z_EP as written in
+    ep_log_evidence_from_sites — cavities re-derived from the marginals —
+    is STATIONARY w.r.t. the site parameters at an EP fixed point, so the
+    exact gradient is the explicit (v, d)-dependence alone and the sites
+    can be stop_gradient'ed.  The reverse pass then never retraverses the
+    n_sweeps damped sweeps (the EP analogue of the Laplace IFT route,
+    models/ift.py); accuracy is set by how converged the sites are, same
+    as the unrolled route.  ``grad_impl="unroll"`` differentiates through
+    the sweeps (the round-3..4 path, kept for comparison)."""
     _, v, d = _fitc_prior(family, params, z, X, jitter)
     mask = jnp.ones_like(y)
     ttau, tnu = ep_sweeps(v, d, y, mask, n_sweeps=n_sweeps,
                           damping=damping)
+    if grad_impl == "stationary":
+        ttau = jax.lax.stop_gradient(ttau)
+        tnu = jax.lax.stop_gradient(tnu)
+    elif grad_impl != "unroll":
+        raise ValueError(
+            f"grad_impl must be 'stationary' or 'unroll', got {grad_impl}"
+        )
     return ep_log_evidence_from_sites(v, d, y, mask, ttau, tnu)
 
 

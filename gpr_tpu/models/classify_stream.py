@@ -38,6 +38,8 @@ extensions.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -234,37 +236,185 @@ def newton_scan_stream(
     return f_hat, a
 
 
+def _stream_kdot(sweep, d, x, m, dtype):
+    """K x over blocked rows (K = V V' + diag(d)): two sweeps — accumulate
+    V'x, then emit the rows V (V'x) + d x."""
+    zm = jnp.zeros((m,), dtype)
+    vtx, _ = sweep(lambda v_i, x_i: (None, matmul(v_i.T, x_i)), zm, x)
+    _, rows = sweep(
+        lambda v_i, x_i, d_i: (matmul(v_i, vtx) + d_i * x_i, ()), (), x, d
+    )
+    return rows
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_fixed_point(family, parts, newton_iters, allsum, jitter):
+    """The streaming Laplace fixed point a(params, z, lik) with IFT
+    gradients — the blockwise analogue of models/ift.laplace_fixed_point:
+    the backward is one streaming (I + K W)^-1 apply (~8 block passes,
+    with one iterative-refinement round) plus one AD vjp through a
+    two-sweep K-apply, instead of retraversing newton_iters x 6 remat'ed
+    sweeps.  ``parts`` must be a module-level function (all traced
+    likelihood data rides in ``lik`` — a closure over a tracer would leak
+    into the backward trace).  Cached per static tuple so the custom_vjp
+    identity is stable across traces."""
+
+    @jax.custom_vjp
+    def fixed_point(params, z, xb, lik, maskb):
+        inducing = calc_inducing(family, params, z, jitter)
+        u_inv = inv_tri_upper(inducing.chol_km)
+        d = stream_prior_diag(family, params, z, u_inv, xb)
+        _, a = newton_scan_stream(
+            family, params, z, u_inv, d, xb, lik, maskb,
+            newton_iters=newton_iters, allsum=allsum, parts=parts,
+        )
+        return a
+
+    def fwd(params, z, xb, lik, maskb):
+        a = fixed_point(params, z, xb, lik, maskb)
+        return a, (params, z, xb, lik, maskb, a)
+
+    def bwd(res, abar):
+        from .ift import _zero_cotangent
+
+        params, z, xb, lik, maskb, a = res
+        m = z.shape[0]
+        dtype = xb.dtype
+        inducing = calc_inducing(family, params, z, jitter)
+        u_inv = inv_tri_upper(inducing.chol_km)
+        d = stream_prior_diag(family, params, z, u_inv, xb)
+        sweep = _make_sweep(family, params, z, u_inv, xb, allsum)
+        zm = jnp.zeros((m,), dtype)
+
+        def kdot(x):
+            return _stream_kdot(sweep, d, x, m, dtype)
+
+        f_hat = kdot(a)
+        _, w = parts(f_hat, lik, maskb)
+        w = maskb * jnp.maximum(w, 1e-12)
+        sw = maskb * jnp.sqrt(jnp.where(w > 0.0, w, 1.0))
+        e = 1.0 / (1.0 + w * d)
+        se = jnp.sqrt(e)
+        swe = sw * se
+
+        def body_mm(v_i, swe_i):
+            vw_i = v_i * swe_i[:, None]
+            return None, matmul(vw_i.T, vw_i)
+
+        mm, _ = sweep(body_mm, jnp.zeros((m, m), dtype), swe)
+        rm = cholesky_upper(jnp.eye(m, dtype=dtype) + mm, jitter=0.0)
+
+        def solve(x):
+            # (I + K W)^-1 x = x - K sw B^-1 sw x, B^-1 via the m-factor
+            c = sw * x
+
+            def b_acc(v_i, c_i, swe_i, se_i):
+                return None, matmul((v_i * swe_i[:, None]).T, se_i * c_i)
+
+            t1, _ = sweep(b_acc, zm, c, swe, se)
+            s = solve_tri(rm, solve_tri(rm, t1, trans=True))
+
+            def b_rows(v_i, c_i, e_i, se_i, swe_i, sw_i):
+                binv_i = e_i * c_i - se_i * matmul(
+                    v_i * swe_i[:, None], s
+                )
+                return sw_i * binv_i, ()
+
+            _, yrows = sweep(b_rows, (), c, e, se, swe, sw)
+            return x - kdot(yrows)
+
+        u = solve(abar)
+        # one round of iterative refinement (models/ift.py rationale)
+        r = abar - (u + kdot(w * u))
+        u = u + solve(r)
+
+        # theta_bar = vjp of (params, z, float lik) -> dloglik/df(K a)
+        leaves, treedef = jax.tree.flatten(lik)
+        is_diff = [jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)
+                   for l in leaves]
+        diff_leaves = [l for l, ok in zip(leaves, is_diff) if ok]
+
+        def h(params_, z_, diff_):
+            it = iter(diff_)
+            full = [next(it) if ok else l
+                    for l, ok in zip(leaves, is_diff)]
+            lik_ = jax.tree.unflatten(treedef, full)
+            inducing_ = calc_inducing(family, params_, z_, jitter)
+            u_inv_ = inv_tri_upper(inducing_.chol_km)
+            d_ = stream_prior_diag(family, params_, z_, u_inv_, xb)
+            sweep_ = _make_sweep(family, params_, z_, u_inv_, xb, allsum)
+            f = _stream_kdot(sweep_, d_, a, m, dtype)
+            g, _ = parts(f, lik_, maskb)
+            return g
+
+        _, pull = jax.vjp(h, params, z, diff_leaves)
+        pbar, zbar, diff_bars = pull(u)
+        it = iter(diff_bars)
+        lik_bar = jax.tree.unflatten(
+            treedef,
+            [next(it) if ok else _zero_cotangent(l)
+             for l, ok in zip(leaves, is_diff)],
+        )
+        return (pbar, zbar, jnp.zeros_like(xb), lik_bar,
+                jnp.zeros_like(maskb))
+
+    fixed_point.defvjp(fwd, bwd)
+    return fixed_point
+
+
 def stream_laplace_parts(
     family, params, z, X, lik_rows, *, parts, loglik,
     block_size: int = 8192, newton_iters: int = 15,
     jitter: float | None = None, mask=None, allsum=lambda x: x,
+    lik_is_row=None, grad_impl: str = "ift",
 ):
     """Generic streaming Laplace: mode + the m-space posterior epilogue,
     one streaming pass each, for ANY log-concave likelihood.
 
-    ``lik_rows`` is a tuple of (n,) per-row likelihood data (labels,
-    trial counts, exposures, ...); ``parts(f, lik, maskb) -> (grad, W)``
-    and ``loglik(f, lik) -> per-row log p(y|f)`` plug the likelihood in
-    (binary/poisson/binomial/ordinal wrappers below and in their
-    modules).  Returns (inducing, f_hat, a, d, vta, rn, log_det_b,
-    log_lik, quad) with f_hat/a/d as (nb, block) arrays, vta = V'a,
-    R'R = I + Vw'Vw at the mode — everything the evidence and the
-    predictor state need.  Memory O(n + block x m) at any n.
+    ``lik_rows`` is a tuple of likelihood data in the family's canonical
+    order; entries flagged True in ``lik_is_row`` (default: all) are (n,)
+    per-row arrays that get padded/blocked with the data, the rest
+    (scalar dispersions, cutpoint vectors, ...) pass through unchanged —
+    so the same module-level ``parts(f, lik, maskb) -> (grad, W)`` and
+    ``loglik(f, lik)`` hooks serve the materialized and streaming paths.
+    Returns (inducing, f_hat, a, d, vta, rn, log_det_b, log_lik, quad)
+    with f_hat/a/d as (nb, block) arrays, vta = V'a, R'R = I + Vw'Vw at
+    the mode — everything the evidence and the predictor state need.
+    Memory O(n + block x m) at any n.
+
+    ``grad_impl="ift"`` (default) differentiates the mode implicitly
+    (``_stream_fixed_point``) — requires ``parts`` to be a module-level
+    function; "unroll" differentiates through the remat'ed sweeps.
     """
     inducing = calc_inducing(family, params, z, jitter)
     u_inv = inv_tri_upper(inducing.chol_km)
-    xb, first, maskb = _pad_blocks(X, lik_rows[0], mask, block_size)
-    lik = (first,) + tuple(
-        _pad_blocks(X, arr, mask, block_size)[1] for arr in lik_rows[1:]
+    if lik_is_row is None:
+        lik_is_row = (True,) * len(lik_rows)
+    first_idx = next(i for i, r in enumerate(lik_is_row) if r)
+    xb, first, maskb = _pad_blocks(X, lik_rows[first_idx], mask,
+                                   block_size)
+    lik = tuple(
+        (first if i == first_idx
+         else _pad_blocks(X, arr, mask, block_size)[1]) if is_row else arr
+        for i, (arr, is_row) in enumerate(zip(lik_rows, lik_is_row))
     )
     d = stream_prior_diag(family, params, z, u_inv, xb)
 
-    f_hat, a = newton_scan_stream(
-        family, params, z, u_inv, d, xb, lik, maskb,
-        newton_iters=newton_iters, allsum=allsum, parts=parts,
-    )
-
     m = z.shape[0]
+    if grad_impl == "ift":
+        a = _stream_fixed_point(family, parts, newton_iters, allsum,
+                                jitter)(params, z, xb, lik, maskb)
+        sweep_f = _make_sweep(family, params, z, u_inv, xb, allsum)
+        f_hat = _stream_kdot(sweep_f, d, a, m, xb.dtype)
+    elif grad_impl == "unroll":
+        f_hat, a = newton_scan_stream(
+            family, params, z, u_inv, d, xb, lik, maskb,
+            newton_iters=newton_iters, allsum=allsum, parts=parts,
+        )
+    else:
+        raise ValueError(
+            f"grad_impl must be 'ift' or 'unroll', got {grad_impl}"
+        )
     _, w = parts(f_hat, lik, maskb)
     w = maskb * jnp.maximum(w, 1e-12)
     e = 1.0 / (1.0 + w * d)
@@ -293,6 +443,7 @@ def stream_laplace_log_evidence(
     family, params, z, X, lik_rows, *, parts, loglik,
     block_size: int = 8192, newton_iters: int = 15,
     jitter: float | None = None, mask=None, allsum=lambda x: x,
+    lik_is_row=None, grad_impl: str = "ift",
 ):
     """-0.5 a'f + log lik - 0.5 log|B| from the generic streaming parts —
     == the family's materialized Laplace evidence to roundoff at any
@@ -300,7 +451,8 @@ def stream_laplace_log_evidence(
     *_, log_det_b, log_lik, quad = stream_laplace_parts(
         family, params, z, X, lik_rows, parts=parts, loglik=loglik,
         block_size=block_size, newton_iters=newton_iters, jitter=jitter,
-        mask=mask, allsum=allsum,
+        mask=mask, allsum=allsum, lik_is_row=lik_is_row,
+        grad_impl=grad_impl,
     )
     return -0.5 * quad + log_lik - 0.5 * log_det_b
 
@@ -308,7 +460,7 @@ def stream_laplace_log_evidence(
 def stream_classify_parts(
     family, params, z, X, y, *, block_size: int = 8192,
     newton_iters: int = 15, jitter: float | None = None, mask=None,
-    allsum=lambda x: x,
+    allsum=lambda x: x, grad_impl: str = "ift",
 ):
     """Binary instance of ``stream_laplace_parts`` (kept as the named
     public surface the CLI artifact writer uses)."""
@@ -317,14 +469,14 @@ def stream_classify_parts(
         parts=_binary_parts,
         loglik=lambda f, lik: _log_sigmoid(lik[0] * f),
         block_size=block_size, newton_iters=newton_iters, jitter=jitter,
-        mask=mask, allsum=allsum,
+        mask=mask, allsum=allsum, grad_impl=grad_impl,
     )
 
 
 def stream_classify_log_evidence(
     family, params, z, X, y, *, block_size: int = 8192,
     newton_iters: int = 15, jitter: float | None = None, mask=None,
-    allsum=lambda x: x,
+    allsum=lambda x: x, grad_impl: str = "ift",
 ):
     """Laplace marginal likelihood, streaming — ==
     classify.classify_log_evidence to roundoff at any block partition,
@@ -332,6 +484,7 @@ def stream_classify_log_evidence(
     *_, log_det_b, log_lik, quad = stream_classify_parts(
         family, params, z, X, y, block_size=block_size,
         newton_iters=newton_iters, jitter=jitter, mask=mask, allsum=allsum,
+        grad_impl=grad_impl,
     )
     return -0.5 * quad + log_lik - 0.5 * log_det_b
 

@@ -135,9 +135,9 @@ def negbin_log_evidence(
         from .classify_stream import stream_laplace_log_evidence
 
         return stream_laplace_log_evidence(
-            family, params, z, X, (y, le),
-            parts=lambda f, lik, mb: _nb_parts(f, lik[0], r, lik[1], mb),
-            loglik=lambda f, lik: _nb_loglik(f, lik[0], r, lik[1]),
+            family, params, z, X, (y, jnp.asarray(r, y.dtype), le),
+            parts=nb_parts, loglik=nb_loglik,
+            lik_is_row=(True, False, True),
             block_size=block_size, newton_iters=newton_iters,
             jitter=jitter,
         )

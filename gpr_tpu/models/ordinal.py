@@ -212,9 +212,9 @@ def ordinal_log_evidence(
 
         cuts = cutpoints_from_raw(cut_raw)
         return stream_laplace_log_evidence(
-            family, params, z, X, (y,),
-            parts=lambda f, lik, mb: _ord_parts(f, lik[0], cuts, mb),
-            loglik=lambda f, lik: _ord_loglik(f, lik[0], cuts),
+            family, params, z, X, (y, cuts),
+            parts=ord_parts, loglik=ord_loglik,
+            lik_is_row=(True, False),
             block_size=block_size, newton_iters=newton_iters,
             jitter=jitter,
         )

@@ -205,6 +205,9 @@ def sharded_ep_log_evidence(
         _, v, d = _fitc_prior(family, params, z, xs, jitter)
         ttau, tnu = ep_sweeps(v, d, ys, ms, n_sweeps=n_sweeps,
                               damping=damping, allsum=_allsum)
+        # stationary-gradient route (classify_ep.ep_log_evidence docstring)
+        ttau = jax.lax.stop_gradient(ttau)
+        tnu = jax.lax.stop_gradient(tnu)
         return ep_log_evidence_from_sites(v, d, ys, ms, ttau, tnu,
                                           allsum=_allsum)
 

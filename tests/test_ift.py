@@ -197,3 +197,62 @@ def test_sharded_classify_ift_grad_matches_single(prior_inputs):
     for l1, l2 in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_ep_stationary_matches_unroll(prior_inputs):
+    """GPML 5.5.2: at a converged EP fixed point the stationary-gradient
+    route (stop_gradient on sites) equals differentiating through the
+    sweeps.  Run enough damped sweeps that the fixed point is tight."""
+    from gpr_tpu.models.classify_ep import ep_log_evidence
+
+    X, Z, p = prior_inputs
+    y = jnp.asarray(np.sign(np.random.default_rng(7).standard_normal(N)))
+
+    outs = {}
+    for impl in ("unroll", "stationary"):
+        val, grads = jax.value_and_grad(
+            lambda a: ep_log_evidence(SeIso, a[0], a[1], X, y,
+                                      n_sweeps=60, grad_impl=impl)
+        )((p, Z))
+        outs[impl] = (float(val), grads)
+    v_u, g_u = outs["unroll"]
+    v_s, g_s = outs["stationary"]
+    assert v_u == pytest.approx(v_s, abs=1e-10)  # same forward
+    for lu, ls in zip(jtu.tree_leaves(g_u), jtu.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(lu), np.asarray(ls),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_streaming_ift_matches_unroll_and_materialized(prior_inputs):
+    """The streaming fixed point (_stream_fixed_point) must reproduce the
+    unrolled streaming gradient AND the materialized IFT gradient —
+    including a likelihood-parameter leg (ordinal cutpoints ride lik with
+    lik_is_row=(True, False))."""
+    from gpr_tpu.models.ordinal import (
+        default_cutpoint_raw,
+        ordinal_log_evidence,
+    )
+
+    X, Z, p = prior_inputs
+    rng = np.random.default_rng(8)
+    y = jnp.asarray(rng.integers(0, 3, N))
+    cut0 = default_cutpoint_raw(3)
+    args = (p, Z, cut0)
+
+    def ev(args, block, impl):
+        params, z, cut_raw = args
+        return ordinal_log_evidence(SeIso, params, z, X, y, cut_raw,
+                                    newton_iters=20, block_size=block,
+                                    grad_impl=impl)
+
+    v_mat, g_mat = jax.value_and_grad(lambda a: ev(a, None, "ift"))(args)
+    v_su, g_su = jax.value_and_grad(lambda a: ev(a, 48, "unroll"))(args)
+    v_si, g_si = jax.value_and_grad(lambda a: ev(a, 48, "ift"))(args)
+    assert float(v_su) == pytest.approx(float(v_si), abs=1e-9)
+    assert float(v_mat) == pytest.approx(float(v_si), rel=1e-10)
+    for lm, lu, li in zip(jtu.tree_leaves(g_mat), jtu.tree_leaves(g_su),
+                          jtu.tree_leaves(g_si)):
+        np.testing.assert_allclose(np.asarray(li), np.asarray(lu),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(lm),
+                                   rtol=1e-6, atol=1e-8)
