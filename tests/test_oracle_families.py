@@ -352,3 +352,130 @@ def test_warp_param_gradients_match_independent_oracle(rng):
     ofd_ell = (oracle_ev(log_ell + eps, wp0)
                - oracle_ev(log_ell - eps, wp0)) / (2 * eps)
     np.testing.assert_allclose(float(g_ell), ofd_ell, rtol=2e-5)
+
+
+# ------------------------------------------------- independent EP oracle
+
+def ep_evidence_oracle(K, y, sweeps=300, tol=1e-13):
+    """Sequential EP for the probit likelihood over a DENSE prior K —
+    a from-scratch numpy implementation (GPML Algorithm 3.5: sequential
+    site updates with rank-1 posterior downdates, own tilted moments via
+    scipy.stats.norm, evidence by GPML eq. 3.65).  Shares NOTHING with
+    models/classify_ep.py: that module runs damped PARALLEL sweeps with
+    low-rank Woodbury marginals and a folded evidence form; probit EP's
+    fixed point is unique, so the two must agree at convergence —
+    VERDICT r4 #6: a consistently-wrong cavity or moment formula in
+    either implementation fails this comparison."""
+    n = K.shape[0]
+    ttau = np.zeros(n)
+    tnu = np.zeros(n)
+    Sigma = K.copy()
+    mu = np.zeros(n)
+    for _ in range(sweeps):
+        ttau_prev = ttau.copy()
+        for i in range(n):
+            tau_ni = 1.0 / Sigma[i, i] - ttau[i]
+            nu_ni = mu[i] / Sigma[i, i] - tnu[i]
+            mu_ni = nu_ni / tau_ni
+            s2_ni = 1.0 / tau_ni
+            z = y[i] * mu_ni / np.sqrt(1.0 + s2_ni)
+            lZ = norm.logcdf(z)
+            ratio = np.exp(norm.logpdf(z) - lZ)
+            dlZ = y[i] * ratio / np.sqrt(1.0 + s2_ni)
+            d2lZ = ratio * (z + ratio) / (1.0 + s2_ni)
+            den = 1.0 - s2_ni * d2lZ
+            ttau_new = d2lZ / den
+            tnu_new = (dlZ + mu_ni * d2lZ) / den
+            dtau = ttau_new - ttau[i]
+            ttau[i] = ttau_new
+            tnu[i] = tnu_new
+            si = Sigma[:, i].copy()
+            Sigma = Sigma - (dtau / (1.0 + dtau * Sigma[i, i])) * np.outer(
+                si, si
+            )
+            mu = Sigma @ tnu
+        # refresh the posterior from scratch (rank-1 drift)
+        Sigma = np.linalg.inv(np.linalg.inv(K) + np.diag(ttau))
+        mu = Sigma @ tnu
+        if np.max(np.abs(ttau - ttau_prev)) < tol:
+            break
+
+    sig2 = np.diag(Sigma)
+    tau_n = 1.0 / sig2 - ttau
+    nu_n = mu / sig2 - tnu
+    mu_n = nu_n / tau_n
+    s2_n = 1.0 / tau_n
+    z = y * mu_n / np.sqrt(1.0 + s2_n)
+    mu_t = tnu / ttau
+    A = K + np.diag(1.0 / ttau)
+    sign, logdetA = np.linalg.slogdet(A)
+    assert sign > 0
+    return (
+        norm.logcdf(z).sum()
+        + 0.5 * np.log(s2_n + 1.0 / ttau).sum()
+        + 0.5 * ((mu_n - mu_t) ** 2 / (s2_n + 1.0 / ttau)).sum()
+        - 0.5 * logdetA
+        - 0.5 * mu_t @ np.linalg.solve(A, mu_t)
+    )
+
+
+def test_ep_evidence_matches_independent_oracle(rng):
+    from gpr_tpu.models.classify_ep import ep_log_evidence
+
+    n, m = 90, 7
+    X = rng.standard_normal((n, 2))
+    y = np.sign(rng.standard_normal(n))
+    Z = X[:m]
+
+    for log_ell, log_sf2 in [(0.3, 0.1), (-0.2, 0.6)]:
+        K = np_fitc_prior(log_ell, log_sf2, Z, X)
+        ev_oracle = ep_evidence_oracle(K, y)
+        p = SeIso.Params(log_ell=jnp.asarray(log_ell),
+                         log_sf2=jnp.asarray(log_sf2))
+        ev_repo = float(ep_log_evidence(
+            SeIso, p, jnp.asarray(Z), jnp.asarray(X), jnp.asarray(y),
+            n_sweeps=100, jitter=JITTER,
+        ))
+        assert ev_repo == pytest.approx(ev_oracle, rel=1e-7, abs=1e-6), (
+            log_ell, log_sf2, ev_repo, ev_oracle,
+        )
+
+
+def test_ep_gradient_matches_independent_oracle_fd(rng):
+    """jax.grad of the repo EP evidence (stationary route) vs central FD
+    of the INDEPENDENT sequential-EP oracle, for log_ell and one inducing
+    coordinate."""
+    from gpr_tpu.models.classify_ep import ep_log_evidence
+
+    n, m = 70, 6
+    X = rng.standard_normal((n, 2))
+    y = np.sign(rng.standard_normal(n))
+    Z = X[:m].copy()
+    log_ell, log_sf2 = 0.25, 0.2
+
+    p = SeIso.Params(log_ell=jnp.asarray(log_ell),
+                     log_sf2=jnp.asarray(log_sf2))
+    val, (g_p, g_z) = jax.value_and_grad(
+        lambda p_, z_: ep_log_evidence(SeIso, p_, z_, jnp.asarray(X),
+                                       jnp.asarray(y), n_sweeps=120,
+                                       jitter=JITTER),
+        argnums=(0, 1),
+    )(p, jnp.asarray(Z))
+
+    eps = 1e-5
+
+    def oracle_at_ell(le):
+        return ep_evidence_oracle(np_fitc_prior(le, log_sf2, Z, X), y)
+
+    fd_ell = (oracle_at_ell(log_ell + eps)
+              - oracle_at_ell(log_ell - eps)) / (2 * eps)
+    assert float(g_p.log_ell) == pytest.approx(fd_ell, rel=2e-4, abs=1e-6)
+
+    def oracle_at_z(v):
+        Zp = Z.copy()
+        Zp[2, 1] = v
+        return ep_evidence_oracle(np_fitc_prior(log_ell, log_sf2, Zp, X), y)
+
+    z0 = Z[2, 1]
+    fd_z = (oracle_at_z(z0 + eps) - oracle_at_z(z0 - eps)) / (2 * eps)
+    assert float(g_z[2, 1]) == pytest.approx(fd_z, rel=2e-4, abs=1e-6)
