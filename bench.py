@@ -93,7 +93,9 @@ def timeit(fn, *args, iters=16, batches=3):
     how a training loop executes (async dispatch overlaps host work);
     latency syncs every call and includes the full host round trip.  The
     tunnel adds run-to-run noise of ~20%, so throughput is the MIN over
-    ``batches`` pipelined batches.
+    ``batches`` pipelined batches; the per-batch values are stashed in
+    ``timeit.last_batches`` so the headline legs can report their spread
+    (VERDICT r4 #7: cross-session comparisons need in-session error bars).
     """
     t0 = time.perf_counter()
     out = fn(*args)
@@ -111,7 +113,17 @@ def timeit(fn, *args, iters=16, batches=3):
         outs = [fn(*args) for _ in range(iters)]
         sync(outs[-1])
         per_batch.append((time.perf_counter() - t0) / iters)
+    timeit.last_batches = sorted(per_batch)
     return min(per_batch), latency, first, out
+
+
+def spread_txt():
+    """min..max of the last timeit's per-batch throughputs, in ms."""
+    b = getattr(timeit, "last_batches", None)
+    if not b:
+        return ""
+    return (f" [spread over {len(b)} batches: {b[0]*1e3:.1f}.."
+            f"{b[-1]*1e3:.1f} ms]")
 
 
 def measure_gemm_ceiling(m: int, block: int = 16384) -> tuple[float, float]:
@@ -300,10 +312,11 @@ def main():
         vg = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))
         for attempt in (1, 2):  # one retry: transient tunnel holds recover
             try:
-                t, lat, first, out = timeit(vg, params, Z, sigma2, X, y)
+                t, lat, first, out = timeit(vg, params, Z, sigma2, X, y,
+                                            batches=4)
                 log(f"{name}: {t*1e3:.1f} ms/iter pipelined, {lat*1e3:.1f} "
                     f"ms latency (first call {first:.1f}s, evidence "
-                    f"{float(out[0]):.1f})")
+                    f"{float(out[0]):.1f}){spread_txt()}")
                 results[name] = t
                 evidences[name] = float(out[0])
                 break
@@ -555,8 +568,9 @@ def main():
                 SeIso, p, z, c, xs, block_size=65536
             )
         )
-        tp, _, _, _ = timeit(predict, params, Z, coeffs, X)
-        log(f"predict: {N/tp/1e6:.1f} M pts/s ({tp*1e3:.1f} ms for 1M)")
+        tp, _, _, _ = timeit(predict, params, Z, coeffs, X, batches=4)
+        log(f"predict: {N/tp/1e6:.1f} M pts/s ({tp*1e3:.1f} ms for 1M)"
+            f"{spread_txt()}")
     except Exception as e:  # noqa: BLE001
         log(f"predict: FAILED {type(e).__name__}: {e}")
 

@@ -155,6 +155,7 @@ def pcg(
     precond=None,
     tol: float = 1e-6,
     max_iter: int = 200,
+    colsum=None,
 ):
     """Batched preconditioned conjugate gradients for SPD systems.
 
@@ -164,32 +165,42 @@ def pcg(
     matvecs).  Stops when every column's relative residual is below ``tol``
     or at ``max_iter``.  Returns ``(x, info)`` with
     ``info = {"iters": k, "relres": (r,)}``.
+
+    ``precond`` may be an object with ``.apply`` (NystromPrecond) or a
+    plain callable r -> P^-1 r.  ``colsum`` is the per-column reduction
+    over the row axis — override with a psum'ed sum under shard_map
+    (parallel/iter_sharded.py); default is the local sum.
     """
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
-    pre = precond.apply if precond is not None else (lambda r: r)
-    bnorm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
+    if precond is None:
+        pre = lambda r: r  # noqa: E731
+    else:
+        pre = precond.apply if hasattr(precond, "apply") else precond
+    if colsum is None:
+        colsum = lambda t: jnp.sum(t, axis=0)  # noqa: E731
+    bnorm = jnp.sqrt(jnp.maximum(colsum(b * b), 1e-60))
 
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = pre(r0)
-    rz0 = jnp.sum(r0 * z0, axis=0)
+    rz0 = colsum(r0 * z0)
 
     def cond(state):
         k, _, r, _, _, _ = state
-        relres = jnp.linalg.norm(r, axis=0) / bnorm
+        relres = jnp.sqrt(colsum(r * r)) / bnorm
         return (k < max_iter) & (jnp.max(relres) > tol)
 
     def body(state):
         k, x, r, z, p, rz = state
         ap = matvec(p)
-        pap = jnp.sum(p * ap, axis=0)
+        pap = colsum(p * ap)
         alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, 1e-30), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
         z = pre(r)
-        rz_new = jnp.sum(r * z, axis=0)
+        rz_new = colsum(r * z)
         beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
         p = z + beta * p
         return k + 1, x, r, z, p, rz_new
@@ -197,7 +208,7 @@ def pcg(
     k, x, r, _, _, _ = lax.while_loop(
         cond, body, (jnp.asarray(0), x0, r0, z0, z0, rz0)
     )
-    relres = jnp.linalg.norm(r, axis=0) / bnorm
+    relres = jnp.sqrt(colsum(r * r)) / bnorm
     info = {"iters": k, "relres": relres}
     return (x[:, 0] if squeeze else x), info
 

@@ -1043,6 +1043,48 @@ def test_cli_exact(tmp_path, rng):
     assert res.returncode != 0
 
 
+def test_cli_exact_cg(tmp_path, rng):
+    """-exact -cg: iterative exact GP end to end — SGD training on
+    stochastic exact-evidence gradients, artifact round trip, CG-served
+    exact variances (-with-stddev re-solves per test batch), flag guards.
+    Accuracy bar: the CG predictor must track truth at least as well as
+    the dense-exact CLI test's 0.5-MSE bar on the same generator."""
+    model_file = str(tmp_path / "exact_cg.npz")
+    csv, X, y = make_csv(rng, n=150)
+    res = run_cli(
+        ["-cmd", "train", "-model", model_file, "-exact", "-cg",
+         "-kernel", "se_iso", "-n-inducing", "40", "-max-iter", "40",
+         "-seed", "5", "-verbose"],
+        csv,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "cg iters" in res.stderr  # verbose reports the CG inner solves
+    test_csv, Xt, _ = make_csv(rng, n=20, with_target=False)
+    res = run_cli(
+        ["-cmd", "test", "-model", model_file, "-with-stddev",
+         "-predictive"],
+        test_csv,
+    )
+    assert res.returncode == 0, res.stderr
+    lines = res.stdout.strip().splitlines()
+    assert len(lines) == 20
+    means = np.array([float(l.split(",")[0]) for l in lines])
+    sds = np.array([float(l.split(",")[1]) for l in lines])
+    assert np.all(np.isfinite(means)) and np.all(sds > 0)
+    truth = np.sin(Xt.sum(axis=1))
+    assert float(np.mean((means - truth) ** 2)) < 0.5
+
+    # guards: -cg without -exact; -cg with -loo; -cg with -restarts
+    res = run_cli(["-cmd", "train", "-model", model_file, "-cg"], csv)
+    assert res.returncode != 0 and "-exact" in res.stderr
+    res = run_cli(["-cmd", "train", "-model", model_file, "-exact",
+                   "-cg", "-loo"], csv)
+    assert res.returncode != 0
+    res = run_cli(["-cmd", "train", "-model", model_file, "-exact",
+                   "-cg", "-restarts", "3"], csv)
+    assert res.returncode != 0
+
+
 def test_cli_exact_restarts_diversify(tmp_path, rng):
     """-exact -restarts must actually move the start: se_iso's defaults are
     deterministic (cov_se_iso.ml:122-123) and -exact has no inducing subset

@@ -186,3 +186,37 @@ def test_fit_iter_improves_exact_evidence(rng):
     # all converge; the clip keeps the log-space moves bounded)
     assert l1 > l0 + 50.0, (l0, l1)
     assert float(s2_1) > 0.0
+
+
+@pytest.mark.slow
+def test_sharded_iter_solve_matches_single(rng):
+    """parallel/iter_sharded: the ppermute-ring matvec + psum'd PCG over
+    the 8-device CPU mesh reproduces the single-device alpha exactly
+    (same math; the ring only reorders the tile sums)."""
+    from jax.sharding import Mesh
+
+    from gpr_tpu.parallel.iter_sharded import sharded_iter_solve
+    from gpr_tpu.parallel.sharded import shard_batch
+
+    n, m = 301, 24
+    X = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1))
+                    + 0.05 * rng.standard_normal(n))
+    p = SeIso.Params(log_ell=jnp.asarray(0.2), log_sf2=jnp.asarray(0.1))
+    s2 = 0.05
+    Xsub = X[:m]
+
+    tr = iter_trained(SeIso, p, X, y, s2, X_sub=Xsub, tol=1e-10,
+                      max_iter=400, block_size=64)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    Xs, ys, mask = shard_batch(mesh, X, y)
+
+    @jax.jit
+    def solve():
+        return sharded_iter_solve(SeIso, mesh, p, Xs, ys, s2, Xsub, mask,
+                                  tol=1e-10, max_iter=400, block_size=64)
+
+    x, iters, relres = solve()
+    assert float(jnp.max(relres)) < 1e-9
+    np.testing.assert_allclose(np.asarray(x)[:n], np.asarray(tr.alpha),
+                               rtol=0, atol=1e-8)
