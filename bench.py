@@ -745,18 +745,27 @@ def main():
         if over_budget():
             raise TimeoutError("over budget")
         from gpr_tpu.optim import make_objective, make_pack
-        from gpr_tpu.optim.hmc import hmc
+        from gpr_tpu.optim.hmc import hmc, make_accept_energy
 
-        nh, n_leap, n_w, n_s = 100_000, 8, 20, 20
+        # n_warmup=60: with the clean accept energy, dual averaging needs
+        # ~60 transitions to land in the target band (r5_hmc_accept.py:
+        # accept 0.49 at w=20 — step genuinely overshoots early — vs 0.69
+        # at w=60; at HIGH-accept more warmup could NOT help, 0.54 floor)
+        nh, n_leap, n_w, n_s = 100_000, 8, 60, 20
         pack_h = make_pack(SeIso, params, Z, 0.1, learn_inducing=False)
         raw_h, _ = make_objective(
             SeIso, X[:nh], y[:nh], pack_h, variational=True,
             return_raw=True,
         )
+        # accept statistic at HIGHEST: at f32-HIGH the evidence rounding
+        # roughness pins accept ~0.5 regardless of step (r5_hmc_accept.py)
+        energy_h = make_accept_energy(
+            SeIso, X[:nh], y[:nh], pack_h, variational=True,
+        )
         t0 = time.perf_counter()
         res_h = hmc(
             raw_h, pack_h.x0, jax.random.PRNGKey(5),
-            data=(X[:nh], y[:nh]),
+            data=(X[:nh], y[:nh]), energy_fn=energy_h,
             n_samples=n_s, n_warmup=n_w, n_leapfrog=n_leap,
             n_chains=1, chain_jitter=0.05, init_step=0.02,
         )
@@ -764,7 +773,7 @@ def main():
         t0 = time.perf_counter()
         res_h = hmc(
             raw_h, pack_h.x0, jax.random.PRNGKey(6),
-            data=(X[:nh], y[:nh]),
+            data=(X[:nh], y[:nh]), energy_fn=energy_h,
             n_samples=n_s, n_warmup=n_w, n_leapfrog=n_leap,
             n_chains=1, chain_jitter=0.05, init_step=0.02,
         )

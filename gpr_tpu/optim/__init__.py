@@ -2,6 +2,7 @@ from .hmc import (
     HMCResult,
     bulk_ess,
     hmc,
+    make_accept_energy,
     predict_hmc_mixture,
     sample_posterior,
     split_rhat,

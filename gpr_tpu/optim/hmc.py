@@ -26,11 +26,17 @@ acceptance rate, with a Stan-style regularized diagonal mass estimated from
 first-phase warmup draws.  Nonfinite proposals are rejected (divergence
 guard), never propagated.
 
-f32 caution (measured elsewhere in this repo, see optim/train.py): the MH
-accept step compares total-evidence values, so at |L| ~ 1e6 the f32 evidence
-resolves differences only to ~0.06 nats.  Sample with ``n <~ 1e5`` rows per
-evidence in f32, or run x64 on host — unlike optimization there is no
-``normalize=`` escape (scaling U tempers the posterior).
+f32 caution (measured, probes/r5_hmc_accept.py): the MH accept step
+compares total-evidence values, and at |L| >~ 1e5 the f32-HIGH GEMM
+rounding roughness (~nats as x moves) dominates Delta-H — the accept rate
+pins near 0.5 whatever the step size and dual averaging adapts to noise.
+The fix is NOT smaller n or more warmup: pass ``energy_fn`` (see
+:func:`make_accept_energy`) so the accept statistic alone is evaluated at
+matmul HIGHEST while leapfrog forces stay at the session precision —
+leapfrog is reversible and volume-preserving for any force field, so the
+chain remains exactly invariant for the accurate potential.  Unlike
+optimization there is no ``normalize=`` escape (scaling U tempers the
+posterior).
 """
 
 from __future__ import annotations
@@ -78,12 +84,23 @@ def _leapfrog(u_and_grad, x, p, grad, eps, inv_mass, n_steps):
     return x, p, us[-1], grad
 
 
-def _transition(u_and_grad, state, key, log_eps, inv_mass, n_leapfrog):
+def _transition(u_and_grad, state, key, log_eps, inv_mass, n_leapfrog,
+                energy_fn=None):
     """One HMC proposal + MH accept.  state = (x, U, dU).
 
     Returns (state', accept_prob).  Nonfinite proposal energies get accept
     probability 0 (divergence guard) and the where-gated state update never
     touches them.
+
+    ``energy_fn`` (x -> U), when given, re-evaluates the PROPOSAL's
+    potential for the MH accept (and the carried state U is maintained at
+    that precision).  Leapfrog is volume-preserving and reversible for ANY
+    force field, so accepting with the accurate potential keeps the chain
+    exactly invariant — this is the surrogate-gradient HMC construction
+    that fixes the f32 accept-noise plateau (probes/r5_hmc_accept.py: at
+    matmul HIGH the accept rate pins near 0.5 regardless of step size
+    because GEMM rounding roughness ~nats dominates Delta-H; forces can
+    stay at HIGH since they only shape the proposal).
     """
     x, u, grad = state
     key_mom, key_acc = jax.random.split(key)
@@ -94,6 +111,8 @@ def _transition(u_and_grad, state, key, log_eps, inv_mass, n_leapfrog):
     x_new, p_new, u_new, grad_new = _leapfrog(
         u_and_grad, x, p, grad, eps, inv_mass, n_leapfrog
     )
+    if energy_fn is not None:
+        u_new = energy_fn(x_new)
     h1 = u_new + 0.5 * jnp.sum(inv_mass * p_new * p_new)
     # Gate on the full energy DIFFERENCE: h0 nonfinite (a poisoned state
     # that slipped past the init guard) must yield alpha=0, not NaN, or the
@@ -147,6 +166,7 @@ def hmc(
     init_step: float = 0.1,
     target_accept: float = 0.8,
     chain_jitter: float = 0.5,
+    energy_fn: Callable | None = None,
 ) -> HMCResult:
     """Sample exp(-U) with adaptive HMC.  ``u_and_grad(x, *data) -> (U, dU)``
     is the negative log posterior over the packed vector and its gradient;
@@ -161,6 +181,14 @@ def hmc(
     reject at ~MB scale (CLAUDE.md invariant).  ``data`` is threaded through
     as jit operands and passed as trailing arguments to ``u_and_grad``
     (:func:`sample_posterior` does this automatically).
+
+    ``energy_fn(x, *data) -> U``, when given, supplies the potential used
+    for the MH accept statistic (and the recorded draws' potential), while
+    ``u_and_grad`` keeps supplying the leapfrog forces.  Use it to evaluate
+    the accept at higher GEMM precision than the trajectories: at f32-HIGH
+    the total-evidence rounding roughness (~nats at n >= 1e5) pins the
+    accept rate near 0.5 whatever the step size, so dual averaging adapts
+    to noise (see _transition and probes/r5_hmc_accept.py).
 
     Chains start at ``x0`` plus N(0, chain_jitter^2) offsets and run batched
     under vmap; a chain whose jittered start has nonfinite potential or
@@ -187,6 +215,7 @@ def hmc(
     samples, potential, accept_rate, step_size, inv_mass = _run_chains(
         u_and_grad, tuple(data), x0, x_init, chain_keys, log_eps0,
         n_w1, n_w2, n_samples, n_leapfrog, float(target_accept),
+        energy_fn,
     )
     samples_h = np.asarray(samples)
     return HMCResult(
@@ -204,12 +233,12 @@ def hmc(
     jax.jit,
     static_argnames=(
         "u_and_grad", "n_w1", "n_w2", "n_samples", "n_leapfrog",
-        "target_accept",
+        "target_accept", "energy_fn",
     ),
 )
 def _run_chains(
     u_and_grad, data, x0, x_init, chain_keys, log_eps0,
-    n_w1, n_w2, n_samples, n_leapfrog, target_accept,
+    n_w1, n_w2, n_samples, n_leapfrog, target_accept, energy_fn=None,
 ):
     """Vmapped chain runner.  ``u_and_grad`` and the phase lengths are
     static, so repeated calls with the same objective reuse the compiled
@@ -222,6 +251,8 @@ def _run_chains(
 
     def ug(x):
         return u_and_grad(x, *data)
+
+    efn = None if energy_fn is None else (lambda x: energy_fn(x, *data))
 
     def one_chain(x0c, keyc):
         u0, g0 = ug(x0c)
@@ -242,6 +273,9 @@ def _run_chains(
         x0c, u0, g0, _ = lax.while_loop(
             shrink_cond, shrink_body, (x0c, u0, g0, jnp.asarray(0))
         )
+        if efn is not None:
+            # the carried state potential lives at the accept precision
+            u0 = efn(x0c)
         state0 = (x0c, u0, g0)
         unit_mass = jnp.ones((d,), dtype)
 
@@ -250,7 +284,7 @@ def _run_chains(
         def w1_body(carry, k):
             state, da, cnt, mean, m2 = carry
             state, alpha = _transition(
-                ug, state, k, da[2], unit_mass, n_leapfrog
+                ug, state, k, da[2], unit_mass, n_leapfrog, efn
             )
             da = _dual_avg_update(da, alpha, target_accept)
             cnt = cnt + 1.0
@@ -280,7 +314,7 @@ def _run_chains(
         def w2_body(carry, k):
             state, da = carry
             state, alpha = _transition(
-                ug, state, k, da[2], inv_mass, n_leapfrog
+                ug, state, k, da[2], inv_mass, n_leapfrog, efn
             )
             da = _dual_avg_update(da, alpha, target_accept)
             return (state, da), None
@@ -294,7 +328,7 @@ def _run_chains(
         # Sampling: fixed kernel, collect draws.
         def s_body(state, k):
             state, alpha = _transition(
-                ug, state, k, log_eps_final, inv_mass, n_leapfrog
+                ug, state, k, log_eps_final, inv_mass, n_leapfrog, efn
             )
             return state, (state[0], state[1], alpha)
 
@@ -351,6 +385,41 @@ def bulk_ess(samples: np.ndarray) -> np.ndarray:
     return ess
 
 
+def make_accept_energy(
+    family, X, targets, pack, *, precision: str = "highest",
+    log_prior=None, variational: bool = False,
+    block_size: int | None = None,
+):
+    """A value-only potential ``(x, X, targets) -> U`` whose GEMMs trace at
+    ``precision``, for :func:`hmc`'s ``energy_fn``.
+
+    ``config.matmul_precision`` is read at TRACE time by every
+    ``numerics.linalg.matmul`` site, so temporarily overriding it while
+    this (and only this) sub-graph traces gives the accept statistic its
+    own GEMM precision inside the one jitted sampler — the leapfrog keeps
+    the session precision.  Measured motivation: probes/r5_hmc_accept.py
+    (accept pinned at ~0.5 under HIGH whatever the warmup; clean under
+    HIGHEST)."""
+    from ..config import config
+    from .train import make_objective
+
+    energy, _ = make_objective(
+        family, X, targets, pack,
+        variational=variational, block_size=block_size, log_prior=log_prior,
+        return_raw=True, value_only=True,
+    )
+
+    def wrapped(x, X, targets):
+        old = config.matmul_precision
+        config.matmul_precision = precision
+        try:
+            return energy(x, X, targets)
+        finally:
+            config.matmul_precision = old
+
+    return wrapped
+
+
 def sample_posterior(
     family,
     X,
@@ -361,13 +430,21 @@ def sample_posterior(
     log_prior=None,
     variational: bool = False,
     block_size: int | None = None,
+    accept_precision: str | None = "highest",
     **hmc_kwargs,
 ) -> HMCResult:
     """HMC over the GP hyper posterior: builds the library objective
     (un-normalized — scaling the potential would temper the posterior) and
     samples it.  ``block_size=`` streams the evidence, so the posterior of a
-    past-HBM dataset is samplable; see the module docstring for the f32
-    accept-resolution caveat at large |L|."""
+    past-HBM dataset is samplable.
+
+    ``accept_precision`` (default "highest") evaluates the MH accept
+    statistic at that GEMM precision via :func:`make_accept_energy` while
+    the leapfrog forces stay at the session precision — without it, f32
+    evidence rounding roughness pins the accept rate near 0.5 at
+    |L| >~ 1e5 and dual averaging adapts to noise (module docstring; the
+    measured fix, probes/r5_hmc_accept.py).  Pass ``None`` to disable
+    (x64/CPU runs don't need the extra forward per transition)."""
     from .train import make_objective
 
     # return_raw + data= threads (X, targets) through as jit OPERANDS of the
@@ -379,8 +456,16 @@ def sample_posterior(
         variational=variational, block_size=block_size, log_prior=log_prior,
         return_raw=True,
     )
+    energy_fn = None
+    if accept_precision is not None:
+        energy_fn = make_accept_energy(
+            family, X, targets, pack, precision=accept_precision,
+            log_prior=log_prior, variational=variational,
+            block_size=block_size,
+        )
     return hmc(
-        neg_l_and_grad, pack.x0, key, data=(X, targets), **hmc_kwargs
+        neg_l_and_grad, pack.x0, key, data=(X, targets),
+        energy_fn=energy_fn, **hmc_kwargs
     )
 
 

@@ -101,6 +101,7 @@ def _prepare(
 def make_objective(
     family, X, targets, pack, *, variational=False, factorization=None,
     normalize=False, block_size=None, log_prior=None, return_raw=False,
+    value_only=False,
 ):
     """Jitted (value, grad) of the NEGATIVE evidence over the packed vector,
     plus a jitted trained-state reconstruction for reporting.
@@ -126,8 +127,13 @@ def make_objective(
     forms instead of the data-bound ``f(x)`` closures — for callers (HMC)
     that embed the objective in a larger jitted graph and must thread the
     data through as operands rather than capture it.
+
+    ``value_only=True`` skips the gradient: the first return is
+    ``f(x[, X, targets]) -> value`` with no backward pass traced — for
+    HMC's accept-energy evaluations, which need the potential alone.
     """
     scale = 1.0 / X.shape[0] if normalize else 1.0
+    vag = (lambda f: f) if value_only else jax.value_and_grad
 
     def _prior(params, z, sigma2):
         if log_prior is None:
@@ -147,7 +153,7 @@ def make_objective(
                 )
                 return -(l + _prior(params, z, sigma2)) * scale
 
-            return jax.value_and_grad(f)(x)
+            return vag(f)(x)
 
         @jax.jit
         def _trained_of(x, X, targets):
@@ -175,7 +181,7 @@ def make_objective(
             l = calc_trained(model, targets).l
             return -(l + _prior(params, z, sigma2)) * scale
 
-        return jax.value_and_grad(f)(x)
+        return vag(f)(x)
 
     @jax.jit
     def _trained_of(x, X, targets):

@@ -46,26 +46,37 @@ def main():
                           log_sf2=jnp.asarray(0.0, dt))
     pack = make_pack(SeIso, params, Z, 0.1, learn_inducing=False)
 
+    from gpr_tpu.optim.hmc import make_accept_energy
+
+    # MEASURED (r5, this probe, first run — cases without energy_fn):
+    #   HIGH   n_warmup=20   accept=0.48 step=0.0043  (bench repro)
+    #   HIGH   n_warmup=60   accept=0.55 step=0.0014
+    #   HIGH   n_warmup=150  accept=0.54 step~0       <- noise floor: accept
+    #                        pins ~0.5 even as step -> 0, so more warmup
+    #                        cannot fix it (roughness, not under-adaptation)
+    #   HIGHEST n_warmup=150 accept=0.98 step~0       <- smooth potential
+    # Fix validated below: HIGH forces + HIGHEST accept energy
+    # (hmc(energy_fn=...), the surrogate-gradient construction).
     cases = [
-        ("HIGH,  n_warmup=20 (bench repro)", "high", 20),
-        ("HIGH,  n_warmup=60", "high", 60),
-        ("HIGH,  n_warmup=150", "high", 150),
-        ("HIGHEST, n_warmup=150", "highest", 150),
-        ("HIGHEST, n_warmup=20", "highest", 20),
+        ("HIGH, n_warmup=20 (bench repro)", "high", 20, False),
+        ("HIGH forces + HIGHEST accept, w=20", "high", 20, True),
+        ("HIGH forces + HIGHEST accept, w=60", "high", 60, True),
     ]
-    for name, prec, n_w in cases:
+    for name, prec, n_w, use_energy in cases:
         config.matmul_precision = prec
         raw, _ = make_objective(SeIso, X, y, pack, variational=True,
                                 return_raw=True)
+        efn = make_accept_energy(SeIso, X, y, pack, variational=True) \
+            if use_energy else None
         t0 = time.perf_counter()
         res = hmc(
             raw, pack.x0, jax.random.PRNGKey(6), data=(X, y),
             n_samples=20, n_warmup=n_w, n_leapfrog=8, n_chains=1,
-            chain_jitter=0.05, init_step=0.02,
+            chain_jitter=0.05, init_step=0.02, energy_fn=efn,
         )
         wall = time.perf_counter() - t0
         ess_s = float(res.ess.min()) / wall
-        print(f"{name:34s} accept={float(res.accept_rate[0]):.2f} "
+        print(f"{name:36s} accept={float(res.accept_rate[0]):.2f} "
               f"step={float(res.step_size[0]):.4f} min-ESS {ess_s:.2f}/s "
               f"({wall:.0f}s)", flush=True)
     config.matmul_precision = "high"
