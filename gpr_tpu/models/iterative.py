@@ -156,6 +156,7 @@ def pcg(
     tol: float = 1e-6,
     max_iter: int = 200,
     colsum=None,
+    replace_every: int | None = 50,
 ):
     """Batched preconditioned conjugate gradients for SPD systems.
 
@@ -170,6 +171,16 @@ def pcg(
     plain callable r -> P^-1 r.  ``colsum`` is the per-column reduction
     over the row axis — override with a psum'ed sum under shard_map
     (parallel/iter_sharded.py); default is the local sum.
+
+    ``replace_every`` applies Van der Vorst residual replacement: every
+    that-many iterations the recursive residual is recomputed as
+    ``b - matvec(x)``.  In f32 the recursively-updated r drifts from the
+    true residual once the per-matvec rounding noise (~lambda_max * eps)
+    reaches the residual scale — measured at n >= 50k on TPU as "relres"
+    climbing past 1 while the true error stayed bounded
+    (probes/r4_iterative_tpu.py pre-fix vs r5_iterative_tpu.py).  The
+    reported final relres is always recomputed from the TRUE residual
+    (one extra matvec), so convergence claims are honest at any precision.
     """
     squeeze = b.ndim == 1
     if squeeze:
@@ -199,6 +210,15 @@ def pcg(
         alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, 1e-30), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
+        if replace_every:
+            # re-sync the recursive residual with the true one (keeps the
+            # search direction: Van der Vorst replacement, not a restart)
+            r = lax.cond(
+                (k + 1) % replace_every == 0,
+                lambda x, r: b - matvec(x),
+                lambda x, r: r,
+                x, r,
+            )
         z = pre(r)
         rz_new = colsum(r * z)
         beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
@@ -208,7 +228,8 @@ def pcg(
     k, x, r, _, _, _ = lax.while_loop(
         cond, body, (jnp.asarray(0), x0, r0, z0, z0, rz0)
     )
-    relres = jnp.sqrt(colsum(r * r)) / bnorm
+    r_true = b - matvec(x)
+    relres = jnp.sqrt(colsum(r_true * r_true)) / bnorm
     info = {"iters": k, "relres": relres}
     return (x[:, 0] if squeeze else x), info
 

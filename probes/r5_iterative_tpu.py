@@ -1,0 +1,104 @@
+"""Round-5 probe: the iterative exact GP at n >= 100k with the
+residual-replacement pcg (models/iterative.py), after
+probes/r4_iterative_tpu.py measured the f32 recursive residual DIVERGING
+at n >= 50k (relres 3.16 at 50k / 13.8 at 100k after 200 iters): once the
+per-matvec rounding noise (~lambda_max * eps ~ 1e4 * 1e-7) reaches the
+residual scale, the recursion drifts and the old stopping rule reported
+garbage.  pcg now re-syncs r = b - A x every 50 iterations and reports
+the TRUE final relres.
+
+Legs (f32, se_iso, d=8, m=1024 anchors, block 8192, sigma2=0.1):
+  1. n=100k alpha solve, tol 1e-3  (dense K = 40 GB — impossible on chip)
+  2. n=200k alpha solve, tol 1e-3
+  3. n=100k predictive variances for 256 test points
+  4. n=100k evidence_grads_iter (8 Hutchinson probes) — the SGD step
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python probes/r5_iterative_tpu.py
+
+RESULTS: recorded below after the run.
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gpr_tpu.kernels import SeIso
+from gpr_tpu.models import (
+    evidence_grads_iter,
+    iter_trained,
+    predict_variances_iter,
+)
+
+D, M, BLOCK = 8, 1024, 8192
+PARAMS = SeIso.Params(log_ell=jnp.asarray(1.0, jnp.float32),
+                      log_sf2=jnp.asarray(0.0, jnp.float32))
+S2 = 0.1
+
+
+def _data(n, seed=0):
+    key = jax.random.PRNGKey(seed)
+    X = jax.random.normal(key, (n, D), jnp.float32)
+    y = jnp.sin(X.sum(axis=1)) + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 1), (n,), jnp.float32
+    )
+    return X, y
+
+
+def _timed(label, fn, reps=2):
+    t0 = time.time()
+    out = fn()
+    out = jax.tree.map(np.asarray, out)
+    t_first = time.time() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        jax.tree.map(np.asarray, out)
+        ts.append(time.time() - t0)
+    print(f"{label}: {min(ts):.3f} s (first {t_first:.1f}s)", flush=True)
+    return out
+
+
+def main():
+    print("device:", jax.devices()[0].device_kind, flush=True)
+
+    for n in (100_000, 200_000):
+        X, y = _data(n)
+        tr = _timed(
+            f"iter alpha n={n//1000}k",
+            lambda: iter_trained(SeIso, PARAMS, X, y, S2, n_inducing=M,
+                                 tol=1e-3, max_iter=400, block_size=BLOCK),
+        )
+        print(f"  iters={int(tr.iters)} TRUE relres={float(tr.relres):.2e}",
+              flush=True)
+
+    X, y = _data(100_000)
+    tr = iter_trained(SeIso, PARAMS, X, y, S2, n_inducing=M, tol=1e-3,
+                      max_iter=400, block_size=BLOCK)
+    Xs = _data(256, seed=7)[0]
+    var, info = _timed(
+        "iter variances 256 pts @ n=100k",
+        lambda: predict_variances_iter(SeIso, PARAMS, tr, X, Xs,
+                                       tol=1e-3, max_iter=400,
+                                       block_size=BLOCK),
+    )
+    print(f"  iters={int(info['iters'])} TRUE relres "
+          f"{float(jnp.max(info['relres'])):.2e} var range "
+          f"[{float(var.min()):.4f}, {float(var.max()):.4f}]", flush=True)
+
+    (gp, gs), info = _timed(
+        "evidence_grads_iter n=100k p=8",
+        lambda: evidence_grads_iter(SeIso, PARAMS, X, y, S2,
+                                    jax.random.PRNGKey(2), n_probes=8,
+                                    n_inducing=M, tol=1e-3, max_iter=400,
+                                    block_size=BLOCK),
+    )
+    print(f"  iters={int(info['iters'])} g_log_ell={float(gp.log_ell):+.3e} "
+          f"g_sigma2={float(gs):+.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
