@@ -48,6 +48,16 @@ class Config:
     # fuse that GEMM, leaving the entry inert.  Unknown names raise at
     # trace time (stream_grad.site_mm).
     bwd_demote_sites: tuple = ()
+    # 'gemm' | 'direct': pairwise squared-distance assembly
+    # (kernels/base.py:sqdist).  'gemm' is |a|^2 - 2ab + |b|^2 on the MXU —
+    # the fast path, but the f32 assembly of ~|terms|-magnitude pieces
+    # leaves d2 errors of a few ulp(|a|^2+|b|^2), i.e. up to ~40 f32 ulps
+    # on near-pair kernel ENTRIES; measured as the largest accurate-mode
+    # evidence error term at 1M x 8 m=300 (+2.1 of the +2.9-nat sum-log-s
+    # stage total, probes/r5 tile diff).  'direct' computes
+    # sum_k (a_k - b_k)^2 elementwise on the VPU — no cancellation,
+    # ~1-ulp entries — for the accurate/parity path.  Read at trace time.
+    sqdist_impl: str = "gemm"
     # 'qr' | 'chol' | 'auto': how to factor B = Km + Knm' D^-1 Knm.
     # 'qr' reproduces the reference's Foster-2009 stacked QR
     # (lib/fitc_gp.ml:168-183); 'chol' is the cheap, shardable normal-equations

@@ -69,9 +69,21 @@ def sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     The expansion |a|^2 - 2 a.b + |b|^2 puts the O(n m d) work on the MXU
     (one GEMM) instead of the reference's scalar triple loop
     (lib/cov_se_iso.ml:56-72,128-144).  Clamped at zero against rounding.
+
+    ``config.sqdist_impl = "direct"`` switches to the elementwise
+    sum_k (a_k - b_k)^2 form: all-positive summands, so d2 carries ~1-ulp
+    relative error instead of a few ulps of the |a|^2 + |b|^2 term
+    magnitude — the measured dominant accurate-mode kernel-entry error
+    (config.py note).  VPU-bound; for the parity/accurate path.
     """
+    from ..config import config
     from ..numerics.linalg import matmul
 
+    if config.sqdist_impl == "direct":
+        d2 = jnp.sum(
+            jnp.square(a[:, None, :] - b[None, :, :]), axis=-1
+        )
+        return jnp.maximum(d2, 0.0)
     a2 = jnp.sum(jnp.square(a), axis=-1)
     b2 = jnp.sum(jnp.square(b), axis=-1)
     # configured precision, NOT the backend default: on TPU the default

@@ -190,3 +190,36 @@ def test_se_fat_default_params(rng):
     assert p.log_hetero_skedasticity.shape == (6,)
     assert p.log_multiscales_m05.shape == (6, 10)
     np.testing.assert_allclose(np.asarray(p.log_hetero_skedasticity), -5.0)
+
+
+def test_sqdist_direct_matches_gemm(rng):
+    """config.sqdist_impl='direct' (the accurate-mode elementwise form,
+    probes/r5_accurate_fix.py) must agree with the GEMM expansion to f64
+    roundoff, keep the zero diagonal exactly, and stay differentiable."""
+    import jax
+
+    from gpr_tpu.config import config
+    from gpr_tpu.kernels.base import sqdist
+
+    A = jnp.asarray(rng.standard_normal((40, 5)))
+    B = jnp.asarray(rng.standard_normal((17, 5)))
+    d_gemm = np.asarray(sqdist(A, B))
+    try:
+        config.sqdist_impl = "direct"
+        d_dir = np.asarray(sqdist(A, B))
+        self_d = np.asarray(sqdist(A, A))
+        g = jax.grad(lambda a: jnp.sum(sqdist(a, B) ** 2))(A)
+    finally:
+        config.sqdist_impl = "gemm"
+    np.testing.assert_allclose(d_dir, d_gemm, rtol=1e-12, atol=1e-12)
+    assert np.all(np.diag(self_d) == 0.0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # evidence parity through a full kernel family
+    p = SeIso.Params(log_ell=jnp.asarray(0.3), log_sf2=jnp.asarray(0.1))
+    k_gemm = np.asarray(SeIso.k_cross(p, A, B))
+    try:
+        config.sqdist_impl = "direct"
+        k_dir = np.asarray(SeIso.k_cross(p, A, B))
+    finally:
+        config.sqdist_impl = "gemm"
+    np.testing.assert_allclose(k_dir, k_gemm, rtol=1e-12, atol=1e-12)
