@@ -21,6 +21,26 @@ per-variant end-to-end forward wall (min over batches) and the evidence
 stat errors (sum log s, y'S^-1y proxy) vs a host f64 mirror.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python probes/r5_split_gemm.py
+
+RESULTS (v5e-1, this probe, 2026-08-20; forward bare chain, min-of-4x4
+pipelined; errors vs host f64 mirror lds -1134194.903 / yiy 3541090.638):
+
+    high        16.2 ms   dlds  +138.4   dyiy   -607.9
+    highest     20.8 ms   dlds    +3.3   dyiy    -15.4
+    s3          15.8 ms   dlds -1348.8   dyiy  +7956.9
+    s2f         15.2 ms   dlds -1348.8   dyiy  +7956.9
+    s6f         19.4 ms   dlds -1316.5   dyiy  +7528.4
+
+VERDICT: dead end, both directions.  (1) The hand-split variants are
+~10x LESS accurate than XLA's native HIGH — whatever bf16_3x does on this
+hardware, it is not the naive 2-way operand split, and the folded
+variants inherit the split's error, not HIGH's.  (2) The fold buys only
+~5% wall over HIGH (15.2 vs 16.2 ms) — the k=8 sqdist GEMM is too small
+a fraction of the chain for the launch saving to matter, and at k=300
+the doubled contraction axis costs real MACs.  (3) HIGHEST's accuracy is
+not reachable cheaper by XLA-level operand splitting; its +28% over HIGH
+stands as the accurate-mode GEMM price.  Do not retry; the accurate-mode
+lever is the kernel-entry path (sqdist_impl='direct'), not GEMM splits.
 """
 
 import sys
