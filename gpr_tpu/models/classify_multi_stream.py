@@ -46,6 +46,8 @@ streaming are all extensions.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -249,29 +251,192 @@ def softmax_newton_scan_stream(
     return f_hat, a
 
 
+def _stream_kdot_mc(sweep, d, x, m, n_c, dtype):
+    """K x columnwise over blocked rows for (nb, block, C) x:
+    two sweeps — accumulate V'x (m, C), then emit V(V'x) + d x."""
+    zmc = jnp.zeros((m, n_c), dtype)
+    vtx, _ = sweep(lambda v_i, x_i: (None, matmul(v_i.T, x_i)), zmc, x)
+    _, rows = sweep(
+        lambda v_i, x_i, d_i: (matmul(v_i, vtx) + d_i[:, None] * x_i, ()),
+        (), x, d,
+    )
+    return rows
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_softmax_fixed_point(family, newton_iters, allsum, jitter):
+    """The streaming softmax-Laplace fixed point a(params, z) with IFT
+    gradients — the blockwise analogue of
+    classify_multi._softmax_fixed_point: the backward is one streaming
+    coupled (I + K W)^-1 apply (~12 block passes incl. one
+    iterative-refinement round) plus one AD vjp through a two-sweep
+    K-apply, instead of retraversing newton_iters x 6 remat'ed sweeps.
+    Cached per static tuple so the custom_vjp identity is stable across
+    traces (allsum must be a module-level function — the sharded wrapper
+    passes parallel.classify_sharded._allsum)."""
+
+    @jax.custom_vjp
+    def fixed_point(params, z, xb, y1h, maskb):
+        inducing = calc_inducing(family, params, z, jitter)
+        u_inv = inv_tri_upper(inducing.chol_km)
+        d = stream_prior_diag(family, params, z, u_inv, xb)
+        _, a = softmax_newton_scan_stream(
+            family, params, z, u_inv, d, xb, y1h, maskb,
+            newton_iters=newton_iters, allsum=allsum,
+        )
+        return a
+
+    def fwd(params, z, xb, y1h, maskb):
+        a = fixed_point(params, z, xb, y1h, maskb)
+        return a, (params, z, xb, y1h, maskb, a)
+
+    def bwd(res, abar):
+        params, z, xb, y1h, maskb, a = res
+        n_c = y1h.shape[-1]
+        m = z.shape[0]
+        dtype = xb.dtype
+        n_pairs = n_c * (n_c + 1) // 2
+        inducing = calc_inducing(family, params, z, jitter)
+        u_inv = inv_tri_upper(inducing.chol_km)
+        d = stream_prior_diag(family, params, z, u_inv, xb)
+        sweep = _make_sweep(family, params, z, u_inv, xb, allsum)
+        zmc = jnp.zeros((m, n_c), dtype)
+
+        def kdot(x):
+            return _stream_kdot_mc(sweep, d, x, m, n_c, dtype)
+
+        f_hat = kdot(a)
+        pi, q, qbar_inv, _ = _row_parts(f_hat, y1h, d, maskb)
+
+        # the mode's per-class and coupling factors (one Gram sweep)
+        def body_g(v_i, q_i, qbi_i):
+            return None, _gram_contrib(v_i, q_i, qbi_i, n_c)
+
+        (p_acc, w_acc), _ = sweep(
+            body_g,
+            (jnp.zeros((n_c, m, m), dtype),
+             jnp.zeros((n_pairs, m, m), dtype)),
+            q, qbar_inv,
+        )
+        _, r_all, h_chol = _factors_from_grams(p_acc, w_acc, n_c, dtype)
+
+        def msolve_cols(t):
+            return jax.vmap(
+                lambda r, tc: solve_tri(r, solve_tri(r, tc, trans=True)),
+                in_axes=(0, 1), out_axes=1,
+            )(r_all, t)
+
+        def m_apply(x):
+            # M x = E x - E 1 (sum_c E_c)^-1 1' E x streamed — the same
+            # four-sweep shape as Newton-step sweeps 2-5, with x in the
+            # Kb slot (classify_multi._m_apply restated on blocks)
+            t1, _ = sweep(
+                lambda v_i, q_i, x_i: (None, matmul(v_i.T, q_i * x_i)),
+                zmc, q, x,
+            )
+            t_e = msolve_cols(t1)
+
+            def body_ex(v_i, q_i, qbi_i, x_i):
+                ex_i = q_i * x_i - q_i * matmul(v_i, t_e)
+                qx_i = qbi_i * jnp.sum(ex_i, axis=-1)
+                return ex_i, matmul(v_i.T, q_i * qx_i[:, None])
+
+            gt, ex = sweep(body_ex, zmc, q, qbar_inv, x)
+            gt = jax.vmap(lambda r, tc: solve_tri(r, tc, trans=True),
+                          in_axes=(0, 1), out_axes=1)(r_all, gt)
+            wv = gt.T.reshape(n_c * m)  # class-major, matching H's blocks
+            wv = solve_tri(h_chol, solve_tri(h_chol, wv, trans=True))
+            gw = jax.vmap(lambda r, wc: solve_tri(r, wc))(
+                r_all, wv.reshape(n_c, m)
+            )
+
+            def body_tc(v_i, ex_i, q_i, qbi_i):
+                tc_i = qbi_i * jnp.sum(ex_i, axis=-1) + qbi_i * jnp.sum(
+                    q_i * matmul(v_i, gw.T), axis=-1
+                )
+                return tc_i, matmul(v_i.T, q_i * tc_i[:, None])
+
+            t2, tc = sweep(body_tc, zmc, ex, q, qbar_inv)
+            t_e2 = msolve_cols(t2)
+
+            def body_mx(v_i, ex_i, tc_i, q_i):
+                et_i = q_i * tc_i[:, None] - q_i * matmul(v_i, t_e2)
+                return ex_i - et_i, ()
+
+            _, mx = sweep(body_mx, (), ex, tc, q)
+            return mx
+
+        def solve(x):
+            # (I + K W)^-1 x = x - K M x
+            return x - kdot(m_apply(x))
+
+        def wdot(x):
+            # W x per row: diag(pi) x - pi (pi . x), masked
+            return (pi * x - pi * jnp.sum(pi * x, axis=-1, keepdims=True)
+                    ) * maskb[..., None]
+
+        u = solve(abar)
+        # one round of iterative refinement (models/ift.py rationale)
+        r = abar - (u + kdot(wdot(u)))
+        u = u + solve(r)
+
+        # theta_bar = (dF/dtheta)' u with F = g(K a; y1h) - a at fixed a,
+        # g = mask (y1h - softmax(K a)): one vjp through a two-sweep
+        # K-apply with fresh tiles, explicit identity block for y1h
+        def h(params_, z_):
+            inducing_ = calc_inducing(family, params_, z_, jitter)
+            u_inv_ = inv_tri_upper(inducing_.chol_km)
+            d_ = stream_prior_diag(family, params_, z_, u_inv_, xb)
+            sweep_ = _make_sweep(family, params_, z_, u_inv_, xb, allsum)
+            f = _stream_kdot_mc(sweep_, d_, a, m, n_c, dtype)
+            return (y1h - jax.nn.softmax(f, axis=-1)) * maskb[..., None]
+
+        _, pull = jax.vjp(h, params, z)
+        pbar, zbar = pull(u)
+        return (pbar, zbar, jnp.zeros_like(xb), maskb[..., None] * u,
+                jnp.zeros_like(maskb))
+
+    fixed_point.defvjp(fwd, bwd)
+    return fixed_point
+
+
 def stream_multiclass_parts(
     family, params, z, X, labels, n_classes: int, *,
     block_size: int = 8192, newton_iters: int = 15,
     jitter: float | None = None, mask=None, allsum=lambda x: x,
+    grad_impl: str = "ift",
 ):
     """Mode + the m-space posterior epilogue, streaming.
 
     Returns (inducing, f_hat, a, d, y1h, maskb, vta, p_acc, r_all,
     h_chol, w_full, log_det, log_lik, quad) — everything the evidence
     and the persistable predictor state need; w_full is the (C, C, m, m)
-    coupling-Gram tensor (symmetric pairs mirrored)."""
+    coupling-Gram tensor (symmetric pairs mirrored).
+
+    ``grad_impl="ift"`` (default) differentiates the mode implicitly
+    (``_stream_softmax_fixed_point``); "unroll" differentiates through
+    the remat'ed sweeps."""
     inducing = calc_inducing(family, params, z, jitter)
     u_inv = inv_tri_upper(inducing.chol_km)
     xb, lb, maskb = _pad_blocks(X, labels, mask, block_size)
     d = stream_prior_diag(family, params, z, u_inv, xb)
     y1h = jax.nn.one_hot(lb, n_classes, dtype=xb.dtype) * maskb[..., None]
 
-    f_hat, a = softmax_newton_scan_stream(
-        family, params, z, u_inv, d, xb, y1h, maskb,
-        newton_iters=newton_iters, allsum=allsum,
-    )
-
     m = z.shape[0]
+    if grad_impl == "ift":
+        a = _stream_softmax_fixed_point(family, newton_iters, allsum,
+                                        jitter)(params, z, xb, y1h, maskb)
+        sweep_f = _make_sweep(family, params, z, u_inv, xb, allsum)
+        f_hat = _stream_kdot_mc(sweep_f, d, a, m, n_classes, xb.dtype)
+    elif grad_impl == "unroll":
+        f_hat, a = softmax_newton_scan_stream(
+            family, params, z, u_inv, d, xb, y1h, maskb,
+            newton_iters=newton_iters, allsum=allsum,
+        )
+    else:
+        raise ValueError(
+            f"grad_impl must be 'ift' or 'unroll', got {grad_impl}"
+        )
     n_pairs = n_classes * (n_classes + 1) // 2
     sweep = _make_sweep(family, params, z, u_inv, xb, allsum)
 
@@ -320,6 +485,7 @@ def stream_multiclass_log_evidence(
     family, params, z, X, labels, n_classes: int, *,
     block_size: int = 8192, newton_iters: int = 15,
     jitter: float | None = None, mask=None, allsum=lambda x: x,
+    grad_impl: str = "ift",
 ):
     """Softmax-Laplace marginal likelihood, streaming — ==
     classify_multi.multiclass_log_evidence to roundoff at any block
@@ -327,6 +493,7 @@ def stream_multiclass_log_evidence(
     *_, log_det, log_lik, quad = stream_multiclass_parts(
         family, params, z, X, labels, n_classes, block_size=block_size,
         newton_iters=newton_iters, jitter=jitter, mask=mask, allsum=allsum,
+        grad_impl=grad_impl,
     )
     return -0.5 * quad + log_lik - 0.5 * log_det
 

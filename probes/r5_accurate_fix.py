@@ -16,7 +16,35 @@ Each config reports the evidence error vs the f64 mirror truth
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python probes/r5_accurate_fix.py
 
-RESULTS: recorded below after the run.
+RESULTS (v5e-1, 2026-08-20, two sessions, same numbers to 0.1 nat / 5%;
+truth -2123659.40, so 1e-6 relative = 2.12 nats):
+
+  A accurate baseline        err +5.876   fwd 22.0-22.5 ms
+  B + direct sqdist          err +5.876   fwd 25.7-25.9 ms
+  C + refined prep           err +5.439   fwd 25.8-26.5 ms
+  D f64 s-stage, f32 tiles   err +6.129   fwd 25.6 ms
+  E full f64 forward         err +0.062   fwd 1621.5 ms  (first 21s)
+
+Verdict (this closes VERDICT r4 #2):
+  * The accurate-mode residual is NOT in the reductions: direct
+    (elementwise) sqdist changes nothing (B == A to 3 decimals), and
+    computing the whole s-stage (r/s/is/log-sum/y_is_y inputs) in f64
+    from the f32 V tiles is no better (D, +6.13 — the f32 s-stage
+    arithmetic was actually partially cancelling entry error).  The
+    error lives in the f32 kernel/V ENTRIES themselves, consistent with
+    the r5_accurate_residual B-A swap: representing the kernel entries
+    in f32 already costs +2.07 nats (0.98e-6) — the ~1e-6 bar sits AT
+    the f32-tile representation floor, and no f32-tile pipeline can go
+    meaningfully below it (split-operand GEMMs measured 10x worse,
+    probes/r5_split_gemm.py).
+  * Full f64 on the TPU (the axon backend emulates f64; the production
+    _forward_scan runs unchanged under x64) reaches +0.06 nats =
+    2.9e-8 relative — the parity bar met ON HARDWARE at a measured 74x
+    the f32 forward cost.  That is the honest menu: fast f32 22 ms
+    (+307), accurate f32 22.5 ms HIGHEST (+5.9 = 2.8e-6, gradient path
+    +42%), refined-prep 26 ms (+5.4), f64 parity 1.62 s (+0.06).
+    bench.py prints the parity leg every round; MANUAL section 7
+    documents the menu.
 """
 
 import sys
@@ -132,6 +160,110 @@ def main():
     run("A accurate baseline", "gemm", prep_plain)
     run("B + direct sqdist", "direct", prep_plain)
     run("C + refined prep", "direct", prep_refined)
+
+    # --- round-5 session-3 legs: f64 islands -------------------------------
+    # B/C above measured: the f32 kernel-entry REPRESENTATION floor (+2.07
+    # by the r5_accurate_residual B-A swap) cannot be beaten by any f32-tile
+    # pipeline; direct sqdist moved nothing.  So measure what f64 on-device
+    # actually costs (the axon backend emulates f64).
+    from gpr_tpu.numerics.linalg import rows_sqr_norm
+    from gpr_tpu.models.streaming import _pad_blocks as _pb
+
+    def run_hybrid(name):
+        """D: tiles f32 (GEMM HIGHEST), s-stage in f64: r/s/is/log-sums and
+        the u_vec/y_is_y inputs at f64; the gram GEMM stays f32.  Needs the
+        x64 ctx for the f64 dtypes to be real (f32 inputs stay f32)."""
+        config.sqdist_impl = "gemm"
+        jax.config.update("jax_enable_x64", True)
+
+        @jax.jit
+        def f(params, z, sigma2, X, y):
+            u_inv = prep_plain(params, z)
+            xb, yb, maskb = _pad_blocks(X, y, None, BLOCK)
+
+            def body(carry, blk):
+                x_b, y_b, m_b = blk
+                knm = SeIso.k_cross(params, x_b, z)
+                kd = SeIso.k_diag(params, x_b)
+                v = jnp.matmul(knm, u_inv,
+                               precision=jax.lax.Precision.HIGHEST)
+                v64 = v.astype(jnp.float64)
+                r = kd.astype(jnp.float64) - rows_sqr_norm(v64)
+                live = m_b > 0
+                s = jnp.where(live, r + jnp.float64(sigma2), 1.0)
+                is64 = m_b.astype(jnp.float64) / s
+                a = v * jnp.sqrt(is64).astype(jnp.float32)[:, None]
+                g, uv, lds, yiy = carry
+                y64 = y_b.astype(jnp.float64)
+                return (
+                    g + jnp.matmul(a.T, a,
+                                   precision=jax.lax.Precision.HIGHEST
+                                   ).astype(jnp.float64),
+                    uv + jnp.matmul(v.T, (is64 * y64).astype(jnp.float32),
+                                    precision=jax.lax.Precision.HIGHEST
+                                    ).astype(jnp.float64),
+                    lds + jnp.sum(jnp.where(live, jnp.log(s), 0.0)),
+                    yiy + jnp.sum(is64 * y64 * y64),
+                ), None
+
+            m = z.shape[0]
+            init = (jnp.zeros((m, m), jnp.float64),
+                    jnp.zeros((m,), jnp.float64),
+                    jnp.zeros((), jnp.float64), jnp.zeros((), jnp.float64))
+            out, _ = jax.lax.scan(body, init, (xb, yb, maskb))
+            return out
+
+        t0 = time.perf_counter()
+        out = f(params, Z, sigma2, X, y)
+        stats = [np.asarray(o, np.float64) for o in out]
+        first = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [f(params, Z, sigma2, X, y) for _ in range(8)]
+            np.asarray(outs[-1][2])
+            times.append((time.perf_counter() - t0) / 8)
+        ev = epilogue64(*stats)
+        print(f"{name:34s} err {ev-truth:+7.3f}  fwd {min(times)*1e3:6.1f} ms"
+              f"  (first {first:.0f}s)", flush=True)
+        jax.config.update("jax_enable_x64", False)
+
+    run_hybrid("D f64 s-stage, f32 tiles")
+
+    def run_full64(name):
+        """E: the production _forward_scan at f64 end to end (x64 ctx)."""
+        jax.config.update("jax_enable_x64", True)
+        if True:
+            X64 = jnp.asarray(Xn, jnp.float64)
+            y64 = jnp.asarray(yn, jnp.float64)
+            Z64j = jnp.asarray(Zn, jnp.float64)
+            p64 = SeIso.Params(log_ell=jnp.asarray(0.5, jnp.float64),
+                               log_sf2=jnp.asarray(0.0, jnp.float64))
+
+            @jax.jit
+            def f(params, z, sigma2, X, y):
+                u_inv = prep_plain(params, z)
+                xb, yb, maskb = _pb(X, y, None, BLOCK)
+                return _forward_scan(SeIso, params, z, u_inv, sigma2,
+                                     xb, yb, maskb, 1)
+
+            t0 = time.perf_counter()
+            out = f(p64, Z64j, jnp.asarray(0.1, jnp.float64), X64, y64)
+            stats = [np.asarray(o, np.float64) for o in out[:4]]
+            first = time.perf_counter() - t0
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [f(p64, Z64j, jnp.asarray(0.1, jnp.float64), X64,
+                          y64) for _ in range(4)]
+                np.asarray(outs[-1][2])
+                times.append((time.perf_counter() - t0) / 4)
+            ev = epilogue64(*stats)
+            print(f"{name:34s} err {ev-truth:+7.3f}  fwd "
+                  f"{min(times)*1e3:6.1f} ms  (first {first:.0f}s)",
+                  flush=True)
+
+    run_full64("E full f64 forward")
 
 
 if __name__ == "__main__":

@@ -256,3 +256,46 @@ def test_streaming_ift_matches_unroll_and_materialized(prior_inputs):
                                    rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(li), np.asarray(lm),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_streaming_multiclass_ift_matches_unroll_and_materialized(
+    prior_inputs,
+):
+    """The streaming softmax fixed point (_stream_softmax_fixed_point)
+    must reproduce the unrolled streaming gradient AND the materialized
+    softmax-IFT gradient — the last Laplace-family member to move off the
+    unrolled backward (VERDICT r4 #1 / NEXT round-5 note)."""
+    from gpr_tpu.models.classify_multi import multiclass_log_evidence
+    from gpr_tpu.models.classify_multi_stream import (
+        stream_multiclass_log_evidence,
+    )
+
+    X, Z, p = prior_inputs
+    rng = np.random.default_rng(11)
+    labels = jnp.asarray(rng.integers(0, 3, N))
+    args = (p, Z)
+
+    def ev_mat(args):
+        return multiclass_log_evidence(SeIso, *args, X, labels, 3,
+                                       newton_iters=25, grad_impl="ift")
+
+    def ev_stream(args, impl):
+        return stream_multiclass_log_evidence(
+            SeIso, *args, X, labels, 3, block_size=48, newton_iters=25,
+            grad_impl=impl,
+        )
+
+    v_mat, g_mat = jax.value_and_grad(ev_mat)(args)
+    v_su, g_su = jax.value_and_grad(lambda a: ev_stream(a, "unroll"))(args)
+    v_si, g_si = jax.value_and_grad(lambda a: ev_stream(a, "ift"))(args)
+    # f_hat is recovered as K a by two extra sweeps in ift mode (the unroll
+    # path reuses the scan's running blend) — same math, reordered f64
+    # accumulation, so the values agree to ~1e-9 relative, not bitwise
+    assert float(v_su) == pytest.approx(float(v_si), abs=1e-7)
+    assert float(v_mat) == pytest.approx(float(v_si), rel=1e-9)
+    for lm, lu, li in zip(jtu.tree_leaves(g_mat), jtu.tree_leaves(g_su),
+                          jtu.tree_leaves(g_si)):
+        np.testing.assert_allclose(np.asarray(li), np.asarray(lu),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(lm),
+                                   rtol=1e-6, atol=1e-8)
