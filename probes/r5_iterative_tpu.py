@@ -63,41 +63,62 @@ def _timed(label, fn, reps=2):
 
 
 def main():
+    # every leg is wrapped in jax.jit: on the remote tunnel the eager path
+    # compiles each lax primitive as its own executable (first attempt of
+    # this probe hung >25 min in that mode); one jit = one AOT compile
     print("device:", jax.devices()[0].device_kind, flush=True)
 
-    for n in (100_000, 200_000):
-        X, y = _data(n)
-        tr = _timed(
-            f"iter alpha n={n//1000}k",
-            lambda: iter_trained(SeIso, PARAMS, X, y, S2, n_inducing=M,
-                                 tol=1e-3, max_iter=400, block_size=BLOCK),
-        )
-        print(f"  iters={int(tr.iters)} TRUE relres={float(tr.relres):.2e}",
-              flush=True)
+    from functools import partial
 
+    @partial(jax.jit, static_argnums=(2,))
+    def leg_alpha(X, y, block):
+        return iter_trained(SeIso, PARAMS, X, y, S2, n_inducing=M,
+                            tol=1e-3, max_iter=400, block_size=block)
+
+    # the matvec tile is (block, n) floats: block 8192 at n=200k is 6.5 GB
+    # and CRASHED the v5e worker (first run of this probe); block 4096
+    # (3.3 GB tile) crashed it too on the second run — the 200k leg is
+    # LAST (below) so a worker kill cannot take the n=100k measurements
+    # with it (probe-hygiene rule, classify_multi_stream_big_tpu.py)
     X, y = _data(100_000)
-    tr = iter_trained(SeIso, PARAMS, X, y, S2, n_inducing=M, tol=1e-3,
-                      max_iter=400, block_size=BLOCK)
+    tr = _timed("iter alpha n=100k b=8192", lambda: leg_alpha(X, y, BLOCK))
+    print(f"  iters={int(tr.iters)} TRUE relres={float(tr.relres):.2e}",
+          flush=True)
+
     Xs = _data(256, seed=7)[0]
+
+    @jax.jit
+    def leg_var(tr, X, Xs):
+        return predict_variances_iter(SeIso, PARAMS, tr, X, Xs,
+                                      tol=1e-3, max_iter=400,
+                                      block_size=BLOCK)
+
     var, info = _timed(
-        "iter variances 256 pts @ n=100k",
-        lambda: predict_variances_iter(SeIso, PARAMS, tr, X, Xs,
-                                       tol=1e-3, max_iter=400,
-                                       block_size=BLOCK),
+        "iter variances 256 pts @ n=100k", lambda: leg_var(tr, X, Xs)
     )
     print(f"  iters={int(info['iters'])} TRUE relres "
           f"{float(jnp.max(info['relres'])):.2e} var range "
           f"[{float(var.min()):.4f}, {float(var.max()):.4f}]", flush=True)
 
+    @jax.jit
+    def leg_grads(X, y):
+        return evidence_grads_iter(SeIso, PARAMS, X, y, S2,
+                                   jax.random.PRNGKey(2), n_probes=8,
+                                   n_inducing=M, tol=1e-3, max_iter=400,
+                                   block_size=BLOCK)
+
     (gp, gs), info = _timed(
-        "evidence_grads_iter n=100k p=8",
-        lambda: evidence_grads_iter(SeIso, PARAMS, X, y, S2,
-                                    jax.random.PRNGKey(2), n_probes=8,
-                                    n_inducing=M, tol=1e-3, max_iter=400,
-                                    block_size=BLOCK),
+        "evidence_grads_iter n=100k p=8", lambda: leg_grads(X, y)
     )
     print(f"  iters={int(info['iters'])} g_log_ell={float(gp.log_ell):+.3e} "
           f"g_sigma2={float(gs):+.3e}", flush=True)
+
+    # 200k attempt LAST (may kill the worker; nothing depends on it)
+    X2, y2 = _data(200_000)
+    tr2 = _timed("iter alpha n=200k b=2048",
+                 lambda: leg_alpha(X2, y2, 2048))
+    print(f"  iters={int(tr2.iters)} TRUE relres={float(tr2.relres):.2e}",
+          flush=True)
 
 
 if __name__ == "__main__":

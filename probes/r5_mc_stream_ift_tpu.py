@@ -14,7 +14,13 @@ steps (same as BENCH's materialized multiclass leg).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python probes/r5_mc_stream_ift_tpu.py
 
-RESULTS: recorded below after the run.
+RESULTS (v5e-1, 2026-08-20, same session):
+  stream-multiclass[ift]    (8 Newton, C=3): 1040 ms/iter (ev -1183331.8)
+  stream-multiclass[unroll] (8 Newton, C=3): 3120 ms/iter (ev -1183331.8)
+  -> 3.0x, values identical; every Laplace-family member now trains on
+  the one-solve implicit backward.  (The r4 session-6 figure 6.04 s/iter
+  was 15 Newton at block 32768 — not directly comparable; the unroll leg
+  above is the same-session same-config baseline.)
 """
 
 import sys
