@@ -80,7 +80,12 @@ def kernel_matvec(
         tile = cross_inputs(family, params, x_blk, X)  # (block, n)
         return None, matmul(tile, V)
 
-    _, out = lax.scan(step, None, xb)
+    # remat: reverse mode otherwise saves every (block, n) tile — at
+    # n=100k block=8192 that is a 42.6 GB stacked residual and the
+    # evidence_grads_iter jit fails AOT allocation (measured, r5 probe);
+    # recomputing the tile in the backward is the same trade the
+    # streaming engine makes everywhere
+    _, out = lax.scan(jax.checkpoint(step), None, xb)
     out = out.reshape(-1, V.shape[1])[: X.shape[0]]
     # diag correction: the tile rows put the cross form's self-value on the
     # diagonal; the exact model's operator has k_diag(x_i) + sigma2 there

@@ -15,7 +15,31 @@ Legs (f32, se_iso, d=8, m=1024 anchors, block 8192, sigma2=0.1):
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python probes/r5_iterative_tpu.py
 
-RESULTS: recorded below after the run.
+RESULTS (v5e-1, 2026-08-20, m=1024 anchors, tol 1e-3, f32; reproduced
+across two sessions to 0.1%):
+
+  iter alpha n=100k b=8192:        21.45 s   194 iters, TRUE relres 8.0e-4
+  iter variances 256 pts @ 100k:   30.7 s    112 iters, relres 7.6e-4,
+                                             var range [0.1001, 0.1489]
+  evidence_grads_iter n=100k p=8:   3.34 s   13 iters (the SGD step)
+
+Findings:
+  * The r4 f32 divergence at n >= 50k is FIXED in effect: the residual
+    replacement reports TRUE relres 8e-4 at 100k where r4 measured the
+    drifted recursion at 13.8.
+  * evidence_grads_iter needed jax.checkpoint on the kernel_matvec scan
+    body: reverse mode otherwise stacks every (block, n) tile — 42.6 GB
+    at this shape, AOT-allocation failure (fixed in models/iterative.py;
+    gradients bit-identical on the CPU smoke).
+  * Single-chip capacity: the n=200k alpha solve KILLS the v5e worker at
+    block 8192 (6.5 GB tile), 4096, AND 2048 (1.6 GB tile) — three
+    crashes, the last well inside HBM arithmetic, so the limit is a
+    worker/runtime fault, not tile size.  n ~ 1e5 is the practical
+    single-chip bound for the iterative exact path on this stack; past
+    it, shard rows (parallel.iter_sharded.sharded_iter_solve — in the
+    driver dryrun) or train sparse and predict exactly at n <= 1e5.
+  * Probe hygiene held: the 200k attempt runs LAST, so the crash cost
+    nothing.
 """
 
 import time
