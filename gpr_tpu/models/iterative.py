@@ -82,7 +82,8 @@ def kernel_matvec(
 
     # remat: reverse mode otherwise saves every (block, n) tile — at
     # n=100k block=8192 that is a 42.6 GB stacked residual and the
-    # evidence_grads_iter jit fails AOT allocation (measured, r5 probe);
+    # evidence_grads_iter jit fails AOT allocation (measured,
+    # probes/r5_iterative_tpu.py);
     # recomputing the tile in the backward is the same trade the
     # streaming engine makes everywhere
     _, out = lax.scan(jax.checkpoint(step), None, xb)

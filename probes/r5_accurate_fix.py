@@ -233,7 +233,7 @@ def main():
     def run_full64(name):
         """E: the production _forward_scan at f64 end to end (x64 ctx)."""
         jax.config.update("jax_enable_x64", True)
-        if True:
+        if True:  # (was the enable_x64 ctx; gone in jax 0.9 — config.update)
             X64 = jnp.asarray(Xn, jnp.float64)
             y64 = jnp.asarray(yn, jnp.float64)
             Z64j = jnp.asarray(Zn, jnp.float64)
